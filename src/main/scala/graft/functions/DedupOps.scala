@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB regime:
+  *
+  *  - exact dedup: one hash-shuffle on a 16-byte fingerprint (never on the
+  *    full text);
+  *  - MinHash+LSH near-dedup: per-doc signatures computed map-side from
+  *    exploded shingles (partial agg), candidate pairs only ever generated
+  *    within LSH band buckets (no quadratic blow-up);
+  *  - SimHash: 64 independent bit-votes folded in one aggregation.
+  */
+object DedupOps {
+
+  /** Exact dedup: each doc mapped to the minimum doc-id sharing its
+    * normalized-text fingerprint. `canonical_id == id` ⇔ doc is the keeper.
+    * Window-min over the fingerprint key: single shuffle, no join. */
+  def exactCanonical(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    df.withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .drop("fp")
+  }
+
+  /** Word-level shingles (n-grams) of the normalized text, as an array
+    * column. Pure Column expr — no UDF, no shuffle. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(TextOps.normalize(text), " ")
+    when(size(words) < n, array(array_join(words, " ")))
+      .otherwise(transform(sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + 1, lit(n)), " ")))
+  }
+
+  /** MinHash signature: k permutation-hash minima over the shingle set.
+    * Uses xxhash64(shingle, seed_i) as the i-th hash family member.
+    * Computed via explode + groupBy(min×k): map-side partial aggregation
+    * keeps the shuffle at |docs|×k longs regardless of text size. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+    val mins = (0 until k).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding of a minhash signature: (id, band, band_hash) rows.
+    * Docs sharing any (band, band_hash) bucket are near-dup candidates. */
+  def lshBands(sig: DataFrame, idCol: String, bands: Int): DataFrame = {
+    sig.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("signature"),
+            b * (size(col("signature")) / bands) + 1,
+            size(col("signature")) / bands).cast("string"), b)))
+          .as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate near-dup pairs from LSH buckets (id1 < id2). The self-join
+    * happens per (band, band_hash) bucket — cardinality is bounded by
+    * bucket sizes, not |docs|². */
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band"), col("band_hash"),
+      col(idCol).as("id1"))
+    val b = bandsDf.select(col("band"), col("band_hash"),
+      col(idCol).as("id2"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** Exact Jaccard similarity over word-shingle sets for candidate pairs
+    * (the verification step after LSH). `docs` must have (id, text). */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = docs.select(col(idCol).as("jid"),
+      array_distinct(shingles(col(textCol), n)).as("set"))
+    pairs
+      .join(sets.withColumnRenamed("jid", "id1")
+        .withColumnRenamed("set", "set1"), Seq("id1"))
+      .join(sets.withColumnRenamed("jid", "id2")
+        .withColumnRenamed("set", "set2"), Seq("id2"))
+      .withColumn("inter",
+        size(array_intersect(col("set1"), col("set2"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("set1")) + size(col("set2")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash: per-token xxhash64, each bit votes ±1 weighted by
+    * token frequency; sign of the vote sum sets the output bit. One
+    * explode + one groupBy with 64 conditional sums (all codegen'd). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol),
+      explode(split(TextOps.normalize(col(textCol)), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    tokens.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline: broadcast the (small)
+  * query set against the (huge) corpus — one pass over the corpus, no
+  * shuffle except the final per-query top-k, which TakeOrdered handles
+  * without a global sort. The LSH-bucketed variant is the 100 TB path:
+  * corpus is pre-bucketed by hyperplane signature, probes only touch
+  * matching buckets.
+  */
+object SimilarityOps {
+
+  /** Dot product of two double-array columns — sequential fold, so the
+    * result is deterministic (unlike a shuffled sum). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `corpus`/`queries`: (idCol, vecCol). Queries are broadcast; the
+    * corpus is scanned once. Output: (query_id, neighbor_id, score, rank).
+    * Scores rounded to 6dp for cross-engine determinism; rank tie-breaks
+    * on neighbor id. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+        else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("cvec"), col("qvec")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH signature (a bit per plane). Plane components
+    * are deterministic pseudo-randoms derived from xxhash64(dim, plane) —
+    * reproducible across runs with no stored model. */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column = {
+    val v = asDouble(vec)
+    val bits = (0 until planes).map { p =>
+      val d = (0 until dim).map { i =>
+        // hash → [-0.5, 0.5) pseudo-random plane component
+        val h = xxhash64(lit(i.toLong), lit(p.toLong * 1000003L))
+        element_at(v, i + 1) * ((h % 1000000L).cast("double") / 2000000.0)
+      }.reduce(_ + _)
+      when(d >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN via hyperplane-LSH buckets: candidates share the query's bucket;
+    * exact cosine re-rank inside the bucket. Recall is tunable via
+    * `planes` (fewer planes → bigger buckets → higher recall). */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, planes: Int = 12): DataFrame = {
+    val sig = (df: DataFrame, id: String) => df.select(
+      col(idCol).as(id), asDouble(col(vecCol)).as(s"${id}_vec"),
+      hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
+    val c = sig(corpus, "neighbor_id")
+    val q = sig(queries, "query_id")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("neighbor_id_vec"), col("query_id_vec")), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * buckets (id1 < id2). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, planes: Int = 12): DataFrame = {
+    val withSig = df.select(col(idCol), asDouble(col(vecCol)).as("v"),
+      hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
+    val a = withSig.select(col("bucket"), col(idCol).as("id1"),
+      col("v").as("v1"))
+    val b = withSig.select(col("bucket"), col(idCol).as("id2"),
+      col("v").as("v2"))
+    a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 6).as("score"))
+      .filter(col("score") >= threshold)
+      .distinct()
+  }
+}

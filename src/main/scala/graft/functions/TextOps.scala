@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All pure Column expressions (whole-stage-codegen'd, no UDFs) — they run
+  * inside the parquet scan stage with zero shuffle at any scale.
+  */
+object TextOps {
+
+  /** Whitespace tokenization; empty/blank text → 0 tokens. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** Canonical whitespace/case normalization for fingerprinting. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Deterministic document fingerprint (md5 of normalized text).
+    * The content-hash basis for exact dedup. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Non-overlapping occurrence count of a literal needle. */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit(""))))
+      / needle.length).cast("long")
+
+  /** Quality-scoring metrics: char/word counts, mean word length,
+    * punctuation count, stopword count — the standard cheap filters for
+    * pretraining-corpus curation. */
+  def nChars(text: Column): Column = length(text).cast("long")
+
+  def nPunct(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
+
+  def meanWordLen(text: Column): Column =
+    floor(length(regexp_replace(trim(text), "\\s+", "")).cast("double")
+      * 100 / tokenCount(text)).cast("double") / 100
+
+  /** Padded-text stopword counting: counts ` w ` occurrences so word
+    * boundaries are respected without regex (replace is cheaper and has
+    * identical semantics in every engine). */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    val padded = concat(lit(" "), normalize(text), lit(" "))
+    stopwords.map(w => occurrences(padded, s" $w "))
+      .reduce(_ + _)
+  }
+
+  /** Language-ID by stopword-profile scoring: returns the language whose
+    * stopword hits are highest (deterministic first-wins tie-break on the
+    * profile order). N-gram-free heuristic that stays pure-Column. */
+  val defaultProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"))
+
+  def languageScore(text: Column, profile: Seq[String]): Column =
+    stopwordCount(text, profile)
+
+  def languageId(text: Column,
+      profiles: Seq[(String, Seq[String])] = defaultProfiles): Column = {
+    // argmax with first-wins tie-break: fold over profiles keeping
+    // (bestLang, bestScore).
+    val scored = profiles.map { case (lang, words) =>
+      (lang, languageScore(text, words)) }
+    scored.tail.foldLeft(
+      struct(lit(scored.head._1).as("lang"), scored.head._2.as("score"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(lit(lang).as("lang"), score.as("score"))).otherwise(acc)
+    }.getField("lang")
+  }
+
+  /** Rolling-hash document fingerprint (polynomial mod 2^61-1 over
+    * normalized bytes is overkill here; md5 prefix as a 64-bit int is the
+    * deterministic, engine-portable equivalent). */
+  def fingerprint64(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 15), 16, 10).cast("long")
+}

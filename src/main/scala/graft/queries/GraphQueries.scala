@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ir._
+import graft.engine.QueryCompiler
+import graft.sources.{Tables, TpchGraph}
+
+/** Queries routed through the indradb-mirror IR + QueryCompiler over the
+  * TPC-H graph projection (graft.sources.TpchGraph), each with a purely
+  * relational DuckDB oracle over the base tables — so the graph engine's
+  * pipe/join semantics are hash-checked against ground truth.
+  */
+object GraphQueries {
+
+  /** AllVertex + label filter (D2 label scan) via RangeVertex. */
+  val g01 = QueryDef.sql("g01_label_scan",
+    """SELECT 'c:' || c_custkey AS id FROM customer ORDER BY id""") {
+    (s, dir) =>
+      val g = TpchGraph(Tables(s, dir))
+      QueryCompiler(g).compile(RangeVertex(t = Some("customer")))
+        .select(col("id")).orderBy(col("id"))
+  }
+
+  /** D3 property-equality lookup: customers in BUILDING segment. */
+  val g02 = QueryDef.sql("g02_property_value",
+    """SELECT 'c:' || c_custkey AS id, c_name AS name FROM customer
+      |WHERE c_mktsegment = 'BUILDING' ORDER BY id""".stripMargin) {
+    (s, dir) =>
+      val g = TpchGraph(Tables(s, dir))
+      QueryCompiler(g)
+        .compile(VertexWithPropertyValue("mktsegment", "BUILDING"))
+        .select(col("id"),
+          element_at(col("properties"), "name").as("name"))
+        .orderBy(col("id"))
+  }
+
+  /** D11 one-hop traversal: a specific customer's orders
+    * (SpecificVertex → outbound PLACED edges → outbound vertices). */
+  val g03 = QueryDef.sql("g03_one_hop",
+    """SELECT 'o:' || o_orderkey AS id FROM orders
+      |WHERE o_custkey = 1 ORDER BY id""".stripMargin) { (s, dir) =>
+    val g = TpchGraph(Tables(s, dir))
+    val q = SpecificVertex(Seq("c:1"))
+      .outbound(t = Some("PLACED")).outbound()
+    QueryCompiler(g).compile(q).select(col("id")).orderBy(col("id"))
+  }
+
+  /** Two-hop pipe + terminal Count (D6 on a traversal): distinct parts
+    * reachable from BUILDING-segment customers. */
+  val g04 = QueryDef.sql("g04_two_hop_count",
+    """SELECT CAST(count(*) AS BIGINT) AS count FROM (
+      |  SELECT DISTINCT l_partkey FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  WHERE c_mktsegment = 'BUILDING')""".stripMargin) { (s, dir) =>
+    val g = TpchGraph(Tables(s, dir))
+    val q = VertexWithPropertyValue("mktsegment", "BUILDING")
+      .outbound(t = Some("PLACED")).outbound()  // orders
+      .outbound(t = Some("CONTAINS")).outbound() // parts (distinct by id)
+      .count
+    QueryCompiler(g).compile(q)
+  }
+
+  /** Property-presence filter over edges (indexing semantics without the
+    * NotIndexed error, SURVEY §2.A): every CONTAINS edge carries
+    * `linenumber`. */
+  val g05 = QueryDef.sql("g05_edge_prop_presence",
+    "SELECT CAST(count(*) AS BIGINT) AS count FROM lineitem") { (s, dir) =>
+    val g = TpchGraph(Tables(s, dir))
+    QueryCompiler(g).compile(EdgeWithPropertyPresence("linenumber").count)
+  }
+
+  /** Inbound pipe (reverse adjacency, rdb/managers.rs:226-231): orders
+    * containing parts of one brand. */
+  val g06 = QueryDef.sql("g06_inbound_hop",
+    """SELECT DISTINCT 'o:' || l_orderkey AS id
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#11' ORDER BY id""".stripMargin) { (s, dir) =>
+    val g = TpchGraph(Tables(s, dir))
+    val q = VertexWithPropertyValue("brand", "Brand#11")
+      .inbound(t = Some("CONTAINS")).inbound()
+    QueryCompiler(g).compile(q).select(col("id")).orderBy(col("id"))
+  }
+
+  /** PipeProperty projection (queries.rs:524-545): explode nation
+    * properties to (id, name, value) rows. */
+  val g07 = QueryDef.sql("g07_pipe_property",
+    """SELECT 'n:' || n_nationkey AS id, 'name' AS name, n_name AS value
+      |FROM nation ORDER BY id""".stripMargin) { (s, dir) =>
+    val g = TpchGraph(Tables(s, dir))
+    QueryCompiler(g)
+      .compile(RangeVertex(t = Some("nation")).properties())
+      .orderBy(col("id"), col("name"))
+  }
+
+  /** Edge scan grouped by type (D10 + degree-by-type). */
+  val g08 = QueryDef.sql("g08_edge_type_counts",
+    """SELECT edge_type, n FROM (
+      |  SELECT 'PLACED' AS edge_type, count(*) AS n FROM orders
+      |  UNION ALL SELECT 'CONTAINS', count(*) FROM lineitem
+      |  UNION ALL SELECT 'IN_NATION',
+      |    (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+      |  UNION ALL SELECT 'IN_REGION', count(*) FROM nation)
+      |ORDER BY edge_type""".stripMargin) { (s, dir) =>
+    val g = TpchGraph(Tables(s, dir))
+    QueryCompiler(g).compile(AllEdge)
+      .groupBy(col("edge_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("edge_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08)
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DedupOps, SimilarityOps, TextOps}
+import graft.sources.Tables
+
+/** Training-data-pipeline operators as correctness-gate entries: text
+  * analysis, dedup, and similarity search over the `documents` /
+  * `embeddings` tables. Oracle SQL uses only constructs whose semantics
+  * are bit-identical between Spark and DuckDB (md5, replace-based
+  * counting, sequential-fold dot products, rounded outputs).
+  */
+object PipelineQueries {
+
+  // DuckDB-side normalized text (matches TextOps.normalize exactly;
+  // note DuckDB regexp_replace needs the 'g' flag to replace all).
+  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+
+  /** Token counting (whitespace). */
+  val t01 = QueryDef.sql("t01_token_count",
+    s"""SELECT doc_id,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+       |    AS n_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-scoring metrics (char count, punctuation, mean word len). */
+  val t02 = QueryDef.sql("t02_quality_metrics",
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_m,
+      |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+      |    AS BIGINT) AS n_punct,
+      |  CAST(floor(CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+      |      AS DOUBLE) * 100
+      |    / len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) / 100
+      |    AS mean_wlen
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        TextOps.nChars(col("text")).as("n_chars_m"),
+        TextOps.nPunct(col("text")).as("n_punct"),
+        TextOps.meanWordLen(col("text")).as("mean_wlen"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting (md5 of normalized text). */
+  val t03 = QueryDef.sql("t03_fingerprint",
+    s"""SELECT doc_id, md5($normSql) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID stopword scores (en vs fr profiles; padded-occurrence
+    * counting — `replace`-based, identical semantics in both engines). */
+  private def occSql(word: String): String = {
+    val n = word.length + 2
+    s"CAST((length(p) - length(replace(p, ' $word ', ''))) / $n AS BIGINT)"
+  }
+  private val enWords = Seq("the", "a", "of", "and", "is")
+  private val frWords = Seq("le", "la", "et", "les", "des")
+  val t04 = QueryDef.sql("t04_langid_scores",
+    s"""SELECT doc_id,
+       |  ${enWords.map(occSql).mkString(" + ")} AS en_score,
+       |  ${frWords.map(occSql).mkString(" + ")} AS fr_score
+       |FROM (SELECT doc_id, ' ' || $normSql || ' ' AS p FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        TextOps.stopwordCount(col("text"), enWords).as("en_score"),
+        TextOps.stopwordCount(col("text"), frWords).as("fr_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact dedup: canonical (minimum) doc id per content fingerprint. */
+  val d01 = QueryDef.sql("d01_dedup_exact",
+    s"""SELECT doc_id, min(doc_id) OVER (PARTITION BY md5($normSql))
+       |  AS canonical_id
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    DedupOps.exactCanonical(Tables(s, dir).documents, "doc_id", "text")
+      .select(col("doc_id"), col("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distinct 3-word shingles per document (the MinHash input set),
+    * oracle-checked via a DuckDB list comprehension. */
+  val d02 = QueryDef.sql("d02_shingle_count",
+    s"""SELECT doc_id, CAST(CASE WHEN len(ws) < 3 THEN 1
+       |  ELSE len(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |    FOR i IN generate_series(1, len(ws) - 2)])) END AS BIGINT)
+       |  AS n_shingles
+       |FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        size(array_distinct(DedupOps.shingles(col("text"), 3)))
+          .cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash+LSH band signatures (xxhash64-based — Spark-only hash family,
+    * so rows-only check; pair generation is ScalaTest-covered). */
+  val d03 = QueryDef.rowsOnly("d03_minhash_bands") { (s, dir) =>
+    val sig = DedupOps.minhashSignature(
+      Tables(s, dir).documents, "doc_id", "text", n = 3, k = 64)
+    DedupOps.lshBands(sig, "doc_id", bands = 16)
+      .orderBy(col("doc_id"), col("band"))
+  }
+
+  /** SimHash 64-bit signatures (rows-only: xxhash64 family). */
+  val d04 = QueryDef.rowsOnly("d04_simhash") { (s, dir) =>
+    DedupOps.simhash(Tables(s, dir).documents, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact brute-force cosine top-5 for the first 10 vectors — the ANN
+    * baseline, oracle-checked against DuckDB's list_dot_product. */
+  val s01 = QueryDef.sql("s01_cosine_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |        round(list_dot_product(cv, qv) /
+      |          (sqrt(list_dot_product(cv, cv)) *
+      |           sqrt(list_dot_product(qv, qv))), 6) AS score
+      |      FROM c, q WHERE neighbor_id <> query_id)
+      |SELECT query_id, neighbor_id, score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir).embeddings
+    SimilarityOps.cosineTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** ANN via hyperplane LSH (rows-only: engine-specific bucketing). */
+  val s02 = QueryDef.rowsOnly("s02_ann_lsh") { (s, dir) =>
+    val emb = Tables(s, dir).embeddings
+    SimilarityOps.annTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5, dim = 64, planes = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(t01, t02, t03, t04, d01, d02, d03, d04, s01, s02)
+}

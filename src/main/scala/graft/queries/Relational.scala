@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational anchors for the declared Cypher surface (SURVEY.md §2.B):
+  * each query is the canonical relational form of one or more D-rows,
+  * runnable over the TPC-H-ish testdata and hash-checked against DuckDB.
+  *
+  * Determinism rules (SURVEY §7.5.5): every double aggregate is rounded in
+  * BOTH engines; every LIMIT/top-k has a total-order tie-break; outputs
+  * carry explicit aliases matching the oracle exactly.
+  *
+  * Scale notes per query are inline — broadcast hints on dimension joins,
+  * partial aggregation everywhere (groupBy on DataFrames always map-side
+  * combines), no driver-side loops.
+  */
+object Relational {
+
+  /** D6/D19/D20-style full aggregation — TPC-H Q1 shape. One shuffle on
+    * the (returnflag, linestatus) grouping key after map-side partial agg;
+    * the shipdate filter is pushed into the parquet scan. */
+  val q01 = QueryDef.sql("q01_pricing_summary",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Det.moneySumSql("l_quantity")} AS sum_qty,
+       |  ${Det.moneySumSql("l_extendedprice")} AS sum_base_price,
+       |  ${Det.moneySumSql("l_extendedprice * (1 - l_discount)")}
+       |    AS sum_disc_price,
+       |  ${Det.avgFloor2Sql("l_quantity")} AS avg_qty,
+       |  ${Det.avgFloor2Sql("l_extendedprice")} AS avg_price,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.moneySum(col("l_quantity")).as("sum_qty"),
+        Det.moneySum(col("l_extendedprice")).as("sum_base_price"),
+        Det.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        Det.avgFloor2(col("l_quantity")).as("avg_qty"),
+        Det.avgFloor2(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** D14 comparison predicate + D12-style ORDER BY DESC + LIMIT (top-k).
+    * Filter pushed to scan; global top-k via TakeOrderedAndProject — no
+    * full sort at scale. */
+  val q02 = QueryDef.sql("q02_filter_sort_limit",
+    """SELECT p_partkey, p_name, p_retailprice
+      |FROM part WHERE p_size >= 30
+      |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin) {
+    (s, dir) =>
+      Tables(s, dir).part
+        .filter(col("p_size") >= 30)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        .limit(10)
+  }
+
+  /** D11/D19: traversal + per-key aggregation (revenue per customer,
+    * 3-table join). Joins shuffle on the fk keys; AQE broadcasts the
+    * customer side when small. */
+  val q03 = QueryDef.sql("q03_top_customers",
+    s"""SELECT c_custkey, c_name,
+       |  ${Det.moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |GROUP BY c_custkey, c_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.customer
+      .join(t.orders, col("o_custkey") === col("c_custkey"))
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(Det.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(10)
+  }
+
+  /** Dimension-chain rollup (customer→nation→region). Both dims are
+    * explicitly broadcast — zero shuffle for the joins, one for the agg. */
+  val q04 = QueryDef.sql("q04_region_rollup",
+    s"""SELECT r_name, n_name, count(*) AS n_customers,
+       |  ${Det.avgFloor2Sql("c_acctbal")} AS avg_acctbal
+       |FROM customer
+       |JOIN nation ON n_nationkey = c_nationkey
+       |JOIN region ON r_regionkey = n_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.customer
+      .join(broadcast(t.nation), col("n_nationkey") === col("c_nationkey"))
+      .join(broadcast(t.region), col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        Det.avgFloor2(col("c_acctbal")).as("avg_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** D27 OPTIONAL MATCH: null-preserving left outer join; customers with
+    * zero orders kept with n_orders = 0. */
+  val q05 = QueryDef.sql("q05_optional_match",
+    """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.customer
+      .join(t.orders, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** DISTINCT (dedup shuffle on the projected column only). */
+  val q06 = QueryDef.sql("q06_distinct_segments",
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment") {
+    (s, dir) =>
+      Tables(s, dir).customer.select(col("c_mktsegment"))
+        .distinct().orderBy(col("c_mktsegment"))
+  }
+
+  /** D16: toLower + CONTAINS. */
+  val q07 = QueryDef.sql("q07_string_contains",
+    """SELECT p_partkey, p_name FROM part
+      |WHERE lower(p_name) LIKE '%bolt%'
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir).part
+      .filter(lower(col("p_name")).contains("bolt"))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** D31: regex match (`=~`). Same RE dialect subset in Java regex / RE2. */
+  val q08 = QueryDef.sql("q08_regex_match",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE regexp_matches(c_name, '00[0-9]*7$')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir).customer
+      .filter(col("c_name").rlike("00[0-9]*7$"))
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** D28: multi-type match (IN-list) + D15 compound predicate. */
+  val q09 = QueryDef.sql("q09_priority_filter",
+    s"""SELECT o_orderpriority, count(*) AS n,
+       |  ${Det.moneySumSql("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 1000
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables(s, dir).orders
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_totalprice") > 1000)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        Det.moneySum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Windowed top-N per key (D12 ordered traversal generalization): top-3
+    * orders per customer. One shuffle on the window partition key. */
+  val q10 = QueryDef.sql("q10_window_topn",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(s, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** GROUP BY + HAVING. */
+  val q11 = QueryDef.sql("q11_group_having",
+    """SELECT p_brand, count(*) AS n_parts
+      |FROM part GROUP BY p_brand HAVING count(*) >= 5
+      |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    Tables(s, dir).part
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .filter(col("n_parts") >= 5)
+      .orderBy(col("p_brand"))
+  }
+
+  /** D6: bare count. */
+  val q12 = QueryDef.sql("q12_count",
+    "SELECT count(*) AS n FROM lineitem") { (s, dir) =>
+    Tables(s, dir).lineitem.agg(count(lit(1)).as("n"))
+  }
+
+  /** D20: avg with WHERE. */
+  val q13 = QueryDef.sql("q13_avg_filter",
+    s"""SELECT ${Det.avgFloor2Sql("c_acctbal")} AS avg_bal, count(*) AS n
+       |FROM customer WHERE c_acctbal > 0""".stripMargin) { (s, dir) =>
+    Tables(s, dir).customer
+      .filter(col("c_acctbal") > 0)
+      .agg(Det.avgFloor2(col("c_acctbal")).as("avg_bal"),
+        count(lit(1)).as("n"))
+  }
+
+  /** D29: collect(...) list aggregation — canonicalized to a sorted joined
+    * string so the hash compare is order-insensitive in both engines. */
+  val q14 = QueryDef.sql("q14_collect_names",
+    """SELECT n_name, string_agg(c_name, '|' ORDER BY c_name) AS names
+      |FROM nation JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    broadcast(t.nation)
+      .join(t.customer, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_join(array_sort(collect_list(col("c_name"))), "|")
+        .as("names"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Temporal bucketing (ChangeTracker analogue, SURVEY §2.A streaming):
+    * tumbling 1-hour windows over the events table. Batch form of the
+    * Structured Streaming window aggregation in graft.streaming. */
+  val q15 = QueryDef.sql("q15_hourly_events",
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       |  event_type, count(*) AS n, ${Det.moneySumSql("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Point-in-time replay (reference replay_changes_up_to_time,
+    * change_tracker.rs:28-44): last event per user at a cutoff via a
+    * ts-desc window — last-write-wins, exactly the reference's Vec-scan
+    * semantics but distributed. */
+  val q16 = QueryDef.sql("q16_asof_replay",
+    """SELECT user_id, event_id, event_type,
+      |  CAST(floor(value * 100) AS DOUBLE) / 100 AS value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(s, dir).events
+      .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Det.floor2(col("value")).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** D19 degree: order count per customer, top-10. */
+  val q17 = QueryDef.sql("q17_degree_topk",
+    """SELECT c_name, count(*) AS degree
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_name ORDER BY degree DESC, c_name LIMIT 10""".stripMargin) {
+    (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.join(t.orders, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"))
+        .agg(count(lit(1)).as("degree"))
+        .orderBy(col("degree").desc, col("c_name").asc)
+        .limit(10)
+  }
+
+  /** Two-hop traversal + distinct agg: parts reached per market segment. */
+  val q18 = QueryDef.sql("q18_two_hop_distinct",
+    """SELECT c_mktsegment, count(DISTINCT l_partkey) AS n_parts
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+    (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy(col("c_mktsegment"))
+  }
+
+  /** Set op: UNION ALL of two labeled scans (multi-label analogue). */
+  val q19 = QueryDef.sql("q19_union_counts",
+    """SELECT label, n FROM (
+      |  SELECT 'customer' AS label, count(*) AS n FROM customer
+      |  UNION ALL
+      |  SELECT 'supplier' AS label, count(*) AS n FROM supplier)
+      |ORDER BY label""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.customer.agg(count(lit(1)).as("n"))
+      .select(lit("customer").as("label"), col("n"))
+      .unionByName(t.supplier.agg(count(lit(1)).as("n"))
+        .select(lit("supplier").as("label"), col("n")))
+      .orderBy(col("label"))
+  }
+
+  /** D30 UNWIND: explode part-name words, word frequencies. */
+  val q20 = QueryDef.sql("q20_unwind_words",
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      |GROUP BY word ORDER BY word""".stripMargin) { (s, dir) =>
+    Tables(s, dir).part
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+  }
+
+  /** JSON property extraction from the events props column (the
+    * reference's Json property API, models/src/json.rs — here via regexp
+    * so both engines share one extraction dialect). */
+  val q21 = QueryDef.sql("q21_json_props",
+    """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+      |  count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .select(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+        .cast("long").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+}

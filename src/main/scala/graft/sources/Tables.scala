@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.GraphState
+
+/** Loaders for the driver testdata (TESTDATA.md): TPC-H-ish star schema +
+  * `events` stream table + `documents`/`embeddings` for the LLM-pipeline
+  * operators. All reads are plain parquet scans — Catalyst pushes filters
+  * and prunes columns into them.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects by default — read nanos as long (legacy conf) and convert to a
+    * microsecond timestamp column, keeping the schema downstream-friendly.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+/** Deterministic property-graph projection of the TPC-H-ish tables, so the
+  * graph engine (graft.engine) can be exercised — and oracle-checked —
+  * against relational ground truth. Vertex ids are `<prefix>:<key>`;
+  * edges follow the foreign keys.
+  *
+  * Graph shape:
+  *   customer -IN_NATION->  nation      supplier -IN_NATION-> nation
+  *   nation   -IN_REGION->  region      customer -PLACED->    order
+  *   order    -CONTAINS->   part  (one edge per lineitem, qty/price props)
+  *
+  * Scale: vertex/edge construction is a narrow projection of the base
+  * tables (no shuffle); at 100 TB these would be written once as
+  * partitioned Parquet (edges bucketed by src) and reused.
+  */
+object TpchGraph {
+  private def props(cols: (String, org.apache.spark.sql.Column)*) =
+    map(cols.flatMap { case (k, v) => Seq(lit(k), v.cast("string")) }: _*)
+
+  def apply(tb: Tables): GraphState = {
+    val vertices =
+      tb.region.select(
+        concat(lit("r:"), col("r_regionkey")).as("id"),
+        lit("region").as("label"),
+        props("name" -> col("r_name")).as("properties"))
+      .unionByName(tb.nation.select(
+        concat(lit("n:"), col("n_nationkey")).as("id"),
+        lit("nation").as("label"),
+        props("name" -> col("n_name")).as("properties")))
+      .unionByName(tb.customer.select(
+        concat(lit("c:"), col("c_custkey")).as("id"),
+        lit("customer").as("label"),
+        props("name" -> col("c_name"),
+          "mktsegment" -> col("c_mktsegment")).as("properties")))
+      .unionByName(tb.supplier.select(
+        concat(lit("s:"), col("s_suppkey")).as("id"),
+        lit("supplier").as("label"),
+        props("name" -> col("s_name")).as("properties")))
+      .unionByName(tb.part.select(
+        concat(lit("p:"), col("p_partkey")).as("id"),
+        lit("part").as("label"),
+        props("name" -> col("p_name"), "brand" -> col("p_brand"),
+          "type" -> col("p_type")).as("properties")))
+      .unionByName(tb.orders.select(
+        concat(lit("o:"), col("o_orderkey")).as("id"),
+        lit("order").as("label"),
+        props("status" -> col("o_orderstatus"),
+          "priority" -> col("o_orderpriority")).as("properties")))
+
+    val noProps = map().cast("map<string,string>")
+    val edges =
+      tb.customer.select(
+        concat(lit("e:cn:"), col("c_custkey")).as("id"),
+        concat(lit("c:"), col("c_custkey")).as("src"),
+        concat(lit("n:"), col("c_nationkey")).as("dst"),
+        lit("IN_NATION").as("edge_type"),
+        lit("").as("label"), noProps.as("properties"))
+      .unionByName(tb.supplier.select(
+        concat(lit("e:sn:"), col("s_suppkey")).as("id"),
+        concat(lit("s:"), col("s_suppkey")).as("src"),
+        concat(lit("n:"), col("s_nationkey")).as("dst"),
+        lit("IN_NATION").as("edge_type"),
+        lit("").as("label"), noProps.as("properties")))
+      .unionByName(tb.nation.select(
+        concat(lit("e:nr:"), col("n_nationkey")).as("id"),
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"),
+        lit("IN_REGION").as("edge_type"),
+        lit("").as("label"), noProps.as("properties")))
+      .unionByName(tb.orders.select(
+        concat(lit("e:co:"), col("o_orderkey")).as("id"),
+        concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("o:"), col("o_orderkey")).as("dst"),
+        lit("PLACED").as("edge_type"),
+        lit("").as("label"), noProps.as("properties")))
+      .unionByName(tb.lineitem.select(
+        concat(lit("e:op:"), col("l_orderkey"), lit(":"),
+          col("l_linenumber")).as("id"),
+        concat(lit("o:"), col("l_orderkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst"),
+        lit("CONTAINS").as("edge_type"),
+        lit("").as("label"),
+        map(lit("linenumber"), col("l_linenumber").cast("string"))
+          .as("properties")))
+
+    GraphState(vertices, edges)
+  }
+}
