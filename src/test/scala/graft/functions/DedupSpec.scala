@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  private val docSchema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  private val base = ("the quick brown fox jumps over the lazy dog " * 5).trim
+  private lazy val docs = df(docSchema,
+    Row(1L, base),
+    Row(2L, base + " extra"),                       // near-dup of 1
+    Row(3L, "completely different words entirely " +
+      "about unrelated topics and matters"),
+    Row(4L, base.toUpperCase),                      // exact dup modulo case
+    Row(5L, "short text"))
+
+  test("exactCanonical groups case/whitespace-normalized duplicates") {
+    val out = DedupOps.exactCanonical(docs, "id", "text")
+      .select("id", "canonical_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(4L) == 1L) // uppercased copy canonicalizes to 1
+    assert(out(1L) == 1L && out(3L) == 3L && out(5L) == 5L)
+  }
+
+  test("shingles produce n-grams; short docs degrade to whole text") {
+    val sh = docs.filter(col("id") === 5)
+      .select(DedupOps.shingles(col("text"), 3)).collect().head.getSeq[String](0)
+    assert(sh == Seq("short text"))
+    val sh2 = docs.filter(col("id") === 1)
+      .select(DedupOps.shingles(col("text"), 3)).collect().head.getSeq[String](0)
+    assert(sh2.head == "the quick brown" && sh2.forall(_.split(" ").length == 3))
+  }
+
+  test("minhash LSH surfaces the near-dup pair, not unrelated docs") {
+    val sig = DedupOps.minhashSignature(docs, "id", "text", n = 3, k = 32)
+    assert(sig.count() == 5)
+    val pairs = DedupOps.candidatePairs(
+      DedupOps.lshBands(sig, "id", bands = 16), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
+    assert(!pairs.contains((3L, 5L)))
+  }
+
+  test("jaccardVerify confirms near-dups above threshold") {
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 2L), Row(1L, 3L))),
+      StructType(Seq(StructField("id1", LongType),
+        StructField("id2", LongType))))
+    val verified = DedupOps.jaccardVerify(pairs, docs, "id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(verified.toSet == Set((1L, 2L))) // 1-3 dissimilar, filtered out
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val out = DedupOps.simhash(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(1L), out(4L)) == 0)  // case-normalized identical
+    assert(ham(out(1L), out(2L)) <= 16) // near-dup
+    assert(ham(out(1L), out(3L)) > 16)  // unrelated
+  }
+}

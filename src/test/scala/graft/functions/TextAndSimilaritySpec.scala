@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class TextAndSimilaritySpec extends SparkSpec {
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  test("tokenCount handles blanks, runs of whitespace") {
+    val d = df(schema, Row(1L, "a b  c"), Row(2L, "   "), Row(3L, "one"))
+    val out = d.select(col("id"), TextOps.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("fingerprint is whitespace/case-insensitive and stable") {
+    val d = df(schema, Row(1L, "Hello  World"), Row(2L, " hello world "))
+    val fps = d.select(TextOps.fingerprint(col("text")))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0).length == 32)
+  }
+
+  test("languageId picks the dominant stopword profile") {
+    val d = df(schema,
+      Row(1L, "the cat is a friend of the dog and the bird"),
+      Row(2L, "le chat et la souris et les oiseaux des bois"))
+    val out = d.select(col("id"), TextOps.languageId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "fr"))
+  }
+
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+  private lazy val vecs = df(vecSchema,
+    Row(1L, Seq(1.0f, 0.0f, 0.0f)),
+    Row(2L, Seq(0.9f, 0.1f, 0.0f)),
+    Row(3L, Seq(0.0f, 1.0f, 0.0f)),
+    Row(4L, Seq(0.0f, 0.0f, 1.0f)))
+
+  test("cosineTopK ranks by true cosine, excludes self") {
+    val out = SimilarityOps.cosineTopK(vecs, vecs.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((2L, 1L), (3L, 2L))) // 2 closest, then 3; no self
+  }
+
+  test("annTopK returns a subset of brute-force results with scores") {
+    val out = SimilarityOps.annTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2, dim = 3, planes = 2)
+    // bucketing may drop candidates, but anything returned is scored + ranked
+    val rows = out.collect()
+    assert(rows.forall(_.getDouble(2) <= 1.000001))
+    assert(rows.forall(_.getLong(1) != 1L))
+  }
+
+  test("TpchGraph projection is consistent with base tables") {
+    val g = graft.sources.TpchGraph(
+      graft.sources.Tables(spark, sf("sf0.001")))
+    val nVerts = g.vertices.count()
+    val nCust = spark.read.parquet(sf("sf0.001") + "/customer.parquet").count()
+    assert(nVerts > nCust)
+    // every edge endpoint resolves to a vertex (referential integrity)
+    val dangling = g.edges
+      .join(g.vertices.select(col("id").as("src")), Seq("src"), "left_anti")
+    assert(dangling.count() == 0)
+  }
+}
