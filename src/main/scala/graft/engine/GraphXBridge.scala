@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.apache.spark.graphx.{Edge => GxEdge, Graph, VertexId}
+import org.apache.spark.graphx.lib.ShortestPaths
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX bridge for whole-graph analytics (the BASELINE.json design
+  * stance: "GraphX for analytics queries"). String vertex ids are mapped
+  * to stable Long ids via xxhash64 — deterministic across runs, collision
+  * probability ~n²/2⁶⁴ (negligible below ~10⁹ vertices; a zipWithUniqueId
+  * remap would be the guaranteed-unique fallback at extreme scale).
+  */
+object GraphXBridge {
+
+  /** (graph, id-mapping DataFrame (vid LONG, id STRING)). */
+  def toGraphX(g: GraphState): (Graph[String, String], DataFrame) = {
+    val mapping = g.vertices
+      .select(xxhash64(col("id")).as("vid"), col("id"), col("label"))
+    val vertices = mapping.select("vid", "label").rdd
+      .map(r => (r.getLong(0): VertexId, r.getString(1)))
+    val edges = g.edges
+      .select(xxhash64(col("src")).as("s"), xxhash64(col("dst")).as("d"),
+        col("edge_type")).rdd
+      .map(r => GxEdge(r.getLong(0), r.getLong(1), r.getString(2)))
+    (Graph(vertices, edges), mapping.select("vid", "id"))
+  }
+
+  /** Unweighted shortest-path distances from every vertex TO each landmark
+    * along forward edges (GraphX Pregel under the hood). Returns
+    * (id, landmark_id, distance). */
+  def shortestPathLengths(g: GraphState, landmarks: Seq[String])
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (graph, mapping) = toGraphX(g)
+    // resolve landmark vids through the mapping (hash must match Spark's)
+    val vidByIdRows = mapping
+      .filter(col("id").isin(landmarks: _*)).collect()
+    val vidById = vidByIdRows.map(r => r.getString(1) -> r.getLong(0)).toMap
+    val result = ShortestPaths.run(graph, vidById.values.toSeq)
+    val idByVid = vidById.map(_.swap)
+    val rows = result.vertices.flatMap { case (vid, spmap) =>
+      spmap.map { case (lm, d) => (vid, lm, d) }
+    }.toDF("vid", "lm_vid", "distance")
+    rows.join(mapping, Seq("vid"))
+      .join(mapping.select(col("vid").as("lm_vid"),
+        col("id").as("landmark_id")), Seq("lm_vid"))
+      .select(col("id"), col("landmark_id"), col("distance"))
+  }
+
+  /** Connected components (GraphX), back as (id, component) with the
+    * component labeled by its minimum member hash. */
+  def connectedComponents(g: GraphState)(implicit spark: SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    val (graph, mapping) = toGraphX(g)
+    val cc = graph.connectedComponents().vertices.toDF("vid", "component")
+    cc.join(mapping, Seq("vid")).select(col("id"), col("component"))
+  }
+
+  /** PageRank (GraphX), back as (id, rank). */
+  def pageRank(g: GraphState, tol: Double = 0.001)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (graph, mapping) = toGraphX(g)
+    val pr = graph.pageRank(tol).vertices.toDF("vid", "rank")
+    pr.join(mapping, Seq("vid")).select(col("id"), col("rank"))
+  }
+
+  /** Degrees by direction (in/out/total), back as DataFrame. */
+  def degrees(g: GraphState)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (graph, mapping) = toGraphX(g)
+    val deg = graph.degrees.toDF("vid", "degree")
+    deg.join(mapping, Seq("vid")).select(col("id"), col("degree"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Chain + cycle fixtures for BFS / shortest path / var-length paths
+  * (D17/D18; fixes the reference's broken BFS semantics,
+  * traversal.rs:31-35). */
+class TraversalSpec extends SparkSpec {
+  // a -> b -> c -> d,  a -> c (shortcut),  d -> a (cycle)
+  private lazy val chain = GraphState(
+    vertexDf(("a", "t", Map.empty), ("b", "t", Map.empty),
+      ("c", "t", Map.empty), ("d", "t", Map.empty),
+      ("iso", "t", Map.empty)),
+    edgeDf(("e1", "a", "b", "next"), ("e2", "b", "c", "next"),
+      ("e3", "c", "d", "next"), ("e4", "a", "c", "skip"),
+      ("e5", "d", "a", "back")))
+
+  private def srcDf(ids: String*) = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  test("bfs returns minimum depth per vertex, bounded") {
+    val out = Traversals.bfs(chain, srcDf("a"), maxDepth = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+    val shallow = Traversals.bfs(chain, srcDf("a"), maxDepth = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(shallow == Set("a", "b", "c"))
+  }
+
+  test("bfs with edge-type filter follows only typed edges") {
+    val out = Traversals.bfs(chain, srcDf("a"), maxDepth = 10,
+        edgeType = Some("next"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+  }
+
+  test("bfs handles cycles without livelock") {
+    val out = Traversals.bfs(chain, srcDf("d"), maxDepth = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("d" -> 0, "a" -> 1, "b" -> 2, "c" -> 2))
+  }
+
+  test("shortestPathBetween reconstructs a minimal path") {
+    implicit val s = spark
+    assert(Traversals.shortestPathBetween(chain, "a", "d", 10)
+      .contains(Seq("a", "c", "d")))
+    assert(Traversals.shortestPathBetween(chain, "b", "a", 10)
+      .contains(Seq("b", "c", "d", "a")))
+    assert(Traversals.shortestPathBetween(chain, "a", "iso", 10).isEmpty)
+    assert(Traversals.shortestPathBetween(chain, "a", "a", 10)
+      .contains(Seq("a")))
+  }
+
+  test("paths enumerates simple paths in [min..max]") {
+    val out = Traversals.paths(chain, srcDf("a"), 1, 3)
+      .collect().map(r => r.getSeq[String](0)).toSet
+    assert(out.contains(Seq("a", "b")))
+    assert(out.contains(Seq("a", "b", "c", "d")))
+    assert(out.contains(Seq("a", "c", "d")))
+    // cycle-guard: no path revisits a vertex
+    assert(out.forall(p => p.distinct.length == p.length))
+    // depth-1 only
+    val d1 = Traversals.paths(chain, srcDf("a"), 1, 1)
+      .collect().map(r => r.getSeq[String](0)).toSet
+    assert(d1 == Set(Seq("a", "b"), Seq("a", "c")))
+  }
+
+  test("undirected paths traverse both directions (QE [*1..3] undirected)") {
+    val out = Traversals.bfs(chain, srcDf("b"), maxDepth = 1,
+        undirected = true)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("b", "a", "c"))
+  }
+
+  test("GraphX bridge: shortest path lengths + connected components") {
+    implicit val s = spark
+    val sp = GraphXBridge.shortestPathLengths(chain, Seq("d"))
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    // distances are TO the landmark along forward edges
+    assert(sp("a") == 2 && sp("b") == 2 && sp("c") == 1 && sp("d") == 0)
+    val cc = GraphXBridge.connectedComponents(chain)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cc("a") == cc("d") && cc("iso") != cc("a"))
+  }
+}
