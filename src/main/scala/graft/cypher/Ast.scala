@@ -1,0 +1,88 @@
+package graft.cypher
+
+/** AST for the declared Cypher surface (SURVEY.md §2.B, D1-D32 —
+  * reference grammar: lib/src/query_parser/cypher_parser.rs:30-72 and the
+  * capability corpus lib/src/storage_engine/queries_examples.txt).
+  */
+object Ast {
+
+  sealed trait Lit
+  final case class LStr(v: String) extends Lit
+  final case class LInt(v: Long) extends Lit
+  final case class LFloat(v: Double) extends Lit
+  final case class LBool(v: Boolean) extends Lit
+  final case class LList(vs: Seq[Lit]) extends Lit
+  final case class LMap(vs: Map[String, Lit]) extends Lit
+
+  /** (n:Label1:Label2 {k: v}) — prop values are full expressions so that
+    * CREATE can reference earlier bindings ({name: user.name}). */
+  final case class NodePat(
+      variable: Option[String],
+      labels: Seq[String],
+      props: Map[String, Expr])
+
+  /** -[r:T1|T2 {k: v} *min..max]-> ; direction: 1 = ->, -1 = <-, 0 = -- */
+  final case class RelPat(
+      variable: Option[String],
+      types: Seq[String],
+      direction: Int,
+      props: Map[String, Expr],
+      varLength: Option[(Int, Int)])
+
+  /** Linear chain: node (rel node)*; optionally named path or
+    * shortestPath(...) wrapper. */
+  final case class PathPat(
+      pathVar: Option[String],
+      shortest: Boolean,
+      head: NodePat,
+      tail: Seq[(RelPat, NodePat)])
+
+  // ---- expressions ----
+  sealed trait Expr
+  final case class EProp(variable: String, key: String) extends Expr
+  final case class EVar(name: String) extends Expr
+  final case class ELit(l: Lit) extends Expr
+  final case class EFunc(name: String, args: Seq[Expr],
+      distinct: Boolean = false) extends Expr
+  final case class EBin(op: String, l: Expr, r: Expr) extends Expr
+  final case class ENot(e: Expr) extends Expr
+  final case class EListComp(variable: String, source: Expr, proj: Expr)
+      extends Expr // [x IN xs | expr]
+
+  final case class ReturnItem(expr: Expr, alias: Option[String])
+
+  // ---- clauses ----
+  sealed trait Clause
+  final case class MatchClause(optional: Boolean, patterns: Seq[PathPat],
+      where: Option[Expr]) extends Clause
+  final case class UnwindClause(list: Expr, variable: String) extends Clause
+  final case class WithClause(items: Seq[ReturnItem], where: Option[Expr])
+      extends Clause
+  final case class CreateClause(patterns: Seq[PathPat]) extends Clause
+  final case class SetClause(items: Seq[SetItem]) extends Clause
+  final case class RemoveClause(items: Seq[RemoveItem]) extends Clause
+  final case class DeleteClause(variables: Seq[String], detach: Boolean)
+      extends Clause
+  final case class ReturnClause(distinct: Boolean, items: Seq[ReturnItem],
+      orderBy: Seq[(Expr, Boolean)], skip: Option[Long],
+      limit: Option[Long]) extends Clause
+
+  sealed trait SetItem
+  final case class SetProp(variable: String, key: String, value: Expr)
+      extends SetItem
+  final case class SetLabel(variable: String, label: String) extends SetItem
+
+  sealed trait RemoveItem
+  final case class RemoveProp(variable: String, key: String)
+      extends RemoveItem
+  final case class RemoveLabel(variable: String, label: String)
+      extends RemoveItem
+
+  final case class CypherQuery(clauses: Seq[Clause]) {
+    def isMutation: Boolean = clauses.exists {
+      case _: CreateClause | _: SetClause | _: RemoveClause |
+          _: DeleteClause => true
+      case _ => false
+    }
+  }
+}

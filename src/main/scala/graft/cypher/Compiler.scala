@@ -1,0 +1,569 @@
+package graft.cypher
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import Ast._
+import graft.engine.{GraphState, Traversals}
+
+/** Compiles the Cypher AST to DataFrame plans over a GraphState.
+  *
+  * MATCH patterns become join DAGs (SURVEY.md §4.2.1): every relationship
+  * hop is an equi-join between the running "binding frame" (one column set
+  * per bound variable) and the edges DataFrame; Catalyst then plans the
+  * physical joins (broadcast small frontiers via AQE). Variable-length
+  * relationships expand through bounded iterative joins (Traversals);
+  * shortestPath uses BFS with predecessor reconstruction.
+  *
+  * The reference interprets Cypher directly against full scans
+  * (cypher_parser.rs:644-806, e.g. MatchNode = get_all_vertices + filter);
+  * here the same semantics are declarative, so filters push into the
+  * vertex/edge scans.
+  */
+object Compiler {
+  sealed trait VarKind
+  case object NodeVar extends VarKind
+  case object RelVar extends VarKind
+  case object ValueVar extends VarKind
+  case object PathVar extends VarKind
+
+  /** Bindings: variable name -> kind. Frame columns: nodes contribute
+    * `{v}__id/__label/__props`; rels `{v}__id/__src/__dst/__type/__props`;
+    * values `{v}__val`; paths `{v}__path`. */
+  final case class Frame(df: DataFrame, vars: Map[String, VarKind]) {
+    def has(v: String): Boolean = vars.contains(v)
+  }
+}
+
+final class Compiler(g: GraphState)(implicit spark: SparkSession) {
+  import Compiler._
+
+  private var fresh = 0
+  private def freshVar(): String = { fresh += 1; s"__anon$fresh" }
+
+  private val aggFns = Set("count", "sum", "avg", "min", "max", "collect",
+    "stdev", "percentilecont")
+
+  def emptyFrame: Frame =
+    Frame(spark.range(1).select(lit(1).as("__dummy")), Map.empty)
+
+  // ---------- node/edge pattern frames ----------
+
+  private def labelMatches(labelCol: Column, l: String): Column =
+    array_contains(split(labelCol, ":"), l)
+
+  /** Literal-only context for MATCH prop maps. */
+  private def litFrame: Frame = Frame(null, Map.empty)
+
+  private def nodeDf(np: NodePat, v: String): DataFrame = {
+    var df = g.vertices
+    np.labels.foreach(l => df = df.filter(labelMatches(col("label"), l)))
+    np.props.foreach { case (k, e) =>
+      df = df.filter(element_at(col("properties"), k)
+        === compileExpr(e, litFrame).cast(StringType))
+    }
+    df.select(col("id").as(s"${v}__id"), col("label").as(s"${v}__label"),
+      col("properties").as(s"${v}__props"))
+  }
+
+  /** Edge relation oriented near→far (near = chain's previous node). */
+  private def relDf(rp: RelPat, r: String): DataFrame = {
+    var e = g.edges
+    if (rp.types.nonEmpty) e = e.filter(col("edge_type").isin(rp.types: _*))
+    rp.props.foreach { case (k, x) =>
+      e = e.filter(element_at(col("properties"), k)
+        === compileExpr(x, litFrame).cast(StringType))
+    }
+    val fwd = e.select(col("id").as(s"${r}__id"),
+      col("src").as(s"${r}__near"), col("dst").as(s"${r}__far"),
+      col("src").as(s"${r}__src"), col("dst").as(s"${r}__dst"),
+      col("edge_type").as(s"${r}__type"),
+      col("properties").as(s"${r}__props"))
+    val bwd = e.select(col("id").as(s"${r}__id"),
+      col("dst").as(s"${r}__near"), col("src").as(s"${r}__far"),
+      col("src").as(s"${r}__src"), col("dst").as(s"${r}__dst"),
+      col("edge_type").as(s"${r}__type"),
+      col("properties").as(s"${r}__props"))
+    rp.direction match {
+      case 1  => fwd
+      case -1 => bwd
+      case 0  => fwd.unionByName(bwd)
+    }
+  }
+
+  // ---------- pattern compilation ----------
+
+  private def compilePattern(start: Frame, pat: PathPat): Frame = {
+    if (pat.shortest) return compileShortestPath(start, pat)
+    val headVar = pat.head.variable.getOrElse(freshVar())
+    var frame: Frame =
+      if (start.has(headVar)) {
+        // already bound: apply the head's extra filters in place
+        var df = start.df
+        pat.head.labels.foreach(l =>
+          df = df.filter(labelMatches(col(s"${headVar}__label"), l)))
+        pat.head.props.foreach { case (k, e) =>
+          df = df.filter(element_at(col(s"${headVar}__props"), k)
+            === compileExpr(e, litFrame).cast(StringType))
+        }
+        Frame(df, start.vars)
+      } else {
+        val nd = nodeDf(pat.head, headVar)
+        Frame(start.df.crossJoin(nd), start.vars + (headVar -> NodeVar))
+      }
+    var prevVar = headVar
+    pat.tail.foreach { case (rp, np) =>
+      frame = rp.varLength match {
+        case Some((min, max)) =>
+          expandVarLength(frame, prevVar, rp, np, min, max)
+        case None =>
+          val rVar = rp.variable.getOrElse(freshVar())
+          val nVar = np.variable.getOrElse(freshVar())
+          val rel = relDf(rp, rVar)
+          var df = frame.df.join(rel,
+            col(s"${prevVar}__id") === col(s"${rVar}__near"))
+          var vars = frame.vars + (rVar -> RelVar)
+          if (frame.has(nVar)) {
+            // cyclic pattern within a chain: (a)-->(b)-->(a)
+            df = df.filter(col(s"${nVar}__id") === col(s"${rVar}__far"))
+          } else {
+            val nd = nodeDf(np, nVar)
+            df = df.join(nd, col(s"${rVar}__far") === col(s"${nVar}__id"))
+            vars += (nVar -> NodeVar)
+          }
+          Frame(df, vars)
+      }
+      prevVar = np.variable.getOrElse(prevVar)
+    }
+    frame
+  }
+
+  /** Bounded var-length expansion: (from_id, to_id) pairs via iterative
+    * joins, then joined into the frame. The path itself is not bound
+    * (pattern `[*1..3]` with an unnamed rel — QE:115-118 usage). */
+  private def expandVarLength(frame: Frame, prevVar: String, rp: RelPat,
+      np: NodePat, min: Int, max: Int): Frame = {
+    val nVar = np.variable.getOrElse(freshVar())
+    val srcs = frame.df.select(col(s"${prevVar}__id").as("id")).distinct()
+    val reach = Traversals.paths(g, srcs, min, max,
+        t = rp.types,
+        undirected = rp.direction == 0,
+        reversed = rp.direction == -1)
+      .select(col("path")(0).as("__from"), col("endId").as("__to"))
+      .distinct()
+    var df = frame.df.join(reach, col(s"${prevVar}__id") === col("__from"))
+    var vars = frame.vars
+    if (frame.has(nVar)) {
+      df = df.filter(col(s"${nVar}__id") === col("__to"))
+    } else {
+      val nd = nodeDf(np, nVar)
+      df = df.join(nd, col("__to") === col(s"${nVar}__id"))
+      vars += (nVar -> NodeVar)
+    }
+    Frame(df.drop("__from", "__to"), vars)
+  }
+
+  /** shortestPath((a ...)-[*..k]-(b ...)): BFS per endpoint pair.
+    * Endpoint sets are resolved first; the per-pair BFS runs driver-
+    * orchestrated (bounded by the matched pair count). Binds the path
+    * variable to ARRAY<STRING> of vertex ids. */
+  private def compileShortestPath(start: Frame, pat: PathPat): Frame = {
+    require(pat.tail.length == 1, "shortestPath needs exactly one rel")
+    val (rp, np) = pat.tail.head
+    val aVar = pat.head.variable.getOrElse(freshVar())
+    val bVar = np.variable.getOrElse(freshVar())
+    val pVar = pat.pathVar.getOrElse(freshVar())
+    val maxDepth = rp.varLength.map(_._2).getOrElse(15)
+    val withA = compilePattern(start, PathPat(None, false, pat.head, Nil))
+    val frame = compilePattern(withA, PathPat(None, false, np, Nil))
+    val pairs = frame.df
+      .select(col(s"${aVar}__id"), col(s"${bVar}__id")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val found = pairs.flatMap { case (a, b) =>
+      Traversals.shortestPathBetween(g, a, b, maxDepth,
+          edgeType = rp.types.headOption,
+          undirected = rp.direction == 0)
+        .map(p => (a, b, p))
+    }
+    import spark.implicits._
+    val pathsDf = found.toSeq
+      .toDF("__a", "__b", s"${pVar}__path")
+    Frame(
+      frame.df.join(pathsDf,
+        col(s"${aVar}__id") === col("__a") &&
+          col(s"${bVar}__id") === col("__b"))
+        .drop("__a", "__b"),
+      frame.vars + (pVar -> PathVar))
+  }
+
+  // ---------- expressions ----------
+
+  private def litToCol(l: Lit): Column = l match {
+    case LStr(s)   => lit(s)
+    case LInt(v)   => lit(v)
+    case LFloat(v) => lit(v)
+    case LBool(v)  => lit(v)
+    case LList(vs) => array(vs.map(litToCol): _*)
+    case LMap(m)   => map(m.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), litToCol(v).cast(StringType)) }: _*)
+  }
+
+  private def isNumericLit(e: Expr): Boolean = e match {
+    case ELit(LInt(_)) | ELit(LFloat(_)) => true
+    case EBin(_, l, r) => isNumericLit(l) || isNumericLit(r)
+    case _ => false
+  }
+
+  def compileExpr(e: Expr, frame: Frame): Column = e match {
+    case EProp(v, key) => frame.vars.get(v) match {
+      case Some(NodeVar) => element_at(col(s"${v}__props"), key)
+      case Some(RelVar)  => element_at(col(s"${v}__props"), key)
+      case Some(ValueVar) =>
+        // map-valued UNWIND var or WITH alias
+        val c = col(s"${v}__val")
+        element_at(c, key)
+      case _ => throw new ParseException(s"unbound variable $v")
+    }
+    case EVar(name) => frame.vars.get(name) match {
+      case Some(NodeVar) => struct(col(s"${name}__id").as("id"),
+        col(s"${name}__label").as("label"),
+        col(s"${name}__props").as("properties"))
+      case Some(RelVar) => struct(col(s"${name}__id").as("id"),
+        col(s"${name}__src").as("src"), col(s"${name}__dst").as("dst"),
+        col(s"${name}__type").as("edge_type"),
+        col(s"${name}__props").as("properties"))
+      case Some(ValueVar) => col(s"${name}__val")
+      case Some(PathVar)  => col(s"${name}__path")
+      case None => throw new ParseException(s"unbound variable $name")
+    }
+    case ELit(l) => litToCol(l)
+    case ENot(x) => !compileExpr(x, frame)
+    case EBin(op, l, r) =>
+      val (lc0, rc0) = (compileExpr(l, frame), compileExpr(r, frame))
+      // numeric comparison against string-typed property values
+      val numeric = isNumericLit(l) || isNumericLit(r)
+      def lc = if (numeric && l.isInstanceOf[EProp]) lc0.cast("double")
+        else lc0
+      def rc = if (numeric && r.isInstanceOf[EProp]) rc0.cast("double")
+        else rc0
+      op match {
+        case "AND" => lc0 && rc0
+        case "OR"  => lc0 || rc0
+        case "="   => lc === rc
+        case "<>"  => lc =!= rc
+        case "<"   => lc < rc
+        case "<="  => lc <= rc
+        case ">"   => lc > rc
+        case ">="  => lc >= rc
+        case "=~"  => lc0.rlike_dyn(rc0)
+        case "CONTAINS"    => lc0.contains(rc0)
+        case "STARTS_WITH" => lc0.startsWith(rc0)
+        case "ENDS_WITH"   => lc0.endsWith(rc0)
+        case "IN"          => array_contains(rc0, lc0)
+        case "IS_NULL"     => lc0.isNull
+        case "IS_NOT_NULL" => lc0.isNotNull
+        case "+" => lc0.cast("double") + rc0.cast("double")
+        case "-" => lc0.cast("double") - rc0.cast("double")
+        case "*" => lc0.cast("double") * rc0.cast("double")
+        case "/" => lc0.cast("double") / rc0.cast("double")
+        case "%" => lc0.cast("double") % rc0.cast("double")
+        case other => throw new ParseException(s"unsupported operator $other")
+      }
+    case EFunc(name, args, distinct) => name match {
+      case "count" if args.headOption.contains(EVar("*")) => count(lit(1))
+      case "count" =>
+        val c = compileExpr(args.head, frame)
+        if (distinct) count_distinct(c) else count(c)
+      case "sum"     => sum(compileExpr(args.head, frame).cast("double"))
+      case "avg"     => avg(compileExpr(args.head, frame).cast("double"))
+      case "min"     => min(compileExpr(args.head, frame))
+      case "max"     => max(compileExpr(args.head, frame))
+      case "collect" =>
+        val c = compileExpr(args.head, frame)
+        if (distinct) collect_set(c) else collect_list(c)
+      case "labels"  => args.head match {
+        case EVar(v) => split(col(s"${v}__label"), ":")
+        case _       => throw new ParseException("labels() needs a variable")
+      }
+      case "type" => args.head match {
+        case EVar(v) => col(s"${v}__type")
+        case _       => throw new ParseException("type() needs a rel variable")
+      }
+      case "id" => args.head match {
+        case EVar(v) => col(s"${v}__id")
+        case _       => throw new ParseException("id() needs a variable")
+      }
+      case "exists" => args.head match {
+        case EProp(v, key) => map_contains_key(col(s"${v}__props"), key)
+        case _ => throw new ParseException("exists() needs a property")
+      }
+      case "tolower" | "lower" => lower(compileExpr(args.head, frame))
+      case "toupper" | "upper" => upper(compileExpr(args.head, frame))
+      case "trim"      => trim(compileExpr(args.head, frame))
+      case "size" | "length" =>
+        val c = compileExpr(args.head, frame)
+        args.head match {
+          case _: EProp => length(c)
+          case EVar(v) if frame.vars.get(v).contains(PathVar) =>
+            size(c) - 1 // path length = edge count
+          case _ => size(c)
+        }
+      case "substring" =>
+        val s0 = compileExpr(args.head, frame)
+        val from = compileExpr(args(1), frame).cast("int")
+        if (args.length > 2)
+          s0.substr(from + 1, compileExpr(args(2), frame).cast("int"))
+        else s0.substr(from + 1, lit(Int.MaxValue))
+      case "replace" => regexp_replace(compileExpr(args.head, frame),
+        compileExpr(args(1), frame), compileExpr(args(2), frame))
+      case "split" => split(compileExpr(args.head, frame),
+        args(1) match {
+          case ELit(LStr(s)) => java.util.regex.Pattern.quote(s)
+          case _ => throw new ParseException("split() needs a literal sep")
+        })
+      case "toint" | "tointeger" =>
+        compileExpr(args.head, frame).cast("long")
+      case "tofloat"   => compileExpr(args.head, frame).cast("double")
+      case "tostring"  => compileExpr(args.head, frame).cast(StringType)
+      case "timestamp" => unix_millis(current_timestamp())
+      case "date"      => current_date().cast(StringType)
+      case "coalesce"  => coalesce(args.map(compileExpr(_, frame)): _*)
+      case "head"      => element_at(compileExpr(args.head, frame), 1)
+      case "last"      => element_at(compileExpr(args.head, frame), -1)
+      case "nodes" | "relationships" => compileExpr(args.head, frame)
+      case "keys" => args.head match {
+        case EVar(v) => map_keys(col(s"${v}__props"))
+        case EProp(v, k) => map_keys(element_at(col(s"${v}__props"), k))
+        case _ => throw new ParseException("keys() needs a variable")
+      }
+      case "properties" => args.head match {
+        case EVar(v) => col(s"${v}__props")
+        case _ => throw new ParseException("properties() needs a variable")
+      }
+      case "abs"   => abs(compileExpr(args.head, frame).cast("double"))
+      case "round" => round(compileExpr(args.head, frame).cast("double"))
+      case "rand"  => rand()
+      case other => throw new ParseException(s"unsupported function $other()")
+    }
+    case EListComp(v, src, proj) =>
+      val srcCol = compileExpr(src, frame)
+      transform(srcCol, x => {
+        // inside the lambda, the iteration var shadows: compile proj with
+        // x substituted for EVar(v)/EProp(v, _) — property access on path
+        // elements is not supported (ids only).
+        proj match {
+          case EVar(`v`) => x
+          case _ => throw new ParseException(
+            "only identity list comprehensions supported")
+        }
+      })
+    case other => throw new ParseException(s"unsupported expression $other")
+  }
+
+  private implicit class ColOps(c: Column) {
+    /** rlike with a (usually literal) pattern column. */
+    def rlike_dyn(pattern: Column): Column =
+      regexp_like(c, pattern)
+  }
+
+  // ---------- clause pipeline ----------
+
+  def compileRead(q: CypherQuery): DataFrame = {
+    var frame = emptyFrame
+    var ret: Option[ReturnClause] = None
+    q.clauses.foreach {
+      case m: MatchClause  => frame = compileMatch(frame, m)
+      case u: UnwindClause => frame = compileUnwind(frame, u)
+      case w: WithClause   => frame = compileWith(frame, w)
+      case r: ReturnClause => ret = Some(r)
+      case c => throw new ParseException(
+        s"mutation clause in read query: $c")
+    }
+    compileReturn(frame,
+      ret.getOrElse(throw new ParseException("missing RETURN")))
+  }
+
+  def compileMatch(start: Frame, m: MatchClause): Frame = {
+    if (!m.optional) {
+      var frame = start
+      m.patterns.foreach(p => frame = compilePattern(frame, p))
+      m.where.foreach(w => frame =
+        Frame(frame.df.filter(compileExpr(w, frame)), frame.vars))
+      frame
+    } else {
+      // OPTIONAL MATCH: compile the pattern against a fresh frame, then
+      // left-join on the shared variables (D27 null-preserving semantics).
+      var opt = emptyFrame
+      m.patterns.foreach(p => opt = compilePattern(opt, p))
+      m.where.foreach(w => opt =
+        Frame(opt.df.filter(compileExpr(w, opt)), opt.vars))
+      val shared = start.vars.keySet.intersect(opt.vars.keySet).toSeq
+      if (shared.isEmpty)
+        throw new ParseException("OPTIONAL MATCH shares no variables")
+      val joinCols = shared.map(v => s"${v}__id")
+      val optDf = opt.df.drop("__dummy")
+        .drop(shared.flatMap(v => Seq(s"${v}__label", s"${v}__props")): _*)
+      Frame(start.df.join(optDf, joinCols, "left"),
+        start.vars ++ (opt.vars -- shared))
+    }
+  }
+
+  def compileUnwind(frame: Frame, u: UnwindClause): Frame = {
+    val listCol = u.list match {
+      case ELit(LList(vs)) if vs.forall(_.isInstanceOf[LMap]) =>
+        array(vs.map(litToCol): _*) // array of MAP<STRING,STRING>
+      case e => compileExpr(e, frame)
+    }
+    Frame(frame.df.withColumn(s"${u.variable}__val", explode(listCol)),
+      frame.vars + (u.variable -> ValueVar))
+  }
+
+  def compileWith(frame: Frame, w: WithClause): Frame = {
+    val hasAgg = w.items.exists(i => containsAgg(i.expr))
+    val named = w.items.map { i =>
+      val name = i.alias.getOrElse(i.expr match {
+        case EVar(n)     => n
+        case EProp(_, k) => k
+        case _ => throw new ParseException("WITH item needs AS alias")
+      })
+      (name, i.expr)
+    }
+    var df = frame.df
+    var vars = Map.empty[String, VarKind]
+    if (hasAgg) {
+      val keys = named.filter(n => !containsAgg(n._2))
+      val aggs = named.filter(n => containsAgg(n._2))
+      df = df.groupBy(keys.map { case (n, e) =>
+          carryCol(e, frame, n) }: _*)
+        .agg(aggs.head._2 |> (e => compileExpr(e, frame).as(
+            s"${aggs.head._1}__val")),
+          aggs.tail.map { case (n, e) =>
+            compileExpr(e, frame).as(s"${n}__val") }: _*)
+      vars = keys.map { case (n, e) => n -> carriedKind(e, frame) }.toMap ++
+        aggs.map { case (n, _) => n -> (ValueVar: VarKind) }.toMap
+      // re-expand carried node/rel columns
+      df = keys.foldLeft(df) { case (d, (n, e)) => expandCarried(d, e, frame, n) }
+    } else {
+      val cols = named.flatMap { case (n, e) => carriedCols(e, frame, n) }
+      df = df.select(cols: _*)
+      vars = named.map { case (n, e) => n -> carriedKind(e, frame) }.toMap
+    }
+    val f2 = Frame(df, vars)
+    w.where.fold(f2)(wx => Frame(f2.df.filter(compileExpr(wx, f2)), vars))
+  }
+
+  private implicit class Pipe[A](a: A) {
+    def |>[B](f: A => B): B = f(a)
+  }
+
+  private def carryCol(e: Expr, frame: Frame, as: String): Column = e match {
+    case EVar(n) if frame.vars.get(n).contains(NodeVar) =>
+      struct(col(s"${n}__id"), col(s"${n}__label"), col(s"${n}__props"))
+        .as(s"${as}__struct")
+    case _ => compileExpr(e, frame).as(s"${as}__val")
+  }
+
+  private def carriedKind(e: Expr, frame: Frame): VarKind = e match {
+    case EVar(n) => frame.vars.getOrElse(n, ValueVar)
+    case _       => ValueVar
+  }
+
+  private def expandCarried(df: DataFrame, e: Expr, frame: Frame,
+      as: String): DataFrame = e match {
+    case EVar(n) if frame.vars.get(n).contains(NodeVar) =>
+      df.withColumn(s"${as}__id", col(s"${as}__struct.${n}__id"))
+        .withColumn(s"${as}__label", col(s"${as}__struct.${n}__label"))
+        .withColumn(s"${as}__props", col(s"${as}__struct.${n}__props"))
+        .drop(s"${as}__struct")
+    case _ => df
+  }
+
+  private def carriedCols(e: Expr, frame: Frame, as: String): Seq[Column] =
+    e match {
+      case EVar(n) => frame.vars.get(n) match {
+        case Some(NodeVar) => Seq(col(s"${n}__id").as(s"${as}__id"),
+          col(s"${n}__label").as(s"${as}__label"),
+          col(s"${n}__props").as(s"${as}__props"))
+        case Some(RelVar) => Seq(col(s"${n}__id").as(s"${as}__id"),
+          col(s"${n}__src").as(s"${as}__src"),
+          col(s"${n}__dst").as(s"${as}__dst"),
+          col(s"${n}__type").as(s"${as}__type"),
+          col(s"${n}__props").as(s"${as}__props"))
+        case Some(ValueVar) => Seq(col(s"${n}__val").as(s"${as}__val"))
+        case Some(PathVar)  => Seq(col(s"${n}__path").as(s"${as}__path"))
+        case None => throw new ParseException(s"unbound $n in WITH")
+      }
+      case _ => Seq(compileExpr(e, frame).as(s"${as}__val"))
+    }
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case EFunc(n, args, _) =>
+      aggFns.contains(n) || args.exists(containsAgg)
+    case EBin(_, l, r) => containsAgg(l) || containsAgg(r)
+    case ENot(x)       => containsAgg(x)
+    case _             => false
+  }
+
+  def compileReturn(frame: Frame, r: ReturnClause): DataFrame = {
+    val items = r.items.map { i =>
+      val name = i.alias.getOrElse(defaultName(i.expr))
+      (name, i.expr)
+    }
+    val hasAgg = items.exists(i => containsAgg(i._2))
+    var df =
+      if (hasAgg) {
+        val keys = items.filter(i => !containsAgg(i._2))
+        val aggs = items.filter(i => containsAgg(i._2))
+        if (keys.isEmpty)
+          frame.df.agg(compileExpr(aggs.head._2, frame).as(aggs.head._1),
+            aggs.tail.map { case (n, e) =>
+              compileExpr(e, frame).as(n) }: _*)
+        else
+          frame.df
+            .groupBy(keys.map { case (n, e) =>
+              compileExpr(e, frame).as(n) }: _*)
+            .agg(compileExpr(aggs.head._2, frame).as(aggs.head._1),
+              aggs.tail.map { case (n, e) =>
+                compileExpr(e, frame).as(n) }: _*)
+      } else {
+        frame.df.select(items.map { case (n, e) =>
+          compileExpr(e, frame).as(n) }: _*)
+      }
+    if (r.distinct) df = df.distinct()
+    if (r.orderBy.nonEmpty) {
+      val outCols = df.columns.toSet
+      val sortCols = r.orderBy.map { case (e, asc) =>
+        val c = e match {
+          case EVar(n) if outCols.contains(n) => col(n)
+          case EProp(v, k) if outCols.contains(s"$v.$k") => col(s"`$v.$k`")
+          case _ =>
+            // expression over the ORIGINAL frame isn't visible post-
+            // projection; re-alias when it matches an output item
+            items.find(_._2 == e).map(i => col(i._1))
+              .getOrElse(compileExpr(e, frame))
+        }
+        if (asc) c.asc else c.desc
+      }
+      df = df.orderBy(sortCols: _*)
+    }
+    r.skip.foreach(n => df = df.offset(n.toInt))
+    r.limit.foreach(n => df = df.limit(n.toInt))
+    df
+  }
+
+  private def defaultName(e: Expr): String = e match {
+    case EVar(n)             => n
+    case EProp(v, k)         => s"$v.$k"
+    case EFunc(n, Seq(), _)  => s"$n()"
+    case EFunc(n, args, _)   => s"$n(${args.map(defaultName).mkString(",")})"
+    case ELit(LStr(s))       => s
+    case ELit(LInt(v))       => v.toString
+    case ELit(LFloat(v))     => v.toString
+    case ELit(LBool(v))      => v.toString
+    case EBin(op, l, r)      => s"${defaultName(l)}$op${defaultName(r)}"
+    case _                   => "expr"
+  }
+}

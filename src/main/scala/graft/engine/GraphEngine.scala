@@ -82,6 +82,65 @@ final case class GraphState(vertices: DataFrame, edges: DataFrame) {
       .unionByName(updated))
   }
 
+  /** Per-row property upsert: `updates` is (id, key, value) — one row per
+    * assignment, values may differ per entity (Cypher `SET n.x = expr`).
+    * Requires spark.sql.mapKeyDedupPolicy=LAST_WIN so map_concat
+    * overwrites existing keys. */
+  def setVertexPropertiesRows(updates: DataFrame): GraphState = {
+    val merged = updates.groupBy(col("id")).agg(
+      map_from_entries(collect_list(struct(col("key"), col("value"))))
+        .as("__new"))
+    copy(vertices = vertices.join(merged, Seq("id"), "left")
+      .withColumn("properties",
+        when(col("__new").isNotNull,
+          map_concat(col("properties"), col("__new")))
+          .otherwise(col("properties")))
+      .drop("__new"))
+  }
+
+  /** Per-row edge property upsert by edge id. */
+  def setEdgePropertiesRows(updates: DataFrame): GraphState = {
+    val merged = updates.groupBy(col("id")).agg(
+      map_from_entries(collect_list(struct(col("key"), col("value"))))
+        .as("__new"))
+    copy(edges = edges.join(merged, Seq("id"), "left")
+      .withColumn("properties",
+        when(col("__new").isNotNull,
+          map_concat(col("properties"), col("__new")))
+          .otherwise(col("properties")))
+      .drop("__new"))
+  }
+
+  /** Add a label to matched vertices (Cypher `SET n:Label`, QE:135-138);
+    * labels are ':'-joined in the label column (cypher_parser.rs:167-189).
+    */
+  def addVertexLabel(matchIds: DataFrame, label: String): GraphState = {
+    val ids = matchIds.select(col(matchIds.columns.head).as("id"))
+      .withColumn("__hit", lit(true))
+    copy(vertices = vertices.join(ids, Seq("id"), "left")
+      .withColumn("label",
+        when(col("__hit").isNotNull &&
+            !array_contains(split(col("label"), ":"), label),
+          concat(col("label"), lit(":" + label)))
+          .otherwise(col("label")))
+      .drop("__hit"))
+  }
+
+  def removeVertexLabel(matchIds: DataFrame, label: String): GraphState = {
+    val ids = matchIds.select(col(matchIds.columns.head).as("id"))
+      .withColumn("__hit", lit(true))
+    copy(vertices = vertices.join(ids, Seq("id"), "left")
+      .withColumn("label",
+        when(col("__hit").isNotNull,
+          array_join(array_remove(split(col("label"), ":"), label), ":"))
+          .otherwise(col("label")))
+      .drop("__hit"))
+  }
+
+  /** Per-row property removal for matched vertex ids. */
+  def removeVertexPropertyRows(matchIds: DataFrame, key: String)
+      : GraphState = removeVertexProperty(matchIds, key)
+
   /** Edge reversal (reference: models/src/edges.rs:74-83). */
   def reversedEdges: DataFrame = edges.select(
     col("id"), col("dst").as("src"), col("src").as("dst"),

@@ -25,13 +25,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Traversals {
 
-  private def hopEdges(g: GraphState, edgeType: Option[String],
-      undirected: Boolean): DataFrame = {
-    val base = g.edges.select(col("src"), col("dst"), col("edge_type"))
-    val typed = edgeType.fold(base)(t => base.filter(col("edge_type") === t))
-    val e = typed.select(col("src"), col("dst"))
-    if (undirected) e.union(e.select(col("dst").as("src"),
-      col("src").as("dst"))) else e
+  private def hopEdges(g: GraphState, edgeTypes: Seq[String],
+      undirected: Boolean, reversed: Boolean = false): DataFrame = {
+    val base = g.edges.select(col("id"), col("src"), col("dst"),
+      col("edge_type"))
+    val typed = if (edgeTypes.isEmpty) base
+      else base.filter(col("edge_type").isin(edgeTypes: _*))
+    val fwd = typed.select(col("id").as("eid"), col("src"), col("dst"))
+    val bwd = typed.select(col("id").as("eid"), col("dst").as("src"),
+      col("src").as("dst"))
+    if (undirected) fwd.union(bwd) else if (reversed) bwd else fwd
   }
 
   /** Bounded-depth BFS from a set of source vertex ids. Returns
@@ -40,7 +43,7 @@ object Traversals {
   def bfs(g: GraphState, sources: DataFrame, maxDepth: Int,
       edgeType: Option[String] = None, undirected: Boolean = false)
       : DataFrame = {
-    val edges = hopEdges(g, edgeType, undirected)
+    val edges = hopEdges(g, edgeType.toSeq, undirected)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var visited = sources
@@ -72,7 +75,7 @@ object Traversals {
       undirected: Boolean = false)(implicit spark: SparkSession)
       : Option[Seq[String]] = {
     if (srcId == dstId) return Some(Seq(srcId))
-    val edges = hopEdges(g, edgeType, undirected)
+    val edges = hopEdges(g, edgeType.toSeq, undirected)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var preds = Map[String, String]() // first-discovered predecessor
@@ -112,31 +115,34 @@ object Traversals {
     * (cycle-guard: a vertex appears at most once per path). Exponential by
     * nature — always bound maxDepth; each expansion is one join. */
   def paths(g: GraphState, sources: DataFrame, minDepth: Int, maxDepth: Int,
-      edgeType: Option[String] = None, undirected: Boolean = false)
-      : DataFrame = {
+      t: Seq[String] = Nil, undirected: Boolean = false,
+      reversed: Boolean = false): DataFrame = {
     require(maxDepth >= 1 && minDepth >= 1 && minDepth <= maxDepth)
-    val edges = hopEdges(g, edgeType, undirected)
+    val edges = hopEdges(g, t, undirected, reversed)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var cur = sources
         .select(array(col(sources.columns.head)).as("path"),
+          array().cast("array<string>").as("epath"),
           col(sources.columns.head).as("endId"), lit(0).as("depth"))
       var acc: DataFrame = null
       var depth = 0
       while (depth < maxDepth && !cur.isEmpty) {
         depth += 1
+        // Cypher trail semantics: a RELATIONSHIP may not repeat within a
+        // path (vertices may — (a)-[e1]->(b)-[e2]->(a) is a valid trail).
         cur = cur
           .join(edges, cur("endId") === edges("src"))
-          .filter(!array_contains(col("path"), col("dst"))) // simple paths
+          .filter(!array_contains(col("epath"), col("eid")))
           .select(concat(col("path"), array(col("dst"))).as("path"),
+            concat(col("epath"), array(col("eid"))).as("epath"),
             col("dst").as("endId"), lit(depth).as("depth"))
           .localCheckpoint()
         if (depth >= minDepth)
           acc = if (acc == null) cur else acc.union(cur)
       }
-      if (acc == null)
-        cur.limit(0) // empty frame with the right schema
-      else acc
+      val out = if (acc == null) cur.limit(0) else acc
+      out.select(col("path"), col("endId"), col("depth"))
     } finally edges.unpersist()
   }
 }

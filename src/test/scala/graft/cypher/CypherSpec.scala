@@ -1,0 +1,284 @@
+package graft.cypher
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.SparkSpec
+import graft.engine.GraphState
+import graft.model.GraphSchemas
+
+/** Golden tests for the declared Cypher surface, following the reference's
+  * capability corpus lib/src/storage_engine/queries_examples.txt (QE) —
+  * the de-facto spec (SURVEY.md §0.3). The fixture graph is built by
+  * executing the QE CREATE statements through the executor itself.
+  */
+class CypherSpec extends SparkSpec {
+  private implicit lazy val s: SparkSession = spark
+
+  private def emptyGraph: GraphState = GraphState(
+    spark.createDataFrame(spark.sparkContext
+      .emptyRDD[Row], GraphSchemas.vertexSchema),
+    spark.createDataFrame(spark.sparkContext
+      .emptyRDD[Row], GraphSchemas.edgeSchema))
+
+  private def runScript(g0: GraphState, script: String): GraphState =
+    script.split(";").map(_.trim).filter(_.nonEmpty)
+      .foldLeft(g0)((g, stmt) => Cypher.execute(g, stmt).state)
+
+  /** QE "Basic" fixture: 4 people, KNOWS/WORKS_WITH edges. */
+  private lazy val people: GraphState = {
+    val g = runScript(emptyGraph,
+      """CREATE (:Person {id: "alice", name: "Alice", age: 30, active: true, score: 95.5});
+        |CREATE (:Person {id: "bob", name: "Bob", age: 35, active: true, score: 87.2});
+        |CREATE (:Person {id: "charlie", name: "Charlie", age: 28, active: false});
+        |CREATE (:Person {id: "diana", name: "Diana", age: 32});
+        |MATCH (a:Person {id: "alice"}), (b:Person {id: "bob"})
+        |CREATE (a)-[:KNOWS {since: 2018, strength: 0.9}]->(b);
+        |MATCH (a:Person {id: "alice"}), (c:Person {id: "charlie"})
+        |CREATE (a)-[:KNOWS {since: 2020, strength: 0.6}]->(c);
+        |MATCH (b:Person {id: "bob"}), (d:Person {id: "diana"})
+        |CREATE (b)-[:WORKS_WITH {project: "GraphDB"}]->(d);
+        |MATCH (b:Person {id: "bob"}), (a:Person {id: "alice"})
+        |CREATE (b)-[:KNOWS {since: 2018}]->(a)""".stripMargin)
+    GraphState(g.vertices.localCheckpoint(), g.edges.localCheckpoint())
+  }
+
+  private def q(cy: String): DataFrame = Cypher.query(people, cy)
+
+  test("QE4: MATCH (n) RETURN n — all four people") {
+    assert(q("MATCH (n) RETURN n").count() == 4)
+  }
+
+  test("QE5: MATCH ()-[r]->() RETURN r — all edges") {
+    assert(q("MATCH ()-[r]->() RETURN r").count() == 4)
+  }
+
+  test("QE3: lookup by property (D3)") {
+    val rows = q("""MATCH (p:Person {id: "alice"}) RETURN p.name""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("Alice"))
+  }
+
+  test("QE6: friends of Alice with projection (D11)") {
+    val rows = q(
+      """MATCH (alice:Person {id: "alice"})-[:KNOWS]->(friend)
+        |RETURN friend.name AS friend_name, friend.age, friend.active"""
+        .stripMargin).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("Bob", "Charlie"))
+  }
+
+  test("QE7: relationship properties + ORDER BY DESC (D12)") {
+    val rows = q(
+      """MATCH (alice:Person {id: "alice"})-[r:KNOWS]->(friend)
+        |RETURN friend.name, r.since, r.strength
+        |ORDER BY r.strength DESC""".stripMargin).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("Bob", "Charlie"))
+  }
+
+  test("QE8: bidirectional pattern (D13)") {
+    val rows = q(
+      """MATCH (a:Person {id: "alice"})-[:KNOWS]->(b:Person {id: "bob"}),
+        |      (b)-[:KNOWS]->(a)
+        |RETURN a.name, b.name""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "Alice" && rows.head.getString(1) == "Bob")
+  }
+
+  test("QE9/QE10: WHERE comparisons and compound predicates (D14/D15)") {
+    val older = q(
+      "MATCH (p:Person) WHERE p.age > 30 RETURN p.id, p.name, p.age")
+      .collect().map(_.getString(1)).toSet
+    assert(older == Set("Bob", "Diana"))
+    val activeOlder = q(
+      """MATCH (p:Person) WHERE p.age >= 30 AND p.active = true
+        |RETURN p.name, p.age""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(activeOlder == Set("Alice", "Bob"))
+  }
+
+  test("QE11: toLower + CONTAINS (D16)") {
+    val rows = q(
+      """MATCH (p:Person) WHERE toLower(p.name) CONTAINS "ali"
+        |RETURN p.name""".stripMargin).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("Alice"))
+  }
+
+  test("QE14: degree aggregation (D19)") {
+    val rows = q(
+      """MATCH (p:Person)-[r]->()
+        |RETURN p.name AS person, count(r) AS outgoing_count
+        |ORDER BY outgoing_count DESC, person""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("Alice", 2), ("Bob", 2)))
+  }
+
+  test("QE15: avg with WHERE (D20)") {
+    val rows = q(
+      """MATCH (p:Person) WHERE p.active = true
+        |RETURN avg(p.age) AS avg_active_age""".stripMargin).collect()
+    assert(rows.head.getDouble(0) == 32.5)
+  }
+
+  test("QE22: OPTIONAL MATCH returns nulls (D27)") {
+    val rows = q(
+      """MATCH (p:Person {id: "diana"})
+        |OPTIONAL MATCH (p)-[r:KNOWS]->(friend)
+        |RETURN p.name, friend.name AS knows_someone""".stripMargin)
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "Diana" && rows.head.isNullAt(1))
+  }
+
+  test("QE23: multi-type edge match (D28)") {
+    val rows = q(
+      """MATCH (a:Person {id: "alice"})-[r:KNOWS|WORKS_WITH]->(b)
+        |RETURN a.name, type(r), b.name""".stripMargin).collect()
+    assert(rows.map(_.getString(2)).toSet == Set("Bob", "Charlie"))
+  }
+
+  test("QE24: collect() lists (D29)") {
+    val row = q(
+      """MATCH (p:Person)
+        |RETURN collect(p.name) AS all_names""".stripMargin).collect().head
+    assert(row.getSeq[String](0).toSet
+      == Set("Alice", "Bob", "Charlie", "Diana"))
+  }
+
+  test("QE26: regex =~ case-insensitive (D31)") {
+    val rows = q(
+      """MATCH (p:Person) WHERE p.name =~ "(?i)alice" RETURN p.name""")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("Alice"))
+  }
+
+  test("QE27: exists() (D32)") {
+    val row = q(
+      """MATCH (p:Person {id: "alice"})
+        |RETURN exists(p.last_seen) AS has_last_seen""".stripMargin)
+      .collect().head
+    assert(!row.getBoolean(0))
+  }
+
+  test("QE: labels(n) and count(n) (D5/D6)") {
+    val total = q("MATCH (n) RETURN count(n) AS total_vertices")
+      .collect().head.getLong(0)
+    assert(total == 4)
+    val labels = q("""MATCH (p:Person {id: "alice"}) RETURN labels(p)""")
+      .collect().head.getSeq[String](0)
+    assert(labels == Seq("Person"))
+  }
+
+  test("QE13: variable-length paths [*1..3] with LIMIT (D18)") {
+    val rows = q(
+      """MATCH (a:Person {id: "alice"})-[*1..3]-(x)
+        |RETURN DISTINCT x.name LIMIT 20""".stripMargin).collect()
+    // undirected within 3 hops: everyone reachable
+    assert(rows.map(_.getString(0)).toSet
+      == Set("Alice", "Bob", "Charlie", "Diana"))
+  }
+
+  test("QE12: shortestPath with node list comprehension (D17)") {
+    val rows = q(
+      """MATCH (alice:Person {id: "alice"}), (diana:Person {id: "diana"})
+        |MATCH path = shortestPath((alice)-[*..5]-(diana))
+        |RETURN [n IN nodes(path) | n] AS path_nodes""".stripMargin)
+      .collect()
+    assert(rows.length == 1)
+    // alice -> bob -> diana (via KNOWS + WORKS_WITH, undirected)
+    assert(rows.head.getSeq[String](0).length == 3)
+  }
+
+  test("QE16/18: SET + REMOVE property cycle (D21/D23)") {
+    val g2 = Cypher.execute(people,
+      """MATCH (p:Person {id: "alice"}) SET p.age = 31""").state
+    val aged = Cypher.query(g2,
+      """MATCH (p:Person {id: "alice"}) RETURN p.age""")
+      .collect().head.getString(0)
+    assert(aged == "31")
+    val g3 = Cypher.execute(g2,
+      """MATCH (p:Person {id: "bob"}) REMOVE p.score""").state
+    val hasScore = Cypher.query(g3,
+      """MATCH (p:Person {id: "bob"}) RETURN exists(p.score) AS h""")
+      .collect().head.getBoolean(0)
+    assert(!hasScore)
+  }
+
+  test("QE17: SET label (D22)") {
+    val g2 = Cypher.execute(people,
+      """MATCH (p:Person {id: "alice"}) SET p:Employee""").state
+    val labels = Cypher.query(g2,
+      """MATCH (p:Person {id: "alice"}) RETURN labels(p)""")
+      .collect().head.getSeq[String](0)
+    assert(labels == Seq("Person", "Employee"))
+  }
+
+  test("QE19: edge property update (D24)") {
+    val g2 = Cypher.execute(people,
+      """MATCH (:Person {id: "alice"})-[r:KNOWS]->(:Person {id: "bob"})
+        |SET r.strength = 0.95""".stripMargin).state
+    val strength = Cypher.query(g2,
+      """MATCH (:Person {id: "alice"})-[r:KNOWS]->(:Person {id: "bob"})
+        |RETURN r.strength""".stripMargin).collect().head.getString(0)
+    assert(strength == "0.95")
+  }
+
+  test("QE20/21: DELETE edge, DETACH DELETE vertex (D25/D26)") {
+    val g2 = Cypher.execute(people,
+      """MATCH (:Person {id: "alice"})-[r:KNOWS]->(:Person {id: "charlie"})
+        |DELETE r""".stripMargin).state
+    assert(Cypher.query(g2, "MATCH ()-[r]->() RETURN r").count() == 3)
+    val g3 = Cypher.execute(g2,
+      """MATCH (c:Person {id: "bob"}) DETACH DELETE c""").state
+    assert(Cypher.query(g3, "MATCH (n) RETURN n").count() == 3)
+    // every remaining edge touched bob → all cascade away
+    assert(Cypher.query(g3, "MATCH ()-[r]->() RETURN r").count() == 0)
+  }
+
+  test("QE25: UNWIND batch create (D30)") {
+    val g2 = Cypher.execute(people,
+      """UNWIND [
+        |  {id: "u100", name: "User100", age: 25},
+        |  {id: "u101", name: "User101", age: 29},
+        |  {id: "u102", name: "User102", age: 33}
+        |] AS user
+        |CREATE (:Person {id: user.id, name: user.name, age: user.age})"""
+        .stripMargin).state
+    assert(Cypher.query(g2, "MATCH (n:Person) RETURN n").count() == 7)
+    val names = Cypher.query(g2,
+      """MATCH (p:Person) WHERE p.age < 30 RETURN p.name ORDER BY p.name""")
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("Charlie", "User100", "User101"))
+  }
+
+  test("QE7-create: multi-label + & syntax (D4/D7)") {
+    val g2 = runScript(emptyGraph,
+      """CREATE (charlie:Person:Actor {name: 'Charlie Sheen'}),
+        |  (oliver:Person&Director {name: 'Oliver Stone'})""".stripMargin)
+    val actors = Cypher.query(g2, "MATCH (n:Person:Actor) RETURN n.name")
+      .collect().map(_.getString(0))
+    assert(actors.toSeq == Seq("Charlie Sheen"))
+    val directors = Cypher.query(g2, "MATCH (n:Person:Director) RETURN n.name")
+      .collect().map(_.getString(0))
+    assert(directors.toSeq == Seq("Oliver Stone"))
+  }
+
+  test("full CRUD cycle (QE test1 script, D8)") {
+    var g = runScript(people,
+      """CREATE (:Person {id: "test1", name: "Test User 1", age: 42})""")
+    assert(Cypher.query(g,
+      """MATCH (p:Person {id: "test1"}) RETURN p.name""")
+      .collect().head.getString(0) == "Test User 1")
+    g = runScript(g,
+      """MATCH (p:Person {id: "test1"}) SET p.age = 43;
+        |MATCH (a:Person {id: "test1"}), (b:Person {id: "alice"})
+        |CREATE (a)-[:TEST_EDGE {weight: 1.0}]->(b)""".stripMargin)
+    val row = Cypher.query(g,
+      """MATCH (a:Person {id: "test1"})-[r:TEST_EDGE]->(b)
+        |RETURN a.name, type(r), b.name, r.weight""".stripMargin)
+      .collect().head
+    assert(row.getString(1) == "TEST_EDGE" && row.getString(2) == "Alice")
+    g = runScript(g,
+      """MATCH (a:Person {id: "test1"})-[r:TEST_EDGE]->() DELETE r;
+        |MATCH (p:Person {id: "test1"}) DETACH DELETE p""".stripMargin)
+    assert(Cypher.query(g,
+      """MATCH (p:Person {id: "test1"}) RETURN p""").count() == 0)
+  }
+}

@@ -55,15 +55,16 @@ class TraversalSpec extends SparkSpec {
       .contains(Seq("a")))
   }
 
-  test("paths enumerates simple paths in [min..max]") {
+  test("paths enumerates trails in [min..max] (edge-unique, Cypher-style)") {
     val out = Traversals.paths(chain, srcDf("a"), 1, 3)
       .collect().map(r => r.getSeq[String](0)).toSet
     assert(out.contains(Seq("a", "b")))
     assert(out.contains(Seq("a", "b", "c", "d")))
     assert(out.contains(Seq("a", "c", "d")))
-    // cycle-guard: no path revisits a vertex
-    assert(out.forall(p => p.distinct.length == p.length))
-    // depth-1 only
+    // trail semantics: vertices may repeat via distinct edges...
+    assert(out.contains(Seq("a", "c", "d", "a")))
+    // ...and depth is always bounded
+    assert(out.forall(p => p.length <= 4))
     val d1 = Traversals.paths(chain, srcDf("a"), 1, 1)
       .collect().map(r => r.getSeq[String](0)).toSet
     assert(d1 == Set(Seq("a", "b"), Seq("a", "c")))
