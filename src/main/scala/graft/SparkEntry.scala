@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{GraphQueries, PipelineQueries, QueryDef, Relational}
+import graft.queries.{CypherDriven, GraphQueries, PipelineQueries, QueryDef,
+  Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +14,8 @@ import graft.queries.{GraphQueries, PipelineQueries, QueryDef, Relational}
 object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
-    Relational.all ++ GraphQueries.all ++ PipelineQueries.all
+    Relational.all ++ GraphQueries.all ++ CypherDriven.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * 3-table join + aggregation + top-k (SURVEY §2.B D11/D19). */

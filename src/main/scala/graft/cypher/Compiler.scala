@@ -258,7 +258,8 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         case "<="  => lc <= rc
         case ">"   => lc > rc
         case ">="  => lc >= rc
-        case "=~"  => lc0.rlike_dyn(rc0)
+        // Cypher =~ is a FULL match (unlike SQL rlike's substring match)
+        case "=~"  => lc0.rlike_dyn(concat(lit("^(?:"), rc0, lit(")$")))
         case "CONTAINS"    => lc0.contains(rc0)
         case "STARTS_WITH" => lc0.startsWith(rc0)
         case "ENDS_WITH"   => lc0.endsWith(rc0)

@@ -48,17 +48,27 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH signature (a bit per plane). Plane components
-    * are deterministic pseudo-randoms derived from xxhash64(dim, plane) —
-    * reproducible across runs with no stored model. */
+  /** Deterministic pseudo-random hyperplane components (splitmix64-style
+    * mix of (plane, dim) → [-0.5, 0.5)); reproducible with no stored
+    * model. Computed driver-side so each plane is ONE array literal and
+    * the signature is `planes` dot products, not planes×dim flat exprs
+    * (keeps codegen small and the scan single-pass). */
+  private def planeVector(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z % 1000000L).toDouble / 2000000.0
+    }
+
+  /** Random-hyperplane LSH signature (a bit per plane). */
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column = {
     val v = asDouble(vec)
     val bits = (0 until planes).map { p =>
-      val d = (0 until dim).map { i =>
-        // hash → [-0.5, 0.5) pseudo-random plane component
-        val h = xxhash64(lit(i.toLong), lit(p.toLong * 1000003L))
-        element_at(v, i + 1) * ((h % 1000000L).cast("double") / 2000000.0)
-      }.reduce(_ + _)
+      val plane = lit(planeVector(p, dim))
+      val d = aggregate(zip_with(v, plane, (x, y) => x * y), lit(0.0d),
+        (acc, x) => acc + x)
       when(d >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     bits.reduce(_.bitwiseOR(_))

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.cypher.Cypher
+import graft.sources.{Tables, TpchGraph}
+
+/** Correctness-gate entries that execute through the FULL Cypher stack
+  * (string → parser → AST → DataFrame compiler) over the TPC-H graph
+  * projection, oracle-checked against plain SQL on the base tables — the
+  * parser and compiler are inside the hash-checked path, not just unit
+  * tests.
+  */
+object CypherDriven {
+
+  private def run(q: String)(s: SparkSession, dir: String) = {
+    implicit val sp: SparkSession = s
+    Cypher.query(TpchGraph(Tables(s, dir)), q)
+  }
+
+  /** D2+D6 through Cypher: label scan + count. */
+  val cy01 = QueryDef.sql("cy01_label_count",
+    "SELECT CAST(count(*) AS BIGINT) AS n FROM customer") {
+    run("MATCH (n:customer) RETURN count(n) AS n")(_, _)
+  }
+
+  /** D3+D5 through Cypher: property filter + projection + ORDER BY. */
+  val cy02 = QueryDef.sql("cy02_filter_order",
+    """SELECT c_name AS name FROM customer
+      |WHERE c_mktsegment = 'BUILDING' ORDER BY name""".stripMargin) {
+    run("""MATCH (c:customer) WHERE c.mktsegment = 'BUILDING'
+          |RETURN c.name AS name ORDER BY name""".stripMargin)(_, _)
+  }
+
+  /** D11+D19 through Cypher: traversal + group aggregation. */
+  val cy03 = QueryDef.sql("cy03_traverse_agg",
+    """SELECT o_orderstatus AS status, count(*) AS n
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY 1 ORDER BY status""".stripMargin) {
+    run("""MATCH (c:customer {mktsegment: 'BUILDING'})-[:PLACED]->(o:order)
+          |RETURN o.status AS status, count(o) AS n
+          |ORDER BY status""".stripMargin)(_, _)
+  }
+
+  /** D27 through Cypher: OPTIONAL MATCH with null-skipping count. */
+  val cy04 = QueryDef.sql("cy04_optional_count",
+    """SELECT n_name AS name, count(c_custkey) AS n_cust
+      |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY name""".stripMargin) {
+    run("""MATCH (n:nation)
+          |OPTIONAL MATCH (c:customer)-[:IN_NATION]->(n)
+          |RETURN n.name AS name, count(id(c)) AS n_cust
+          |ORDER BY name""".stripMargin)(_, _)
+  }
+
+  /** D16+D31 through Cypher: string functions + regex in WHERE. */
+  val cy05 = QueryDef.sql("cy05_string_regex",
+    """SELECT p_name AS name FROM part
+      |WHERE lower(p_name) LIKE '%bolt%'
+      |  AND regexp_matches(p_name, '^(small|large)')
+      |ORDER BY name""".stripMargin) {
+    run("""MATCH (p:part)
+          |WHERE toLower(p.name) CONTAINS 'bolt'
+          |  AND p.name =~ '^(small|large).*'
+          |RETURN p.name AS name ORDER BY name""".stripMargin)(_, _)
+  }
+
+  val all: Seq[QueryDef] = Seq(cy01, cy02, cy03, cy04, cy05)
+}

@@ -109,5 +109,32 @@ object GraphQueries {
       .orderBy(col("edge_type"))
   }
 
-  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08)
+  /** Distributed BFS (D17 infrastructure) vs a hand-unrolled relational
+    * oracle: undirected 2-hop neighborhood of nation 0, counted by depth.
+    */
+  val g09 = QueryDef.sql("g09_bfs_depths",
+    """SELECT depth, count(*) AS n FROM (
+      |  SELECT 'n:0' AS id, 0 AS depth
+      |  UNION ALL SELECT 'c:' || c_custkey, 1 FROM customer
+      |    WHERE c_nationkey = 0
+      |  UNION ALL SELECT 's:' || s_suppkey, 1 FROM supplier
+      |    WHERE s_nationkey = 0
+      |  UNION ALL SELECT 'r:' || n_regionkey, 1 FROM nation
+      |    WHERE n_nationkey = 0
+      |  UNION ALL SELECT 'n:' || n2.n_nationkey, 2 FROM nation n1
+      |    JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+      |    WHERE n1.n_nationkey = 0 AND n2.n_nationkey <> 0
+      |  UNION ALL SELECT 'o:' || o_orderkey, 2 FROM orders
+      |    JOIN customer ON c_custkey = o_custkey WHERE c_nationkey = 0
+      |) GROUP BY depth ORDER BY depth""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val g = TpchGraph(Tables(s, dir))
+    graft.engine.Traversals.bfs(g, Seq("n:0").toDF("id"),
+        maxDepth = 2, undirected = true)
+      .groupBy(col("depth")).agg(count(lit(1)).as("n"))
+      .orderBy(col("depth"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09)
 }

@@ -152,6 +152,24 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Multimodal plumbing in the gate: the mapPartitions feature-extract
+    * pipeline's schema/byte-length outputs vs SQL (the stub codec's hash
+    * and feature vector are rows-only, covered in ScalaTest). */
+  val m01 = QueryDef.sql("m01_media_bytes",
+    """SELECT doc_id AS asset_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+    implicit val sp = s
+    val media = graft.multimodal.Multimodal.syntheticMedia(
+      Tables(s, dir).documents)
+    graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+      .select(col("asset_id"), col("media_type"), col("n_bytes"))
+      .orderBy(col("asset_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, d01, d02, d03, d04, s01, s02)
+    Seq(t01, t02, t03, t04, d01, d02, d03, d04, s01, s02, m01)
 }

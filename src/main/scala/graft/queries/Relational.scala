@@ -344,6 +344,59 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** STARTS WITH / ENDS WITH string predicates. */
+  val q22 = QueryDef.sql("q22_starts_ends",
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_name LIKE 'small%' OR p_name LIKE '%bolt'
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir).part
+      .filter(col("p_name").startsWith("small") ||
+        col("p_name").endsWith("bolt"))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** OFFSET/SKIP pagination with a total order. */
+  val q23 = QueryDef.sql("q23_skip_limit",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10 OFFSET 10""".stripMargin) { (s, dir) =>
+    Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(10).limit(10)
+  }
+
+  /** Set op: INTERSECT of two projected scans. */
+  val q24 = QueryDef.sql("q24_intersect",
+    """SELECT k FROM (
+      |  SELECT DISTINCT c_mktsegment AS k FROM customer
+      |    WHERE c_nationkey = 0
+      |  INTERSECT
+      |  SELECT DISTINCT c_mktsegment AS k FROM customer
+      |    WHERE c_nationkey = 1)
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val c = Tables(s, dir).customer
+    c.filter(col("c_nationkey") === 0).select(col("c_mktsegment").as("k"))
+      .intersect(c.filter(col("c_nationkey") === 1)
+        .select(col("c_mktsegment").as("k")))
+      .orderBy(col("k"))
+  }
+
+  /** Set op: EXCEPT — nations with customers but no suppliers. */
+  val q25 = QueryDef.sql("q25_except",
+    """SELECT k FROM (
+      |  SELECT DISTINCT c_nationkey AS k FROM customer
+      |  EXCEPT
+      |  SELECT DISTINCT s_nationkey AS k FROM supplier)
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.customer.select(col("c_nationkey").as("k")).distinct()
+      .except(t.supplier.select(col("s_nationkey").as("k")).distinct())
+      .orderBy(col("k"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
+    q24, q25)
 }
