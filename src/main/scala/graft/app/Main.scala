@@ -1,0 +1,50 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.GraftSession
+import graft.sources.{Tables, TpchGraph}
+
+/** CLI driver entry (SURVEY.md §7.2.6, mirroring the reference CLI's
+  * one-shot query mode, handlers_queries.rs:173-206):
+  *
+  *   runMain graft.app.Main --data /root/testdata/sf0.001 \
+  *     --query "MATCH (n:customer) RETURN count(n) AS n"
+  *
+  * Routes Cypher to the graph engine over the TPC-H graph projection and
+  * SQL to spark.sql with the testdata tables registered as temp views;
+  * prints rows as JSON lines (the reference prints serde_json values).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val dataDir = opts.getOrElse("data", "/root/testdata/sf0.001")
+    val query = opts.getOrElse("query",
+      "MATCH (n) RETURN count(n) AS total_vertices")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tables = Tables(spark, dataDir)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      tables.getClass.getMethod(t).invoke(tables)
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+        .createOrReplaceTempView(t)
+    }
+    val session = GraftSession(spark, TpchGraph(tables))
+
+    val out = session.execute(query)
+    out.toJSON.collect().foreach(println)
+    spark.stop()
+  }
+}

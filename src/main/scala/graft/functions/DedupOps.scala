@@ -38,17 +38,16 @@ object DedupOps {
 
   /** MinHash signature: k permutation-hash minima over the shingle set.
     * Uses xxhash64(shingle, seed_i) as the i-th hash family member.
-    * Computed via explode + groupBy(min×k): map-side partial aggregation
-    * keeps the shuffle at |docs|×k longs regardless of text size. */
+    * Computed entirely map-side as a per-row array expression — the
+    * shingle set is already per-document, so there is NO shuffle at any
+    * scale (the naive explode+groupBy shape shuffles |docs|×|shingles|
+    * rows for nothing). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
-    val mins = (0 until k).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+    val sh = array_distinct(shingles(col(textCol), n))
+    val sig = transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+    df.select(col(idCol), sig.as("signature"))
   }
 
   /** LSH banding of a minhash signature: (id, band, band_hash) rows.
