@@ -94,6 +94,26 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** SimHash near-dup pairs: bucket by the signature's high bytes (cheap
+    * pre-filter), then exact hamming distance via the native codegen'd
+    * HammingDistance expression. For a full-recall pass, bucket by k
+    * rotated bit-bands instead of one prefix. */
+  def simhashNearDups(sig: DataFrame, idCol: String,
+      maxDistance: Int = 8, bucketBits: Int = 16): DataFrame = {
+    val bucket =
+      if (bucketBits == 0) lit(0L)
+      else shiftright(col("simhash"), 64 - bucketBits)
+    val a = sig.select(col(idCol).as("id1"), col("simhash").as("h1"),
+      bucket.as("bucket"))
+    val b = sig.select(col(idCol).as("id2"), col("simhash").as("h2"),
+      bucket.as("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+      .withColumn("distance",
+        HammingDistance.hamming64(col("h1"), col("h2")))
+      .filter(col("distance") <= maxDistance)
+      .select(col("id1"), col("id2"), col("distance"))
+  }
+
   /** 64-bit SimHash: per-token xxhash64, each bit votes ±1 weighted by
     * token frequency; sign of the vote sum sets the output bit. One
     * explode + one groupBy with 64 conditional sums (all codegen'd). */
