@@ -36,18 +36,39 @@ object DedupOps {
         i => array_join(slice(words, i + 1, lit(n)), " ")))
   }
 
-  /** MinHash signature: k permutation-hash minima over the shingle set.
-    * Uses xxhash64(shingle, seed_i) as the i-th hash family member.
-    * Computed entirely map-side as a per-row array expression — the
-    * shingle set is already per-document, so there is NO shuffle at any
-    * scale (the naive explode+groupBy shape shuffles |docs|×|shingles|
-    * rows for nothing). */
+  /** Deterministic splitmix64-derived odd multipliers/offsets for the
+    * permutation family (a_i * h + b_i over Z/2^64 — wraparound is fine
+    * for a hash family). */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: k permutation minima over the shingle set.
+    * Shape: ONE xxhash64 per distinct shingle (exploded), then k cheap
+    * linear permutations `(a_i·h + b_i) mod p` (p = 2³¹−1, operands
+    * bounded so the arithmetic never overflows a long under ANSI mode)
+    * min-aggregated with map-side partial agg — the shuffle carries only
+    * |docs|×k longs, and hashing work is |shingles| hashes + k×|shingles|
+    * codegen'd multiply-adds (NOT k full rehashes, and NOT nested
+    * higher-order lambdas, which run interpreted and re-evaluate the
+    * shingle expr per k). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64): DataFrame = {
-    val sh = array_distinct(shingles(col(textCol), n))
-    val sig = transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
-    df.select(col(idCol), sig.as("signature"))
+    val p = 2147483647L // 2^31 - 1 (Mersenne)
+    val exploded = df.select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(p)))
+    val mins = (0 until k).map { i =>
+      val a = (mix(2L * i) & 0x7FFFFFFFL) | 1L
+      val b = mix(2L * i + 1) & 0x7FFFFFFFL
+      min(pmod(col("h") * a + b, lit(p))).as(s"h$i")
+    }
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
   }
 
   /** LSH banding of a minhash signature: (id, band, band_hash) rows.

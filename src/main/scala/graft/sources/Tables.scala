@@ -63,6 +63,12 @@ object TpchGraph {
   def apply(tb: Tables): GraphState =
     memo.computeIfAbsent((tb.spark, tb.dir), _ => {
       val g = build(tb)
+      // Both sides cached: every pipe joins edges (both directions) and
+      // ends in a vertices semi-join, so repeated union scans dominate
+      // when uncached. (Uncached, Catalyst DOES constant-fold label
+      // filters into single pruned branch scans — `build` keeps that
+      // path; at 100 TB the materialization is parquet partitioned by
+      // label, giving the same pruning on disk.)
       GraphState(g.vertices.cache(), g.edges.cache())
     })
 
