@@ -95,6 +95,59 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: corpus pre-partitioned into `nlist` cells
+    * by nearest coarse centroid; queries probe their `nprobe` nearest
+    * cells and exact-rerank inside them. Centroids are deterministic —
+    * the first `nlist` corpus vectors by id (a k-means refinement slots
+    * in without changing the query path). With nprobe == nlist this is
+    * exhaustive and must equal brute force (tested invariant). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4)
+      : DataFrame = {
+    val cents: Array[(Int, Seq[Double])] = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(asDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0)).zipWithIndex
+      .map { case (v, i) => (i, v) }
+    // nearest-centroid assignment as a fold over (cell, dist) structs
+    def nearestCell(v: Column): Column = {
+      val scored = cents.map { case (i, cvec) =>
+        val d = aggregate(zip_with(v, lit(cvec.toArray), (x, y) =>
+          (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+        (i, d)
+      }
+      scored.tail.foldLeft(
+        struct(lit(scored.head._1).as("cell"), scored.head._2.as("d"))) {
+        case (acc, (i, d)) =>
+          when(d < acc.getField("d"),
+            struct(lit(i).as("cell"), d.as("d"))).otherwise(acc)
+      }.getField("cell")
+    }
+    // probe list: nprobe nearest cells per query, via sorted (d, cell)
+    def probeCells(v: Column): Column = {
+      val pairs = array(cents.map { case (i, cvec) =>
+        val d = aggregate(zip_with(v, lit(cvec.toArray), (x, y) =>
+          (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+        struct(d.as("d"), lit(i).as("cell"))
+      }: _*)
+      slice(array_sort(pairs), 1, nprobe).getField("cell")
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cell", nearestCell(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"))
+      .withColumn("cell", explode(probeCells(col("qvec"))))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("cvec"), col("qvec")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (id1 < id2). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

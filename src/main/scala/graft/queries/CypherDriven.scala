@@ -67,5 +67,49 @@ object CypherDriven {
           |RETURN p.name AS name ORDER BY name""".stripMargin)(_, _)
   }
 
-  val all: Seq[QueryDef] = Seq(cy01, cy02, cy03, cy04, cy05)
+  /** D21/D23 mutation round-trip INSIDE the gate: SET a property on
+    * matched vertices, REMOVE another, then read the mutated snapshot
+    * back — the oracle reproduces the end state relationally. */
+  val cy06 = QueryDef.sql("cy06_mutation_roundtrip",
+    """SELECT 'n:' || n_nationkey AS id,
+      |  CASE WHEN substr(n_name, 1, 8) = 'NATION_1' THEN 'yes' END
+      |    AS flagged,
+      |  CASE WHEN substr(n_name, 1, 8) = 'NATION_1' THEN NULL
+      |       ELSE n_name END AS name
+      |FROM nation ORDER BY id""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
+    val g0 = TpchGraph(Tables(s, dir))
+    val g1 = Cypher.execute(g0,
+      """MATCH (n:nation) WHERE n.name STARTS WITH 'NATION_1'
+        |SET n.flagged = 'yes'""".stripMargin).state
+    val g2 = Cypher.execute(g1,
+      """MATCH (n:nation) WHERE exists(n.flagged) REMOVE n.name""").state
+    Cypher.query(g2,
+      """MATCH (n:nation)
+        |RETURN id(n) AS id, n.flagged AS flagged, n.name AS name
+        |ORDER BY id""".stripMargin)
+  }
+
+  /** Batch/stream unification: the EXACT transformation used by the
+    * Structured Streaming path (EventStreams.windowedAggregates) run in
+    * batch mode, oracle-checked — one code path, two execution modes. */
+  val st01 = QueryDef.sql("st01_stream_batch_parity",
+    s"""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  event_type, n, sum_value FROM (
+       |  SELECT date_trunc('hour', ts) AS ws, event_type,
+       |    count(*) AS n,
+       |    ${graft.queries.Det.moneySumSql("value")} AS sum_value
+       |  FROM events GROUP BY 1, 2)
+       |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+    val agg = graft.streaming.EventStreams
+      .windowedAggregates(Tables(s, dir).events, watermark = "0 seconds")
+    agg.select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(cy01, cy02, cy03, cy04, cy05, cy06, st01)
 }

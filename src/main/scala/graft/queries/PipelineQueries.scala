@@ -143,6 +143,17 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN with exhaustive probe (nprobe == nlist) — must reproduce
+    * brute force exactly, so it shares s01's oracle. */
+  val s03 = QueryDef.sql("s03_ivf_topk", s01.oracle.get) { (s, dir) =>
+    val emb = Tables(s, dir).embeddings
+    SimilarityOps.ivfTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        nlist = 8, nprobe = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN via hyperplane LSH (rows-only: engine-specific bucketing). */
   val s02 = QueryDef.rowsOnly("s02_ann_lsh") { (s, dir) =>
     val emb = Tables(s, dir).embeddings
@@ -171,5 +182,5 @@ object PipelineQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, d01, d02, d03, d04, s01, s02, m01)
+    Seq(t01, t02, t03, t04, d01, d02, d03, d04, s01, s02, s03, m01)
 }

@@ -60,6 +60,23 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) != 1L))
   }
 
+  test("ivfTopK with full probe equals brute force; partial probe subsets") {
+    val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = SimilarityOps.ivfTopK(emb, q, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute)
+    val partial = SimilarityOps.ivfTopK(emb, q, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 2).collect()
+    assert(partial.nonEmpty)
+    assert(partial.forall(_.getLong(3) <= 5))
+  }
+
   test("TpchGraph projection is consistent with base tables") {
     val g = graft.sources.TpchGraph(
       graft.sources.Tables(spark, sf("sf0.001")))
