@@ -59,6 +59,8 @@ object Ast {
   final case class WithClause(items: Seq[ReturnItem], where: Option[Expr])
       extends Clause
   final case class CreateClause(patterns: Seq[PathPat]) extends Clause
+  /** MERGE: bind the pattern if it matches, otherwise create it. */
+  final case class MergeClause(pattern: PathPat) extends Clause
   final case class SetClause(items: Seq[SetItem]) extends Clause
   final case class RemoveClause(items: Seq[RemoveItem]) extends Clause
   final case class DeleteClause(variables: Seq[String], detach: Boolean)
@@ -80,8 +82,8 @@ object Ast {
 
   final case class CypherQuery(clauses: Seq[Clause]) {
     def isMutation: Boolean = clauses.exists {
-      case _: CreateClause | _: SetClause | _: RemoveClause |
-          _: DeleteClause => true
+      case _: CreateClause | _: MergeClause | _: SetClause |
+          _: RemoveClause | _: DeleteClause => true
       case _ => false
     }
   }

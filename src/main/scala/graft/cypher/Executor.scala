@@ -60,6 +60,21 @@ object Cypher {
         state = st2
         frame = fr2
         recompile()
+      case m: MergeClause =>
+        // match-or-create: bind the pattern when it matches the current
+        // snapshot; otherwise create it (node-pattern and full-chain
+        // creation share the CREATE machinery).
+        val matched = compiler.compileMatch(frame,
+          MatchClause(optional = false, Seq(m.pattern), None))
+        if (!matched.df.isEmpty) {
+          frame = matched
+        } else {
+          val (st2, fr2) = applyCreate(state, compiler, frame,
+            CreateClause(Seq(m.pattern)))
+          state = st2
+          frame = fr2
+          recompile()
+        }
       case s: SetClause =>
         state = applySet(state, compiler, frame, s)
         recompile()

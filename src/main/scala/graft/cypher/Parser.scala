@@ -128,9 +128,12 @@ final class Parser(toks: Vector[Parser.Tok]) {
           val items = parseReturnItems()
           val where = if (tryKw("WHERE")) Some(parseExpr()) else None
           clauses += WithClause(items, where)
-        case TKw("CREATE") | TKw("MERGE") =>
+        case TKw("CREATE") =>
           next()
           clauses += CreateClause(parsePatterns())
+        case TKw("MERGE") =>
+          next()
+          clauses += MergeClause(parsePathPattern())
         case TKw("SET") =>
           eatKw("SET")
           clauses += SetClause(parseSetItems())

@@ -260,6 +260,24 @@ class CypherSpec extends SparkSpec {
     assert(directors.toSeq == Seq("Oliver Stone"))
   }
 
+  test("MERGE: binds existing pattern, creates when absent") {
+    // existing: no new vertex
+    val g1 = Cypher.execute(people,
+      """MERGE (p:Person {id: "alice"}) SET p.merged = 'seen'""").state
+    assert(Cypher.query(g1, "MATCH (n:Person) RETURN n").count() == 4)
+    assert(Cypher.query(g1,
+      """MATCH (p:Person {merged: 'seen'}) RETURN p.name""")
+      .collect().map(_.getString(0)).toSeq == Seq("Alice"))
+    // absent: created
+    val g2 = Cypher.execute(g1,
+      """MERGE (p:Person {id: "eve", name: "Eve"})""").state
+    assert(Cypher.query(g2, "MATCH (n:Person) RETURN n").count() == 5)
+    // idempotent on re-run
+    val g3 = Cypher.execute(g2,
+      """MERGE (p:Person {id: "eve", name: "Eve"})""").state
+    assert(Cypher.query(g3, "MATCH (n:Person) RETURN n").count() == 5)
+  }
+
   test("full CRUD cycle (QE test1 script, D8)") {
     var g = runScript(people,
       """CREATE (:Person {id: "test1", name: "Test User 1", age: 42})""")
