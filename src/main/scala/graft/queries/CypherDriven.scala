@@ -111,5 +111,34 @@ object CypherDriven {
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  val all: Seq[QueryDef] = Seq(cy01, cy02, cy03, cy04, cy05, cy06, st01)
+  /** As-of join vs DuckDB's native ASOF JOIN: each click/view/etc. event
+    * picks up the user's latest signup value at-or-before its timestamp.
+    */
+  val tj01 = QueryDef.sql("tj01_asof_join",
+    """SELECT e.event_id, e.user_id,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      |  s.signup_value
+      |FROM (SELECT event_id, user_id, ts, value FROM events
+      |      WHERE event_type <> 'signup') e
+      |ASOF LEFT JOIN
+      |  (SELECT user_id, ts,
+      |     CAST(floor(value * 100) AS DOUBLE) / 100 AS signup_value
+      |   FROM events WHERE event_type = 'signup') s
+      |ON e.user_id = s.user_id AND e.ts >= s.ts
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir).events
+    val left = ev.filter(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val right = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        graft.queries.Det.floor2(col("value")).as("signup_value"))
+    graft.temporal.Temporal.asOfJoin(left, right, "user_id", "ts")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("signup_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(cy01, cy02, cy03, cy04, cy05, cy06, st01, tj01)
 }

@@ -39,6 +39,52 @@ object Temporal {
   def validAt(t: Column, startCol: Column, endCol: Column): Column =
     startCol <= t && (endCol.isNull || endCol > t)
 
+  /** As-of join: for each left row, the single latest right row with
+    * `right.ts <= left.ts` per key (SURVEY §2.A notes the reference's
+    * only analogue is the TimeWindow filter; this is the real operator).
+    *
+    * Implemented with the union+window technique: tag sides, union on
+    * (key, ts), carry the last-seen right payload forward with a running
+    * window, keep left rows. ONE shuffle on (key), no range cross-join —
+    * the shape that survives 100 TB (a per-key sort-merge, exactly what
+    * a custom SparkPlan would do, but expressible declaratively).
+    *
+    * `left`/`right` must share `keyCol` and `tsCol`; right payload
+    * columns get nulls on left rows pre-union. Ties (equal ts) resolve
+    * right-row-first so a same-instant right row IS visible to the left
+    * row (inclusive <=).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightPayload = right.columns.toSeq
+      .filterNot(c => c == keyCol || c == tsCol)
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
+        rightPayload.map(c => lit(null).cast(
+          right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val joined = lTagged.unionByName(rTagged)
+      .select(col("*") +: rightPayload.map(c =>
+        last(col(s"__r_$c"), ignoreNulls = true).over(w)
+          .as(s"__latest_$c")): _*)
+      .filter(col("__side") === 1)
+    joined.select(
+      (Seq(col(keyCol), col(tsCol)) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
+        rightPayload.map(c => col(s"__latest_$c").as(c))): _*)
+  }
+
   /** Close open intervals for updated entities: given a current SCD-2
     * table and fresh rows, end-date the old version and append the new
     * (the reference's GraphEvolution.update closing behavior). */

@@ -88,6 +88,31 @@ class StreamingAndTemporalSpec extends SparkSpec {
     assert(atJan.length == 1 && atJan.head.getString(3) == "old")
   }
 
+  test("asOfJoin picks the latest right row at-or-before each left ts") {
+    val lSchema = StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType),
+      StructField("ev", StringType)))
+    val rSchema = StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType),
+      StructField("price", DoubleType)))
+    val trades = df(lSchema,
+      Row("A", t("2024-01-01 10:00:05"), "t1"),
+      Row("A", t("2024-01-01 10:00:30"), "t2"),
+      Row("A", t("2024-01-01 09:59:00"), "t0"), // before any quote
+      Row("B", t("2024-01-01 10:00:10"), "t3"))
+    val quotes = df(rSchema,
+      Row("A", t("2024-01-01 10:00:00"), 100.0),
+      Row("A", t("2024-01-01 10:00:30"), 101.0), // same instant as t2
+      Row("B", t("2024-01-01 10:00:01"), 55.0))
+    val out = Temporal.asOfJoin(trades, quotes, "k", "ts")
+      .collect().map(r => r.getString(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out("t1").contains(100.0))
+    assert(out("t2").contains(101.0)) // inclusive <=
+    assert(out("t0").isEmpty)         // no quote yet → null
+    assert(out("t3").contains(55.0))
+  }
+
   test("multimodal: feature extraction, resize, frame sampling (stub codec)") {
     val docs = graft.sources.Tables(spark, sf("sf0.001")).documents
     val media = Multimodal.syntheticMedia(docs).localCheckpoint()
