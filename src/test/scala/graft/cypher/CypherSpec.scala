@@ -260,6 +260,25 @@ class CypherSpec extends SparkSpec {
     assert(directors.toSeq == Seq("Oliver Stone"))
   }
 
+  test("WITH pipeline: aggregate then filter (HAVING shape)") {
+    val rows = q(
+      """MATCH (p:Person)-[r]->()
+        |WITH p AS person, count(r) AS n WHERE n > 1
+        |RETURN person.name AS name, n ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("Alice", 2), ("Bob", 2)))
+  }
+
+  test("WITH projection renames bindings for later clauses") {
+    val rows = q(
+      """MATCH (p:Person {id: "alice"})
+        |WITH p AS me
+        |MATCH (me)-[:KNOWS]->(f)
+        |RETURN f.name ORDER BY f.name""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Bob", "Charlie"))
+  }
+
   test("MERGE: binds existing pattern, creates when absent") {
     // existing: no new vertex
     val g1 = Cypher.execute(people,

@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Scale-technique verification: salting equivalence, bucketed
+  * co-located joins (no shuffle), broadcast hints — the techniques the
+  * 100 TB design leans on, checked against their plain equivalents and
+  * their plans. */
+class ScaleSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain join on skewed data") {
+    import spark.implicits._
+    // one hot key (90% of rows) + long tail
+    val left = (1 to 1000).map(i =>
+      (if (i <= 900) "hot" else s"k$i", i)).toDF("k", "v")
+    val right = Seq(("hot", 1.5), ("k950", 2.0), ("k999", 3.0))
+      .toDF("k", "w")
+    val plain = left.join(right, Seq("k"))
+      .agg(sum($"v" * $"w")).collect().head.getDouble(0)
+    val salted = Skew.saltedJoin(left, right, "k", factor = 8)
+      .agg(sum($"v" * $"w")).collect().head.getDouble(0)
+    assert(salted == plain)
+  }
+
+  test("saltedSum equals plain aggregation") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (if (i % 5 == 0) "hot" else s"k$i", i.toLong))
+      .toDF("k", "v")
+    val plain = df.groupBy($"k").agg(sum($"v").as("sum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedSum(df, "k", "v", factor = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val t = graft.sources.Tables(spark, sf("sf0.001"))
+    t.orders.write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    t.lineitem.write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+    val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
+      col("o_orderkey") === col("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides pre-bucketed on the join key → zero shuffle
+    assert(!plan.contains("Exchange"),
+      s"expected exchange-free bucketed join, got:\n$plan")
+    assert(joined.count() ==
+      t.orders.join(t.lineitem,
+        col("o_orderkey") === col("l_orderkey")).count())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("GraftExtensions wires hamming64 through the injection point") {
+    // getOrCreate reuses the shared test session (extensions only apply
+    // at session construction), so exercise the injection surface
+    // directly: the registered builder must produce a working expression.
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.api.GraftExtensions().apply(exts)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val built = org.apache.spark.sql.graft.HammingDistanceExpr(
+      Literal(7L), Literal(1L))
+    assert(built.eval(null) == 2L)
+    // and the same function is registrable + callable on a live session
+    graft.functions.HammingDistance.register(spark)
+    assert(spark.sql("SELECT hamming64(7, 1) AS d")
+      .collect().head.getLong(0) == 2L)
+  }
+}
