@@ -148,6 +148,20 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Exact embedding-cosine near-duplicate pairs (id1 < id2): the
+    * brute-force O(n²) baseline the LSH variant approximates — run it on
+    * samples/partitions, not the full 100 TB corpus. Threshold applies
+    * to the 6dp-rounded score (cross-engine determinism). */
+  def cosineNearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id1"), asDouble(col(vecCol)).as("v1"))
+    val b = df.select(col(idCol).as("id2"), asDouble(col(vecCol)).as("v2"))
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (id1 < id2). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -143,6 +143,22 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact baseline, vs DuckDB. */
+  val d05 = QueryDef.sql("d05_cosine_near_dups",
+    """SELECT id1, id2, score FROM (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) AS score
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings) a
+      |  JOIN (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings) b
+      |    ON a.vec_id < b.vec_id)
+      |WHERE score >= 0.45 ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+    SimilarityOps.cosineNearDupPairsExact(
+        Tables(s, dir).embeddings, "vec_id", "embedding", 0.45)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** IVF ANN with exhaustive probe (nprobe == nlist) — must reproduce
     * brute force exactly, so it shares s01's oracle. */
   val s03 = QueryDef.sql("s03_ivf_topk", s01.oracle.get) { (s, dir) =>
@@ -182,5 +198,5 @@ object PipelineQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, d01, d02, d03, d04, s01, s02, s03, m01)
+    Seq(t01, t02, t03, t04, d01, d02, d03, d04, d05, s01, s02, s03, m01)
 }
