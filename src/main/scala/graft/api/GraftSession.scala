@@ -38,6 +38,18 @@ final class GraftSession(val spark: SparkSession, initial: GraphState) {
           s"cannot classify query language: ${query.take(80)}")
     }
 
+  /** Register the testdata tables as temp views so the SQL route works
+    * against them by name (the reference's SQL surface is parse-only;
+    * spark.sql over these views is a strict superset). */
+  def registerTables(tables: graft.sources.Tables): Unit =
+    Seq("region" -> tables.region, "nation" -> tables.nation,
+      "customer" -> tables.customer, "supplier" -> tables.supplier,
+      "part" -> tables.part, "orders" -> tables.orders,
+      "lineitem" -> tables.lineitem, "events" -> tables.events,
+      "documents" -> tables.documents,
+      "embeddings" -> tables.embeddings)
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+
   /** Bulk insert of mixed vertices/edges in one job each (reference
     * bulk_insert, rdb/datastore.rs:285-310: no per-row calls, and edge
     * endpoints are NOT validated — mirrored here). */

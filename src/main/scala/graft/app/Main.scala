@@ -35,13 +35,8 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     val tables = Tables(spark, dataDir)
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      tables.getClass.getMethod(t).invoke(tables)
-        .asInstanceOf[org.apache.spark.sql.DataFrame]
-        .createOrReplaceTempView(t)
-    }
     val session = GraftSession(spark, TpchGraph(tables))
+    session.registerTables(tables)
 
     val out = session.execute(query)
     out.toJSON.collect().foreach(println)
