@@ -109,29 +109,20 @@ object SimilarityOps {
       .select(asDouble(col(vecCol))).collect()
       .map(_.getSeq[Double](0)).zipWithIndex
       .map { case (v, i) => (i, v) }
-    // nearest-centroid assignment as a fold over (cell, dist) structs
-    def nearestCell(v: Column): Column = {
-      val scored = cents.map { case (i, cvec) =>
-        val d = aggregate(zip_with(v, lit(cvec.toArray), (x, y) =>
-          (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
-        (i, d)
-      }
-      scored.tail.foldLeft(
-        struct(lit(scored.head._1).as("cell"), scored.head._2.as("d"))) {
-        case (acc, (i, d)) =>
-          when(d < acc.getField("d"),
-            struct(lit(i).as("cell"), d.as("d"))).otherwise(acc)
-      }.getField("cell")
-    }
-    // probe list: nprobe nearest cells per query, via sorted (d, cell)
-    def probeCells(v: Column): Column = {
+    // (distance, cell) pairs sorted ascending — ties break on cell id,
+    // so assignment and probing are deterministic
+    def sortedCells(v: Column): Column = {
       val pairs = array(cents.map { case (i, cvec) =>
         val d = aggregate(zip_with(v, lit(cvec.toArray), (x, y) =>
           (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
         struct(d.as("d"), lit(i).as("cell"))
       }: _*)
-      slice(array_sort(pairs), 1, nprobe).getField("cell")
+      array_sort(pairs)
     }
+    def nearestCell(v: Column): Column =
+      sortedCells(v).getItem(0).getField("cell")
+    def probeCells(v: Column): Column =
+      slice(sortedCells(v), 1, nprobe).getField("cell")
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cvec"))
       .withColumn("cell", nearestCell(col("cvec")))
