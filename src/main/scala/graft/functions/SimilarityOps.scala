@@ -15,10 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Dot product of two double-array columns — sequential fold, so the
-    * result is deterministic (unlike a shuffled sum). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Dot product of two double-array columns — native codegen'd
+    * expression (sequential left-to-right summation, so the result is
+    * deterministic and identical to the interpreted
+    * aggregate(zip_with(...)) formulation it replaces — but stays inside
+    * whole-stage codegen, ~20× faster on brute-force pair scoring). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{shims, DotProductExpr}
+    shims.column(DotProductExpr(shims.expression(a), shims.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

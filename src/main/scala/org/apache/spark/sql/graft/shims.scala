@@ -16,6 +16,53 @@ object shims {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Native codegen'd dot product over two ARRAY<DOUBLE> columns — the hot
+  * inner loop of every cosine-similarity operator
+  * (graft.functions.SimilarityOps). The higher-order-function equivalent
+  * (`aggregate(zip_with(...))`) runs interpreted with per-element lambda
+  * dispatch: ~20× slower on brute-force pair scoring. Identical result
+  * semantics: sequential left-to-right summation. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x(i) * y(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native codegen'd popcount(a ^ b) — see graft.functions.HammingDistance
   * for the public API and rationale. Lives here because ImplicitCastInputTypes
   * / AbstractDataType are private[sql]. */
