@@ -3,7 +3,7 @@ package graft.api
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+
 
 import graft.cypher.{Cypher, CypherResult, ParseException}
 import graft.engine.GraphState

@@ -1,6 +1,6 @@
 package graft.cypher
 
-import scala.collection.mutable
+
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
