@@ -245,9 +245,9 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       val (lc0, rc0) = (compileExpr(l, frame), compileExpr(r, frame))
       // numeric comparison against string-typed property values
       val numeric = isNumericLit(l) || isNumericLit(r)
-      def lc = if (numeric && l.isInstanceOf[EProp]) lc0.cast("double")
+      def lc = if (numeric && l.isInstanceOf[EProp]) lc0.try_cast("double")
         else lc0
-      def rc = if (numeric && r.isInstanceOf[EProp]) rc0.cast("double")
+      def rc = if (numeric && r.isInstanceOf[EProp]) rc0.try_cast("double")
         else rc0
       op match {
         case "AND" => lc0 && rc0
@@ -266,11 +266,11 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         case "IN"          => array_contains(rc0, lc0)
         case "IS_NULL"     => lc0.isNull
         case "IS_NOT_NULL" => lc0.isNotNull
-        case "+" => lc0.cast("double") + rc0.cast("double")
-        case "-" => lc0.cast("double") - rc0.cast("double")
-        case "*" => lc0.cast("double") * rc0.cast("double")
-        case "/" => lc0.cast("double") / rc0.cast("double")
-        case "%" => lc0.cast("double") % rc0.cast("double")
+        case "+" => lc0.try_cast("double") + rc0.try_cast("double")
+        case "-" => lc0.try_cast("double") - rc0.try_cast("double")
+        case "*" => lc0.try_cast("double") * rc0.try_cast("double")
+        case "/" => lc0.try_cast("double") / rc0.try_cast("double")
+        case "%" => lc0.try_cast("double") % rc0.try_cast("double")
         case other => throw new ParseException(s"unsupported operator $other")
       }
     case EFunc(name, args, distinct) => name match {
@@ -278,8 +278,8 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       case "count" =>
         val c = compileExpr(args.head, frame)
         if (distinct) count_distinct(c) else count(c)
-      case "sum"     => sum(compileExpr(args.head, frame).cast("double"))
-      case "avg"     => avg(compileExpr(args.head, frame).cast("double"))
+      case "sum"     => sum(compileExpr(args.head, frame).try_cast("double"))
+      case "avg"     => avg(compileExpr(args.head, frame).try_cast("double"))
       case "min"     => min(compileExpr(args.head, frame))
       case "max"     => max(compileExpr(args.head, frame))
       case "collect" =>
@@ -314,9 +314,9 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         }
       case "substring" =>
         val s0 = compileExpr(args.head, frame)
-        val from = compileExpr(args(1), frame).cast("int")
+        val from = compileExpr(args(1), frame).try_cast("int")
         if (args.length > 2)
-          s0.substr(from + 1, compileExpr(args(2), frame).cast("int"))
+          s0.substr(from + 1, compileExpr(args(2), frame).try_cast("int"))
         else s0.substr(from + 1, lit(Int.MaxValue))
       case "replace" => regexp_replace(compileExpr(args.head, frame),
         compileExpr(args(1), frame), compileExpr(args(2), frame))
@@ -326,8 +326,8 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
           case _ => throw new ParseException("split() needs a literal sep")
         })
       case "toint" | "tointeger" =>
-        compileExpr(args.head, frame).cast("long")
-      case "tofloat"   => compileExpr(args.head, frame).cast("double")
+        compileExpr(args.head, frame).try_cast("long")
+      case "tofloat"   => compileExpr(args.head, frame).try_cast("double")
       case "tostring"  => compileExpr(args.head, frame).cast(StringType)
       case "timestamp" => unix_millis(current_timestamp())
       case "date"      => current_date().cast(StringType)
@@ -344,8 +344,8 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         case EVar(v) => col(s"${v}__props")
         case _ => throw new ParseException("properties() needs a variable")
       }
-      case "abs"   => abs(compileExpr(args.head, frame).cast("double"))
-      case "round" => round(compileExpr(args.head, frame).cast("double"))
+      case "abs"   => abs(compileExpr(args.head, frame).try_cast("double"))
+      case "round" => round(compileExpr(args.head, frame).try_cast("double"))
       case "rand"  => rand()
       case other => throw new ParseException(s"unsupported function $other()")
     }
@@ -536,7 +536,7 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     if (r.distinct) df = df.distinct()
     if (r.orderBy.nonEmpty) {
       val outCols = df.columns.toSet
-      val sortCols = r.orderBy.map { case (e, asc) =>
+      val sortCols = r.orderBy.flatMap { case (e, asc) =>
         val c = e match {
           case EVar(n) if outCols.contains(n) => col(n)
           case EProp(v, k) if outCols.contains(s"$v.$k") => col(s"`$v.$k`")
@@ -546,7 +546,21 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
             items.find(_._2 == e).map(i => col(i._1))
               .getOrElse(compileExpr(e, frame))
         }
-        if (asc) c.asc else c.desc
+        // property values are stored as strings; Cypher orders numbers
+        // numerically (and before strings). Composite key: numeric cast
+        // first (non-numerics → null → sorted after numbers), raw string
+        // as tiebreak — "9" < "10" < "100", "abc" after all numbers.
+        val isProp = e match {
+          case _: EProp => true
+          case EVar(n)  => // alias of a property projection?
+            items.exists(i => i._1 == n && i._2.isInstanceOf[EProp])
+          case _ => false
+        }
+        if (isProp) {
+          val num = c.try_cast("double") // ANSI-safe: non-numeric → null
+          Seq(if (asc) num.asc_nulls_last else num.desc_nulls_last,
+            if (asc) c.asc else c.desc)
+        } else Seq(if (asc) c.asc else c.desc)
       }
       df = df.orderBy(sortCols: _*)
     }

@@ -260,6 +260,22 @@ class CypherSpec extends SparkSpec {
     assert(directors.toSeq == Seq("Oliver Stone"))
   }
 
+  test("ORDER BY on numeric string properties sorts numerically") {
+    val g = runScript(emptyGraph,
+      """CREATE (:N {name: "a", v: 9});
+        |CREATE (:N {name: "b", v: 10});
+        |CREATE (:N {name: "c", v: 100});
+        |CREATE (:N {name: "d", v: 28})""".stripMargin)
+    val asc = Cypher.query(g,
+      "MATCH (n:N) RETURN n.name AS name, n.v AS v ORDER BY v")
+      .collect().map(_.getString(1))
+    assert(asc.toSeq == Seq("9", "10", "28", "100")) // not lexicographic
+    val desc = Cypher.query(g,
+      "MATCH (n:N) RETURN n.name, n.v ORDER BY n.v DESC")
+      .collect().map(_.getString(1))
+    assert(desc.toSeq == Seq("100", "28", "10", "9"))
+  }
+
   test("WITH pipeline: aggregate then filter (HAVING shape)") {
     val rows = q(
       """MATCH (p:Person)-[r]->()
