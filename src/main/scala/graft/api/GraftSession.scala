@@ -38,6 +38,15 @@ final class GraftSession(val spark: SparkSession, initial: GraphState) {
           s"cannot classify query language: ${query.take(80)}")
     }
 
+  /** Streamed result consumption (the reference's gRPC
+    * `Get(Query) returns (stream QueryOutputValue)` shape,
+    * proto/graphdb.proto:351): rows arrive partition-by-partition
+    * without materializing the full result on the driver. */
+  def stream(query: String): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    execute(query).toLocalIterator().asScala
+  }
+
   /** Register the testdata tables as temp views so the SQL route works
     * against them by name (the reference's SQL surface is parse-only;
     * spark.sql over these views is a strict superset). */

@@ -33,6 +33,13 @@ class ApiSpec extends SparkSpec {
     assert(probe.map(_.getString(0)).toSeq == Seq("router-test"))
   }
 
+  test("stream() yields rows incrementally via toLocalIterator") {
+    val sess = GraftSession(spark, TpchGraph(Tables(spark, sf("sf0.001"))))
+    val it = sess.stream("MATCH (n:nation) RETURN n.name AS name")
+    assert(it.hasNext)
+    assert(it.take(5).size == 5)
+  }
+
   test("KV namespace: set/get/delete/flush") {
     val sess = GraftSession.empty(spark)
     sess.kvSet("k1", "v1".getBytes)
