@@ -46,29 +46,19 @@ object DedupOps {
     z ^ (z >>> 31)
   }
 
-  /** MinHash signature: k permutation minima over the shingle set.
-    * Shape: ONE xxhash64 per distinct shingle (exploded), then k cheap
-    * linear permutations `(a_i·h + b_i) mod p` (p = 2³¹−1, operands
-    * bounded so the arithmetic never overflows a long under ANSI mode)
-    * min-aggregated with map-side partial agg — the shuffle carries only
-    * |docs|×k longs, and hashing work is |shingles| hashes + k×|shingles|
-    * codegen'd multiply-adds (NOT k full rehashes, and NOT nested
-    * higher-order lambdas, which run interpreted and re-evaluate the
-    * shingle expr per k). */
+  /** MinHash signature: k permutation minima over the shingle set,
+    * via the single-pass native MinHashSigExpr — one xxhash64 per
+    * shingle + k linear permutations `(a_i·h + b_i) mod (2³¹−1)` in a
+    * tight per-row loop. Fully map-side: no explode, no shuffle at any
+    * scale (the earlier explode + k-column partial-agg shape produced
+    * identical values but shuffled |docs|×k longs and paid row blowup).
+    */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64): DataFrame = {
-    val p = 2147483647L // 2^31 - 1 (Mersenne)
-    val exploded = df.select(col(idCol),
-        explode(array_distinct(shingles(col(textCol), n))).as("sh"))
-      .withColumn("h", pmod(xxhash64(col("sh")), lit(p)))
-    val mins = (0 until k).map { i =>
-      val a = (mix(2L * i) & 0x7FFFFFFFL) | 1L
-      val b = mix(2L * i + 1) & 0x7FFFFFFFL
-      min(pmod(col("h") * a + b, lit(p))).as(s"h$i")
-    }
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+    import org.apache.spark.sql.graft.{shims, MinHashSigExpr}
+    val sig = shims.column(MinHashSigExpr(
+      shims.expression(shingles(col(textCol), n)), k))
+    df.select(col(idCol), sig.as("signature"))
   }
 
   /** LSH banding of a minhash signature: (id, band, band_hash) rows.

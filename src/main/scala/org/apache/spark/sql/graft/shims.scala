@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType}
@@ -61,6 +61,65 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Single-pass MinHash signature: ARRAY<STRING> shingles → ARRAY<LONG>
+  * of k permutation minima. One xxhash64 (seed 42 — identical to the SQL
+  * `xxhash64` function) per shingle, then k linear permutations
+  * `(a_i·h + b_i) mod (2³¹−1)` in a tight JVM loop — replaces an
+  * explode + k-column partial-aggregate shape: same math and identical
+  * output values, but zero row blowup and zero shuffle. Interpreted eval
+  * (CodegenFallback): one virtual call per ROW, with the k×|shingles|
+  * inner work in primitive loops.
+  */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val P = 2147483647L // 2^31 - 1
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private val as: Array[Long] =
+    Array.tabulate(k)(i => (mix(2L * i) & 0x7FFFFFFFL) | 1L)
+  private val bs: Array[Long] =
+    Array.tabulate(k)(i => mix(2L * i + 1) & 0x7FFFFFFFL)
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h0 = XxHash64Function.hash(s, StringType, 42L)
+      val h = ((h0 % P) + P) % P
+      var i = 0
+      while (i < k) {
+        val v = (h * as(i) + bs(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSigExpr = copy(child = newChild)
 }
 
 /** Native codegen'd popcount(a ^ b) — see graft.functions.HammingDistance
