@@ -60,7 +60,10 @@ object Traversals {
           .dropDuplicates("id")
           .join(visited.select("id"), Seq("id"), "left_anti")
           .localCheckpoint() // cut lineage every hop; frontier is small
-        visited = visited.union(frontier).localCheckpoint()
+        visited = visited.union(frontier)
+        // visited's lineage grows one cheap union per hop — only cut it
+        // periodically (each cut re-materializes the whole visited set)
+        if (depth % 3 == 0) visited = visited.localCheckpoint()
       }
       visited
     } finally edges.unpersist()
