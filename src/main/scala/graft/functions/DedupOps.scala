@@ -55,10 +55,20 @@ object DedupOps {
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64): DataFrame = {
-    import org.apache.spark.sql.graft.{shims, MinHashSigExpr}
-    val sig = shims.column(MinHashSigExpr(
-      shims.expression(shingles(col(textCol), n)), k))
+    import org.apache.spark.sql.graft.{shims, MinHashTextSigExpr}
+    val sig = shims.column(MinHashTextSigExpr(
+      shims.expression(col(textCol)), n, k))
     df.select(col(idCol), sig.as("signature"))
+  }
+
+  /** Compositional form of the signature (shingle column → signature) —
+    * value-identical to the fused text form; kept for pipelines that
+    * already materialized shingles. */
+  def minhashSignatureFromShingles(df: DataFrame, idCol: String,
+      shingleCol: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.{shims, MinHashSigExpr}
+    df.select(col(idCol), shims.column(
+      MinHashSigExpr(shims.expression(col(shingleCol)), k)).as("signature"))
   }
 
   /** LSH banding of a minhash signature: (id, band, band_hash) rows.

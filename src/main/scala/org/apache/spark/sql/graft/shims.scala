@@ -78,7 +78,6 @@ case class MinHashSigExpr(child: Expression, k: Int)
   import org.apache.spark.sql.catalyst.expressions.XxHash64Function
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
-  import org.apache.spark.unsafe.types.UTF8String
 
   private val P = 2147483647L // 2^31 - 1
 
@@ -120,6 +119,78 @@ case class MinHashSigExpr(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression)
       : MinHashSigExpr = copy(child = newChild)
+}
+
+/** MinHash signature straight from raw TEXT: normalization
+  * (trim/whitespace-collapse/lowercase), word n-gram shingling, hashing
+  * and the k permutation minima all in one per-row pass — the fully
+  * fused form of MinHashSigExpr that also skips the interpreted
+  * higher-order split/slice/array_join shingle pipeline. Shingle strings
+  * and the permutation family are identical to the compositional path
+  * (TextOps.normalize + DedupOps.shingles + MinHashSigExpr). */
+case class MinHashTextSigExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val P = 2147483647L
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private val as: Array[Long] =
+    Array.tabulate(k)(i => (mix(2L * i) & 0x7FFFFFFFL) | 1L)
+  private val bs: Array[Long] =
+    Array.tabulate(k)(i => mix(2L * i + 1) & 0x7FFFFFFFL)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_text_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    // normalize exactly like TextOps.normalize:
+    // lower(trim(regexp_replace(text, "\s+", " ")))
+    val norm = input.asInstanceOf[UTF8String].toString
+      .replaceAll("\\s+", " ").trim.toLowerCase
+    val words = norm.split(" ", -1)
+    val mins = Array.fill(k)(Long.MaxValue)
+    def update(shingle: String): Unit = {
+      val h0 = XxHash64Function.hash(
+        UTF8String.fromString(shingle), StringType, 42L)
+      val h = ((h0 % P) + P) % P
+      var i = 0
+      while (i < k) {
+        val v = (h * as(i) + bs(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    if (words.length < n) update(words.mkString(" "))
+    else {
+      var j = 0
+      val sb = new java.lang.StringBuilder
+      while (j + n <= words.length) {
+        sb.setLength(0)
+        var w = 0
+        while (w < n) {
+          if (w > 0) sb.append(' ')
+          sb.append(words(j + w))
+          w += 1
+        }
+        update(sb.toString)
+        j += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashTextSigExpr = copy(child = newChild)
 }
 
 /** Native codegen'd popcount(a ^ b) — see graft.functions.HammingDistance

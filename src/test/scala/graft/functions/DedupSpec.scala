@@ -46,6 +46,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 5L)))
   }
 
+  test("fused text signature == compositional shingle signature") {
+    val viaText = DedupOps.minhashSignature(docs, "id", "text", 3, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaShingles = DedupOps.minhashSignatureFromShingles(
+        docs.select(col("id"),
+          DedupOps.shingles(col("text"), 3).as("sh")), "id", "sh", 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaText == viaShingles)
+  }
+
   test("jaccardVerify confirms near-dups above threshold") {
     val pairs = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(1L, 2L), Row(1L, 3L))),
