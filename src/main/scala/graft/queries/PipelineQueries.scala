@@ -143,7 +143,11 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs, exact baseline, vs DuckDB. */
+  /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH +
+    * exact re-score — the scale-safe path (no cartesian product in the
+    * plan; PipelineSpec asserts that and equality with the brute-force
+    * baseline). The oracle is the EXACT brute-force SQL: hash-matching it
+    * proves LSH recall is 1.0 on this corpus. */
   val d05 = QueryDef.sql("d05_cosine_near_dups",
     """SELECT id1, id2, score FROM (
       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -154,8 +158,9 @@ object PipelineQueries {
       |  JOIN (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings) b
       |    ON a.vec_id < b.vec_id)
       |WHERE score >= 0.45 ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-    SimilarityOps.cosineNearDupPairsExact(
-        Tables(s, dir).embeddings, "vec_id", "embedding", 0.45)
+    SimilarityOps.cosineNearDupPairs(
+        Tables(s, dir).embeddings, "vec_id", "embedding",
+        dim = 64, threshold = 0.45)
       .orderBy(col("id1"), col("id2"))
   }
 

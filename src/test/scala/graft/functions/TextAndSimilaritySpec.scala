@@ -77,6 +77,36 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(partial.forall(_.getLong(3) <= 5))
   }
 
+  test("LSH near-dup pairs equal the exact baseline, with no cartesian") {
+    val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
+    val lsh = SimilarityOps.cosineNearDupPairs(
+      emb, "vec_id", "embedding", dim = 64, threshold = 0.45)
+    val exact = SimilarityOps.cosineNearDupPairsExact(
+        emb, "vec_id", "embedding", 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = lsh.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exact) // recall 1.0 at this threshold on this corpus
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup gate path must not contain an all-pairs product:\n$plan")
+  }
+
+  test("ANN signature and IVF assignment stay out of interpreted HOFs") {
+    val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
+    val q = emb.filter(col("vec_id") < 3)
+    for (d <- Seq(
+        SimilarityOps.annTopK(emb, q, "vec_id", "embedding", 5, dim = 64,
+          planes = 8),
+        SimilarityOps.ivfTopK(emb, q, "vec_id", "embedding", 5,
+          nlist = 8, nprobe = 2))) {
+      val plan = d.queryExecution.executedPlan.toString
+      assert(!plan.contains("zip_with") && !plan.contains("aggregate("),
+        s"hot path regressed to interpreted higher-order lambdas:\n$plan")
+    }
+  }
+
   test("TpchGraph projection is consistent with base tables") {
     val g = graft.sources.TpchGraph(
       graft.sources.Tables(spark, sf("sf0.001")))
