@@ -59,7 +59,11 @@ def main(sf_dir: str, out_dir: str) -> None:
             n_fail += 1
             continue
         if g.dtypes.tolist() != e.dtypes.tolist():
-            print(f"WARN {name}: dtypes {g.dtypes.tolist()} vs {e.dtypes.tolist()}")
+            # the invariant requires identical TYPES both sides — a type
+            # drift the driver's hash-match would fail must fail here too
+            print(f"FAIL {name}: dtypes {g.dtypes.tolist()} vs {e.dtypes.tolist()}")
+            n_fail += 1
+            continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
             n_fail += 1

@@ -18,21 +18,25 @@ object Bench {
       val g = graft.sources.TpchGraph(graft.sources.Tables(spark, sfDir))
       g.vertices.count(); g.edges.count()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Seq order (not Map) keeps iteration deterministic
+    val results = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { q.run(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           false
         }
       // a failed query must not masquerade as a fast one
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // -1 sentinels are reported per-query but excluded from the total
+    val passed = results.collect { case (_, v) if v >= 0 => v }
+    val nFailed = results.size - passed.size
+    val total = passed.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

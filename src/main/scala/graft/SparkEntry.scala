@@ -13,9 +13,14 @@ import graft.queries.{CypherDriven, GraphQueries, PipelineQueries, QueryDef,
   */
 object SparkEntry {
 
-  val allQueries: Seq[QueryDef] =
-    Relational.all ++ GraphQueries.all ++ CypherDriven.all ++
+  val allQueries: Seq[QueryDef] = {
+    val qs = Relational.all ++ GraphQueries.all ++ CypherDriven.all ++
       PipelineQueries.all
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate gate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * 3-table join + aggregation + top-k (SURVEY §2.B D11/D19). */

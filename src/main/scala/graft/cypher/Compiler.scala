@@ -55,28 +55,30 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
   private def labelMatches(labelCol: Column, l: String): Column =
     array_contains(split(labelCol, ":"), l)
 
-  /** Literal-only context for MATCH prop maps. */
-  private def litFrame: Frame = Frame(null, Map.empty)
+  /** Pattern-prop predicates compile AFTER the pattern element joins the
+    * frame, in the combined frame's context — so `{k: someVar}` maps may
+    * reference any bound variable (per-row MERGE / correlated MATCH).
+    * Literal predicates lose nothing: Catalyst pushes them back down
+    * through the join to the vertex/edge scan. */
+  private def propFilters(frame: Frame, v: String,
+      props: Map[String, Expr]): Column =
+    props.map { case (k, e) =>
+      element_at(col(s"${v}__props"), k) ===
+        compileExpr(e, frame).cast(StringType)
+    }.reduceOption(_ && _).getOrElse(lit(true))
 
   private def nodeDf(np: NodePat, v: String): DataFrame = {
     var df = g.vertices
     np.labels.foreach(l => df = df.filter(labelMatches(col("label"), l)))
-    np.props.foreach { case (k, e) =>
-      df = df.filter(element_at(col("properties"), k)
-        === compileExpr(e, litFrame).cast(StringType))
-    }
     df.select(col("id").as(s"${v}__id"), col("label").as(s"${v}__label"),
       col("properties").as(s"${v}__props"))
   }
 
   /** Edge relation oriented near→far (near = chain's previous node). */
   private def relDf(rp: RelPat, r: String): DataFrame = {
-    var e = g.edges
-    if (rp.types.nonEmpty) e = e.filter(col("edge_type").isin(rp.types: _*))
-    rp.props.foreach { case (k, x) =>
-      e = e.filter(element_at(col("properties"), k)
-        === compileExpr(x, litFrame).cast(StringType))
-    }
+    val e =
+      if (rp.types.nonEmpty) g.edges.filter(col("edge_type").isin(rp.types: _*))
+      else g.edges
     val fwd = e.select(col("id").as(s"${r}__id"),
       col("src").as(s"${r}__near"), col("dst").as(s"${r}__far"),
       col("src").as(s"${r}__src"), col("dst").as(s"${r}__dst"),
@@ -105,14 +107,15 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         var df = start.df
         pat.head.labels.foreach(l =>
           df = df.filter(labelMatches(col(s"${headVar}__label"), l)))
-        pat.head.props.foreach { case (k, e) =>
-          df = df.filter(element_at(col(s"${headVar}__props"), k)
-            === compileExpr(e, litFrame).cast(StringType))
-        }
-        Frame(df, start.vars)
+        val bound = Frame(df, start.vars)
+        Frame(df.filter(propFilters(bound, headVar, pat.head.props)),
+          start.vars)
       } else {
         val nd = nodeDf(pat.head, headVar)
-        Frame(start.df.crossJoin(nd), start.vars + (headVar -> NodeVar))
+        val joined = Frame(start.df.crossJoin(nd),
+          start.vars + (headVar -> NodeVar))
+        Frame(joined.df.filter(
+          propFilters(joined, headVar, pat.head.props)), joined.vars)
       }
     var prevVar = headVar
     pat.tail.foreach { case (rp, np) =>
@@ -134,7 +137,9 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
             df = df.join(nd, col(s"${rVar}__far") === col(s"${nVar}__id"))
             vars += (nVar -> NodeVar)
           }
-          Frame(df, vars)
+          val combined = Frame(df, vars)
+          Frame(df.filter(propFilters(combined, rVar, rp.props))
+            .filter(propFilters(combined, nVar, np.props)), vars)
       }
       prevVar = np.variable.getOrElse(prevVar)
     }
@@ -162,6 +167,7 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       val nd = nodeDf(np, nVar)
       df = df.join(nd, col("__to") === col(s"${nVar}__id"))
       vars += (nVar -> NodeVar)
+      df = df.filter(propFilters(Frame(df, vars), nVar, np.props))
     }
     Frame(df.drop("__from", "__to"), vars)
   }

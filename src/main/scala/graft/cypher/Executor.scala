@@ -61,19 +61,34 @@ object Cypher {
         frame = fr2
         recompile()
       case m: MergeClause =>
-        // match-or-create: bind the pattern when it matches the current
-        // snapshot; otherwise create it (node-pattern and full-chain
-        // creation share the CREATE machinery).
-        val matched = compiler.compileMatch(frame,
+        // Per-ROW match-or-create (Cypher MERGE semantics): each binding
+        // row independently either binds the matching pattern or creates
+        // it. Rows are tagged, matched via the pattern (whose props may
+        // reference frame variables), and the anti-joined remainder goes
+        // through the CREATE machinery; both halves then union back into
+        // one frame. localCheckpoint pins the row tags across actions.
+        val tagged = Compiler.Frame(
+          frame.df.withColumn("__merge_row", monotonically_increasing_id())
+            .localCheckpoint(),
+          frame.vars)
+        val matched = compiler.compileMatch(tagged,
           MatchClause(optional = false, Seq(m.pattern), None))
-        if (!matched.df.isEmpty) {
-          frame = matched
+        val unmatched = tagged.df.join(
+          matched.df.select(col("__merge_row")).distinct(),
+          Seq("__merge_row"), "left_anti")
+        if (unmatched.isEmpty) {
+          frame = Compiler.Frame(matched.df.drop("__merge_row"),
+            matched.vars)
         } else {
-          val (st2, fr2) = applyCreate(state, compiler, frame,
+          val (st2, fr2) = applyCreate(state, compiler,
+            Compiler.Frame(unmatched, tagged.vars),
             CreateClause(Seq(m.pattern)))
           state = st2
-          frame = fr2
           recompile()
+          val merged =
+            if (matched.df.isEmpty) fr2.df
+            else matched.df.unionByName(fr2.df)
+          frame = Compiler.Frame(merged.drop("__merge_row"), fr2.vars)
         }
       case s: SetClause =>
         state = applySet(state, compiler, frame, s)
@@ -199,10 +214,20 @@ object Cypher {
           val ids = frame.df.select(col(s"${v}__id"))
           st =
             if (d.detach) st.detachDeleteVertices(ids)
-            else GraphState(
-              st.vertices.join(ids.withColumnRenamed(s"${v}__id", "id"),
-                Seq("id"), "left_anti"),
-              st.edges)
+            else {
+              // Cypher refuses to delete a vertex that still has
+              // relationships — dangling edges would corrupt the graph.
+              val probe = ids.withColumnRenamed(s"${v}__id", "__vid")
+              val incident = st.edges.join(probe,
+                col("src") === col("__vid") || col("dst") === col("__vid"),
+                "left_semi")
+              if (!incident.isEmpty)
+                throw new ParseException(s"cannot DELETE $v: vertex still " +
+                  "has relationships (use DETACH DELETE)")
+              GraphState(st.vertices.join(
+                probe.withColumnRenamed("__vid", "id"), Seq("id"),
+                "left_anti"), st.edges)
+            }
         case other =>
           throw new ParseException(s"cannot DELETE $v ($other)")
       }

@@ -90,6 +90,87 @@ object CypherDriven {
         |ORDER BY id""".stripMargin)
   }
 
+  /** D7/D8 CREATE inside the gate: per-MATCH-row CREATE with property
+    * expressions referencing the matched binding, then read the created
+    * vertices back — generated uuids stay internal; the oracle reproduces
+    * the created PROPERTIES relationally. */
+  val cy07 = QueryDef.sql("cy07_create_from_match",
+    "SELECT r_name AS name FROM region ORDER BY name") { (s, dir) =>
+    implicit val sp: SparkSession = s
+    val g1 = Cypher.execute(TpchGraph(Tables(s, dir)),
+      "MATCH (r:region) CREATE (m:mirror {name: r.name})").state
+    Cypher.query(g1, "MATCH (m:mirror) RETURN m.name AS name ORDER BY name")
+  }
+
+  /** D22 SET label round-trip: label added by predicate, then the new
+    * label drives a scan. */
+  val cy08 = QueryDef.sql("cy08_set_label",
+    """SELECT 'n:' || n_nationkey AS id FROM nation
+      |WHERE substr(n_name, 1, 8) = 'NATION_1' ORDER BY id""".stripMargin) {
+    (s, dir) =>
+      implicit val sp: SparkSession = s
+      val g1 = Cypher.execute(TpchGraph(Tables(s, dir)),
+        """MATCH (n:nation) WHERE n.name STARTS WITH 'NATION_1'
+          |SET n:audited""".stripMargin).state
+      Cypher.query(g1, "MATCH (a:audited) RETURN id(a) AS id ORDER BY id")
+  }
+
+  /** D24 edge property update round-trip: SET on matched relationships,
+    * then the new edge property drives the read. */
+  val cy09 = QueryDef.sql("cy09_edge_prop_update",
+    """SELECT 'c:' || o_custkey AS cid, 'o:' || o_orderkey AS oid
+      |FROM orders WHERE o_orderstatus = 'O' ORDER BY cid, oid""".stripMargin) {
+    (s, dir) =>
+      implicit val sp: SparkSession = s
+      val g1 = Cypher.execute(TpchGraph(Tables(s, dir)),
+        """MATCH (c:customer)-[r:PLACED]->(o:order {status: 'O'})
+          |SET r.flag = 'open'""".stripMargin).state
+      Cypher.query(g1,
+        """MATCH (c:customer)-[r:PLACED]->(o:order) WHERE exists(r.flag)
+          |RETURN id(c) AS cid, id(o) AS oid ORDER BY cid, oid""".stripMargin)
+  }
+
+  /** D25 edge delete by pattern: remaining PLACED edges counted after
+    * deleting one segment's. */
+  val cy10 = QueryDef.sql("cy10_edge_delete",
+    """SELECT CAST(count(*) AS BIGINT) AS n
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |WHERE c_mktsegment <> 'BUILDING'""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
+    val g1 = Cypher.execute(TpchGraph(Tables(s, dir)),
+      """MATCH (c:customer {mktsegment: 'BUILDING'})-[r:PLACED]->(o:order)
+        |DELETE r""".stripMargin).state
+    Cypher.query(g1,
+      "MATCH (c:customer)-[r:PLACED]->(o:order) RETURN count(r) AS n")
+  }
+
+  /** D26 DETACH DELETE: vertex and its incident edges cascade away. */
+  val cy11 = QueryDef.sql("cy11_detach_delete",
+    """SELECT CAST(count(*) AS BIGINT) AS n
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey
+      |WHERE n_name <> 'NATION_1'""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
+    val g1 = Cypher.execute(TpchGraph(Tables(s, dir)),
+      "MATCH (n:nation {name: 'NATION_1'}) DETACH DELETE n").state
+    Cypher.query(g1,
+      "MATCH (c:customer)-[e:IN_NATION]->(n:nation) RETURN count(e) AS n")
+  }
+
+  /** Per-row MERGE in the gate: a seeded subset matches, the rest create —
+    * the end state must hold exactly one mirror per region. */
+  val cy12 = QueryDef.sql("cy12_merge_per_row",
+    "SELECT r_name AS name FROM region ORDER BY name") { (s, dir) =>
+    implicit val sp: SparkSession = s
+    val g0 = TpchGraph(Tables(s, dir))
+    val g1 = Cypher.execute(g0,
+      """MATCH (r:region) WHERE r.name < 'AS'
+        |CREATE (m:rmirror {name: r.name})""".stripMargin).state
+    val g2 = Cypher.execute(g1,
+      "MATCH (r:region) MERGE (m:rmirror {name: r.name})").state
+    Cypher.query(g2,
+      "MATCH (m:rmirror) RETURN m.name AS name ORDER BY name")
+  }
+
   /** Batch/stream unification: the EXACT transformation used by the
     * Structured Streaming path (EventStreams.windowedAggregates) run in
     * batch mode, oracle-checked — one code path, two execution modes. */
@@ -140,5 +221,6 @@ object CypherDriven {
   }
 
   val all: Seq[QueryDef] =
-    Seq(cy01, cy02, cy03, cy04, cy05, cy06, st01, tj01)
+    Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
+      cy12, st01, tj01)
 }

@@ -27,8 +27,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      timestamp_micros((col("ts") / 1000L).cast("long")))
+    // integer `div`, not `/`: nanos epochs (~1.7e18) exceed double's
+    // 53-bit mantissa, so float division can be off by ±1µs
+    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

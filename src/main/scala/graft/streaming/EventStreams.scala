@@ -104,8 +104,7 @@ object EventStreams {
         case f => f
       }))
       .parquet(sourceDir)
-      .withColumn("ts",
-        timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = transform(raw).writeStream
       .format("memory")
       .queryName(queryName)

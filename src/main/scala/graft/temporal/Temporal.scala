@@ -74,15 +74,23 @@ object Temporal {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val joined = lTagged.unionByName(rTagged)
-      .select(col("*") +: rightPayload.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w)
-          .as(s"__latest_$c")): _*)
-      .filter(col("__side") === 1)
+    // Carry ONE struct of the whole right payload, not each column
+    // independently: the latest right ROW must win atomically — a right
+    // row with a legitimately-NULL payload value would otherwise be
+    // patched with an older row's value (and multi-column results could
+    // mix values from different right rows).
+    val unioned = lTagged.unionByName(rTagged)
+    val joined =
+      (if (rightPayload.isEmpty) unioned
+       else unioned.withColumn("__latest",
+         last(when(col("__side") === 0,
+             struct(rightPayload.map(c => col(s"__r_$c").as(c)): _*)),
+           ignoreNulls = true).over(w)))
+        .filter(col("__side") === 1)
     joined.select(
       (Seq(col(keyCol), col(tsCol)) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
-        rightPayload.map(c => col(s"__latest_$c").as(c))): _*)
+        rightPayload.map(c => col("__latest").getField(c).as(c))): _*)
   }
 
   /** Close open intervals for updated entities: given a current SCD-2

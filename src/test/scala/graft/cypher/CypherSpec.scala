@@ -232,6 +232,20 @@ class CypherSpec extends SparkSpec {
     assert(Cypher.query(g3, "MATCH ()-[r]->() RETURN r").count() == 0)
   }
 
+  test("non-DETACH DELETE refuses vertices that still have relationships") {
+    val err = intercept[ParseException] {
+      Cypher.execute(people,
+        """MATCH (p:Person {id: "alice"}) DELETE p""").state
+    }
+    assert(err.getMessage.contains("DETACH"))
+    // a vertex with no incident edges deletes fine without DETACH
+    val g = Cypher.execute(people,
+      """CREATE (:Person {id: "loner", name: "Loner"})""").state
+    val g2 = Cypher.execute(g,
+      """MATCH (p:Person {id: "loner"}) DELETE p""").state
+    assert(Cypher.query(g2, "MATCH (n:Person) RETURN n").count() == 4)
+  }
+
   test("QE25: UNWIND batch create (D30)") {
     val g2 = Cypher.execute(people,
       """UNWIND [
@@ -311,6 +325,25 @@ class CypherSpec extends SparkSpec {
     val g3 = Cypher.execute(g2,
       """MERGE (p:Person {id: "eve", name: "Eve"})""").state
     assert(Cypher.query(g3, "MATCH (n:Person) RETURN n").count() == 5)
+  }
+
+  test("MERGE is per-row: mixed matched/unmatched UNWIND creates only the missing") {
+    val g1 = Cypher.execute(people,
+      """UNWIND ["alice", "newbie", "bob", "freshman"] AS pid
+        |MERGE (p:Person {id: pid})
+        |SET p.touched = 'yes'""".stripMargin).state
+    // 4 existing + 2 created (alice/bob matched, newbie/freshman did not)
+    assert(Cypher.query(g1, "MATCH (n:Person) RETURN n").count() == 6)
+    // SET applied to matched AND created rows alike
+    val touched = Cypher.query(g1,
+      """MATCH (p:Person {touched: 'yes'}) RETURN p.id ORDER BY p.id""")
+      .collect().map(_.getString(0))
+    assert(touched.toSeq == Seq("alice", "bob", "freshman", "newbie"))
+    // idempotent: re-running merges all four into existing vertices
+    val g2 = Cypher.execute(g1,
+      """UNWIND ["alice", "newbie", "bob", "freshman"] AS pid
+        |MERGE (p:Person {id: pid})""".stripMargin).state
+    assert(Cypher.query(g2, "MATCH (n:Person) RETURN n").count() == 6)
   }
 
   test("full CRUD cycle (QE test1 script, D8)") {

@@ -113,6 +113,24 @@ class StreamingAndTemporalSpec extends SparkSpec {
     assert(out("t3").contains(55.0))
   }
 
+  test("asOfJoin carries the latest right ROW atomically (NULL payloads win)") {
+    val lSchema = StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType),
+      StructField("ev", StringType)))
+    val rSchema = StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType),
+      StructField("price", DoubleType), StructField("size", LongType)))
+    val left = df(lSchema, Row("A", t("2024-01-01 10:00:20"), "t1"))
+    val right = df(rSchema,
+      Row("A", t("2024-01-01 10:00:00"), 100.0, 7L),
+      // the LATEST right row has a legitimately-NULL price and a new
+      // size: both must surface together — no mixing with the older row
+      Row("A", t("2024-01-01 10:00:10"), null, 9L))
+    val r = Temporal.asOfJoin(left, right, "k", "ts").collect().head
+    assert(r.isNullAt(r.fieldIndex("price")))
+    assert(r.getLong(r.fieldIndex("size")) == 9L)
+  }
+
   test("multimodal: feature extraction, resize, frame sampling (stub codec)") {
     val docs = graft.sources.Tables(spark, sf("sf0.001")).documents
     val media = Multimodal.syntheticMedia(docs).localCheckpoint()
