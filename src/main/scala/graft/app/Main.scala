@@ -39,7 +39,8 @@ object Main {
     session.registerTables(tables)
 
     val out = session.execute(query)
-    out.toJSON.collect().foreach(println)
+    // streamed, not collect(): bounded driver memory on any result size
+    out.toJSON.toLocalIterator().forEachRemaining(println(_))
     spark.stop()
   }
 }

@@ -172,9 +172,10 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     Frame(df.drop("__from", "__to"), vars)
   }
 
-  /** shortestPath((a ...)-[*..k]-(b ...)): BFS per endpoint pair.
-    * Endpoint sets are resolved first; the per-pair BFS runs driver-
-    * orchestrated (bounded by the matched pair count). Binds the path
+  /** shortestPath((a ...)-[*..k]-(b ...)): ALL endpoint pairs advance
+    * through one batched multi-source BFS (Traversals.shortestPathsPairs)
+    * — a MATCH producing thousands of pairs costs the same bounded hop
+    * count as one pair, with no per-pair driver loop. Binds the path
     * variable to ARRAY<STRING> of vertex ids. */
   private def compileShortestPath(start: Frame, pat: PathPat): Frame = {
     require(pat.tail.length == 1, "shortestPath needs exactly one rel")
@@ -187,16 +188,9 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     val frame = compilePattern(withA, PathPat(None, false, np, Nil))
     val pairs = frame.df
       .select(col(s"${aVar}__id"), col(s"${bVar}__id")).distinct()
-      .collect().map(r => (r.getString(0), r.getString(1)))
-    val found = pairs.flatMap { case (a, b) =>
-      Traversals.shortestPathBetween(g, a, b, maxDepth,
-          edgeType = rp.types.headOption,
-          undirected = rp.direction == 0)
-        .map(p => (a, b, p))
-    }
-    import spark.implicits._
-    val pathsDf = found.toSeq
-      .toDF("__a", "__b", s"${pVar}__path")
+    val pathsDf = Traversals.shortestPathsPairs(g, pairs, maxDepth,
+        edgeTypes = rp.types, undirected = rp.direction == 0)
+      .select(col("__a"), col("__b"), col("path").as(s"${pVar}__path"))
     Frame(
       frame.df.join(pathsDf,
         col(s"${aVar}__id") === col("__a") &&

@@ -69,48 +69,112 @@ object Traversals {
     } finally edges.unpersist()
   }
 
-  /** Unweighted single-pair shortest path with path reconstruction:
-    * returns (path array, length), or no rows if unreachable within
-    * maxDepth. BFS with predecessor tracking; path rebuilt driver-side
-    * from the bounded predecessor table (size ≤ reached vertices). */
+  /** Batched multi-source unweighted shortest paths with distributed path
+    * reconstruction. `pairs`: two string columns (source id, target id);
+    * returns (src, dst, path ARRAY<STRING>, length) — one row per pair
+    * whose target is reachable within maxDepth, no rows otherwise.
+    *
+    * ALL pairs advance through ONE frontier DataFrame keyed by
+    * (source, vertex): a MATCH producing thousands of endpoint pairs runs
+    * the same bounded number of distributed hops as a single pair — no
+    * per-pair driver loop, no per-hop collect. Predecessors resolve by
+    * `min` per (source, vertex), making paths deterministic. Sources whose
+    * every target is found drop out of the frontier; the loop exits early
+    * when no targets remain. Reconstruction walks the predecessor table
+    * backward with one join per path hop (≤ the found maximum depth). */
+  def shortestPathsPairs(g: GraphState, pairs: DataFrame, maxDepth: Int,
+      edgeTypes: Seq[String] = Nil, undirected: Boolean = false)
+      : DataFrame = {
+    val edges = hopEdges(g, edgeTypes, undirected)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p = pairs
+        .select(col(pairs.columns(0)).as("__a"),
+          col(pairs.columns(1)).as("__b"))
+        .dropDuplicates("__a", "__b")
+        .localCheckpoint()
+      val self = p.filter(col("__a") === col("__b"))
+        .select(col("__a"), col("__b"), array(col("__a")).as("path"),
+          lit(0L).as("length"))
+      var targets = p.filter(col("__a") =!= col("__b")).localCheckpoint()
+      // predecessor table: (source, id, depth, pred)
+      var visited = targets.select(col("__a").as("source"))
+        .dropDuplicates("source")
+        .select(col("source"), col("source").as("id"), lit(0).as("depth"),
+          lit(null).cast("string").as("pred"))
+        .localCheckpoint()
+      var frontier = visited.select("source", "id")
+      var found: DataFrame = null
+      var depth = 0
+      while (depth < maxDepth && !targets.isEmpty && !frontier.isEmpty) {
+        depth += 1
+        val nxt = frontier
+          .join(edges, frontier("id") === edges("src"))
+          .groupBy(col("source"), col("dst"))
+          .agg(min(col("src")).as("pred")) // deterministic predecessor
+          .select(col("source"), col("dst").as("id"), lit(depth).as("depth"),
+            col("pred"))
+          .join(visited.select("source", "id"), Seq("source", "id"),
+            "left_anti")
+          .localCheckpoint()
+        visited = visited.union(nxt)
+        if (depth % 3 == 0) visited = visited.localCheckpoint()
+        val hits = nxt
+          .join(targets, nxt("source") === targets("__a") &&
+            nxt("id") === targets("__b"))
+          .select(col("__a"), col("__b"), col("depth").cast("long")
+            .as("length"))
+          .localCheckpoint()
+        found = if (found == null) hits else found.union(hits)
+        targets = targets.join(hits.select("__a", "__b"), Seq("__a", "__b"),
+          "left_anti").localCheckpoint()
+        // sources with no outstanding targets stop expanding
+        frontier = nxt.select("source", "id")
+          .join(targets.select(col("__a").as("source")), Seq("source"),
+            "left_semi")
+      }
+      if (found == null) return self
+      val maxLen = found.agg(max(col("length"))).collect()
+        .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toLong))
+        .getOrElse(0L)
+      // walk predecessors backward, all pairs at once; finished rows
+      // (cur == source) retire from the working set each round
+      val preds = visited.select(col("source"), col("id"), col("pred"))
+      var working = found.select(col("__a"), col("__b"), col("length"),
+        array(col("__b")).as("path"), col("__b").as("cur"))
+      var done: DataFrame = null
+      var i = 0L
+      while (i < maxLen && !working.isEmpty) {
+        i += 1
+        val fin = working.filter(col("cur") === col("__a"))
+          .select(col("__a"), col("__b"), col("path"), col("length"))
+        done = if (done == null) fin else done.union(fin)
+        working = working.filter(col("cur") =!= col("__a"))
+          .join(preds, col("cur") === preds("id") &&
+            col("__a") === preds("source"))
+          .select(col("__a"), col("__b"), col("length"),
+            concat(array(col("pred")), col("path")).as("path"),
+            col("pred").as("cur"))
+          .localCheckpoint()
+      }
+      val finished = working.filter(col("cur") === col("__a"))
+        .select(col("__a"), col("__b"), col("path"), col("length"))
+      done = if (done == null) finished else done.union(finished)
+      self.union(done.select(col("__a"), col("__b"), col("path"),
+        col("length")))
+    } finally edges.unpersist()
+  }
+
+  /** Single-pair convenience over the batched engine (kept for API
+    * compatibility; point lookups share the distributed path). */
   def shortestPathBetween(g: GraphState, srcId: String, dstId: String,
       maxDepth: Int, edgeType: Option[String] = None,
       undirected: Boolean = false)(implicit spark: SparkSession)
       : Option[Seq[String]] = {
-    if (srcId == dstId) return Some(Seq(srcId))
-    val edges = hopEdges(g, edgeType.toSeq, undirected)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var preds = Map[String, String]() // first-discovered predecessor
-      var visitedIds = Set(srcId)
-      var frontier: Seq[String] = Seq(srcId)
-      var depth = 0
-      var found = false
-      while (!found && depth < maxDepth && frontier.nonEmpty) {
-        depth += 1
-        // One distributed hop; the *frontier* is collected (bounded by the
-        // reached set, which for point-to-point search is acceptable — the
-        // all-pairs variant stays fully distributed in `bfs`).
-        val next = edges
-          .filter(col("src").isin(frontier: _*))
-          .select("src", "dst").collect()
-          .map(r => (r.getString(0), r.getString(1)))
-        val fresh = next.filter { case (_, d) => !visitedIds.contains(d) }
-        val newPreds = fresh.groupBy(_._2).map { case (d, es) =>
-          d -> es.map(_._1).min // deterministic predecessor choice
-        }
-        preds ++= newPreds
-        visitedIds ++= newPreds.keys
-        frontier = newPreds.keys.toSeq
-        found = preds.contains(dstId)
-      }
-      if (!found) None
-      else {
-        val path = Iterator.iterate(dstId)(preds)
-          .takeWhile(_ != srcId).toSeq.reverse
-        Some(srcId +: path)
-      }
-    } finally edges.unpersist()
+    import spark.implicits._
+    val pairs = Seq((srcId, dstId)).toDF("__a", "__b")
+    shortestPathsPairs(g, pairs, maxDepth, edgeType.toSeq, undirected)
+      .collect().headOption.map(_.getSeq[String](2))
   }
 
   /** Variable-length path enumeration `[*minDepth..maxDepth]` (QE:115-118):

@@ -135,6 +135,30 @@ object GraphQueries {
       .orderBy(col("depth"))
   }
 
+  /** Batched multi-source shortest paths (D17 engine) vs a hand-unrolled
+    * relational oracle: every customer's directed shortest path to every
+    * region — reachable only via its nation (customer→nation→region), so
+    * the path and length-2 are fully determined relationally. All
+    * customer×region pairs run in ONE frontier (no per-pair loop). */
+  val sp01 = QueryDef.sql("sp01_shortest_paths",
+    """SELECT 'c:' || c_custkey AS src, 'r:' || n_regionkey AS dst,
+      |  'c:' || c_custkey || '>n:' || c_nationkey || '>r:' || n_regionkey
+      |    AS path,
+      |  CAST(2 AS BIGINT) AS length
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey
+      |ORDER BY src, dst""".stripMargin) { (s, dir) =>
+    val g = TpchGraph(Tables(s, dir))
+    val custs = g.vertices.filter(col("label") === "customer")
+      .select(col("id").as("src"))
+    val regions = g.vertices.filter(col("label") === "region")
+      .select(col("id").as("dst"))
+    val pairs = custs.crossJoin(regions) // 5 regions: broadcastable dim
+    graft.engine.Traversals.shortestPathsPairs(g, pairs, maxDepth = 2)
+      .select(col("__a").as("src"), col("__b").as("dst"),
+        array_join(col("path"), ">").as("path"), col("length"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09)
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01)
 }

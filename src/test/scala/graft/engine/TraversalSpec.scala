@@ -55,6 +55,26 @@ class TraversalSpec extends SparkSpec {
       .contains(Seq("a")))
   }
 
+  test("shortestPathsPairs runs all pairs in one batched frontier") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("a", "d"), ("b", "a"), ("a", "iso"), ("a", "a"), ("d", "c"))
+      .toDF("s", "t")
+    val out = Traversals.shortestPathsPairs(chain, pairs, maxDepth = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getSeq[String](2), r.getLong(3))).toMap
+    assert(out(("a", "d")) == (Seq("a", "c", "d"), 2L))
+    assert(out(("b", "a")) == (Seq("b", "c", "d", "a"), 3L))
+    assert(out(("a", "a")) == (Seq("a"), 0L))
+    assert(out(("d", "c")) == (Seq("d", "a", "c"), 2L))
+    assert(!out.contains(("a", "iso"))) // unreachable: no row
+    // results agree with the single-pair API
+    implicit val s = spark
+    assert(Traversals.shortestPathBetween(chain, "d", "c", 10)
+      .contains(Seq("d", "a", "c")))
+  }
+
   test("paths enumerates trails in [min..max] (edge-unique, Cypher-style)") {
     val out = Traversals.paths(chain, srcDf("a"), 1, 3)
       .collect().map(r => r.getSeq[String](0)).toSet
