@@ -33,6 +33,14 @@ final class GraftSession(val spark: SparkSession, initial: GraphState) {
         df.getOrElse(spark.emptyDataFrame)
       case QueryRouter.Sql =>
         spark.sql(query)
+      case QueryRouter.GraphQL =>
+        // reference parity: GraphQL is RECOGNIZED first (query_parser.rs:
+        // 33-51 tries the GraphQL grammar before Cypher/SQL) but its
+        // execution is unimplemented there too — a clear error, not a
+        // misclassification.
+        throw new ParseException(
+          "GraphQL query recognized, but GraphQL execution is not " +
+            "supported (use Cypher or SQL)")
       case QueryRouter.Unknown =>
         throw new ParseException(
           s"cannot classify query language: ${query.take(80)}")
@@ -59,14 +67,22 @@ final class GraftSession(val spark: SparkSession, initial: GraphState) {
       "embeddings" -> tables.embeddings)
       .foreach { case (n, df) => df.createOrReplaceTempView(n) }
 
-  /** Bulk insert of mixed vertices/edges in one job each (reference
-    * bulk_insert, rdb/datastore.rs:285-310: no per-row calls, and edge
-    * endpoints are NOT validated — mirrored here). */
-  def bulkInsert(vertices: DataFrame = null, edges: DataFrame = null)
-      : Unit = {
+  /** Bulk insert of mixed vertices/edges/properties in one job each
+    * (reference bulk_insert, rdb/datastore.rs:285-310: no per-row calls,
+    * and edge endpoints are NOT validated — mirrored here). The property
+    * DataFrames mirror BulkInsertItem::VertexProperty/EdgeProperty
+    * (models/src/bulk_insert.rs:6-15): rows of (id, key, value) keyed by
+    * the vertex/edge id. */
+  def bulkInsert(vertices: DataFrame = null, edges: DataFrame = null,
+      vertexProperties: DataFrame = null,
+      edgeProperties: DataFrame = null): Unit = {
     var st = state
     if (vertices != null) st = st.upsertVertices(vertices)
     if (edges != null) st = st.upsertEdges(edges)
+    if (vertexProperties != null)
+      st = st.setVertexPropertiesRows(vertexProperties)
+    if (edgeProperties != null)
+      st = st.setEdgePropertiesRows(edgeProperties)
     state = st
   }
 
@@ -112,11 +128,13 @@ object GraftSession {
 
 /** Heuristic query-language classifier, mirroring the reference's
   * token-based router (server/src/cli/query_classifier.rs:4-60: Cypher
-  * keywords beat SQL keywords, quote/comment-aware). */
+  * keywords beat SQL keywords, quote/comment-aware) plus its GraphQL-first
+  * detection (lib/src/query_parser/query_parser.rs:33-51). */
 object QueryRouter {
   sealed trait Lang
   case object Cypher extends Lang
   case object Sql extends Lang
+  case object GraphQL extends Lang
   case object Unknown extends Lang
 
   private val cypherKw = Set("match", "create", "merge", "unwind", "detach",
@@ -125,6 +143,13 @@ object QueryRouter {
     "create table", "drop table", "alter")
 
   def classify(q: String): Lang = {
+    // GraphQL first, like the reference (its grammar is the strictest):
+    // an operation keyword or a bare selection-set document
+    val t = q.trim
+    val gqlHead = "^(query|mutation|subscription|fragment)\\b.*".r
+    if (t.startsWith("{") ||
+        gqlHead.pattern.matcher(t.toLowerCase.replace('\n', ' ')).matches())
+      return GraphQL
     // strip string literals and comments before keyword scanning
     val stripped = q
       .replaceAll("'[^']*'", " ")

@@ -508,10 +508,40 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     case _             => false
   }
 
-  def compileReturn(frame: Frame, r: ReturnClause): DataFrame = {
-    val items = r.items.map { i =>
+  def compileReturn(frame0: Frame, r: ReturnClause): DataFrame = {
+    var frame = frame0
+    val items0 = r.items.map { i =>
       val name = i.alias.getOrElse(defaultName(i.expr))
       (name, i.expr)
+    }
+    // Non-identity list comprehensions over path elements —
+    // `[n IN nodes(p) | n.name]` (QE:109-113) — rewrite to a distributed
+    // explode → vertex join → ordered re-collect, bound as a fresh value
+    // var; the projection itself then compiles as a plain column.
+    val items = items0.map {
+      case (name, EListComp(v, src, EProp(pv, key))) if pv == v =>
+        fresh += 1
+        val bound = s"__lc$fresh"
+        val rowId = s"${bound}_row"
+        val srcCol = compileExpr(src, frame)
+        // localCheckpoint pins the row tag (monotonically_increasing_id
+        // is otherwise re-evaluated per plan branch)
+        val tagged = frame.df
+          .withColumn(rowId, monotonically_increasing_id())
+          .localCheckpoint()
+        val lookup = tagged
+          .select(col(rowId), posexplode(srcCol).as(Seq("__pos", "__elem")))
+          .join(g.vertices.select(col("id").as("__elem"),
+            element_at(col("properties"), key).as("__pval")),
+            Seq("__elem"), "left")
+          .groupBy(col(rowId))
+          .agg(transform(
+            array_sort(collect_list(struct(col("__pos"), col("__pval")))),
+            s => s.getField("__pval")).as(s"${bound}__val"))
+        frame = Frame(tagged.join(lookup, Seq(rowId), "left").drop(rowId),
+          frame.vars + (bound -> ValueVar))
+        (name, EVar(bound))
+      case other => other
     }
     val hasAgg = items.exists(i => containsAgg(i._2))
     var df =

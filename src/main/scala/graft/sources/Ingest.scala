@@ -73,27 +73,48 @@ object Ingest {
     GraphState(vertices, edges)
   }
 
-  /** Pipe-delimited HL7v2-ish message ingestion: each line a segment;
-    * messages split on MSH. Produces one vertex per message (label =
-    * message type from MSH-9) with segments as properties — the
-    * practical shape for downstream graph queries. */
+  /** Pipe-delimited HL7v2-ish message ingestion from files: one row per
+    * message (label = message type from MSH-9) with segments as
+    * properties. Reads wholetext (messages never span files), splits to
+    * (file, offset, line), and groups with a PER-FILE window — the
+    * message-boundary running sum shuffles on the file key and scales
+    * with the file count, never collapsing the corpus to one partition
+    * the way a global ORDER BY window would. */
+  def hl7Files(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("file"), col("value"))
+    val lines = files.select(col("file"),
+      posexplode(split(col("value"), "\\r?\\n")).as(Seq("offset", "value")))
+      .filter(length(trim(col("value"))) > 0)
+    hl7Messages(spark, lines)
+  }
+
+  /** Core HL7 grouping over (file, offset, value) line rows; messages
+    * split on MSH within each file, segment order preserved by offset. */
   def hl7Messages(spark: SparkSession, lines: DataFrame): DataFrame = {
+    val perFile = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file")).orderBy(col("offset"))
     val withMsg = lines
       .withColumn("is_msh", col("value").startsWith("MSH"))
-      .withColumn("msg_id",
-        sum(when(col("is_msh"), 1).otherwise(0))
-          .over(org.apache.spark.sql.expressions.Window
-            .orderBy(monotonically_increasing_id())))
-    withMsg
+      .withColumn("msg_seq",
+        sum(when(col("is_msh"), 1).otherwise(0)).over(perFile))
+    // two-level agg keeps map keys unique deterministically (first
+    // segment of each type per message wins, by in-file offset) —
+    // independent of spark.sql.mapKeyDedupPolicy
+    val segs = withMsg
       .withColumn("seg_type", substring(col("value"), 1, 3))
-      .groupBy(col("msg_id"))
+      .groupBy(col("file"), col("msg_seq"), col("seg_type"))
+      .agg(min_by(col("value"), col("offset")).as("seg_value"))
+    segs
+      .groupBy(col("file"), col("msg_seq"))
       .agg(
-        map_from_entries(collect_list(
-          struct(col("seg_type"), col("value")))).as("properties"),
-        max(when(col("is_msh"),
-          split(col("value"), "\\|").getItem(8))).as("msg_type"))
+        map_from_entries(array_sort(collect_list(
+          struct(col("seg_type"), col("seg_value"))))).as("properties"),
+        max(when(col("seg_type") === "MSH",
+          split(col("seg_value"), "\\|").getItem(8))).as("msg_type"))
       .select(
-        concat(lit("hl7:"), col("msg_id")).as("id"),
+        concat(lit("hl7:"), xxhash64(col("file")), lit(":"), col("msg_seq"))
+          .as("id"),
         coalesce(col("msg_type"), lit("HL7")).as("label"),
         col("properties"))
   }

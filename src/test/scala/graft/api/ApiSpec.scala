@@ -79,4 +79,38 @@ class ApiSpec extends SparkSpec {
     assert(sess.graph.vertices.count() == 1)
     assert(sess.graph.edges.count() == 1) // dangling edge accepted
   }
+
+  test("bulkInsert property items (BulkInsertItem::VertexProperty/EdgeProperty)") {
+    import spark.implicits._
+    val sess = GraftSession.empty(spark)
+    sess.bulkInsert(
+      vertices = vertexDf(("v1", "t", Map("old" -> "kept")),
+        ("v2", "t", Map.empty)),
+      edges = edgeDf(("e1", "v1", "v2", "knows")))
+    sess.bulkInsert(
+      vertexProperties = Seq(("v1", "rank", "7"), ("v2", "rank", "9"))
+        .toDF("id", "key", "value"),
+      edgeProperties = Seq(("e1", "weight", "0.5")).toDF("id", "key", "value"))
+    val vProps = sess.graph.vertices.collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](2)).toMap
+    assert(vProps("v1")("rank") == "7" && vProps("v1")("old") == "kept")
+    assert(vProps("v2")("rank") == "9")
+    val eProps = sess.graph.edges.collect().head.getMap[String, String](5)
+    assert(eProps("weight") == "0.5")
+  }
+
+  test("QueryRouter recognizes GraphQL first; execution gives a clear error") {
+    import QueryRouter._
+    assert(classify("query Hero { hero { name } }") == GraphQL)
+    assert(classify("{ user(id: 1) { name } }") == GraphQL)
+    assert(classify("mutation { addUser(name: \"x\") { id } }") == GraphQL)
+    // Cypher/SQL are untouched by the GraphQL-first check
+    assert(classify("MATCH (n) RETURN n") == Cypher)
+    assert(classify("select 1") == Sql)
+    val sess = GraftSession.empty(spark)
+    val err = intercept[graft.cypher.ParseException] {
+      sess.execute("query Hero { hero { name } }")
+    }
+    assert(err.getMessage.contains("GraphQL"))
+  }
 }

@@ -186,6 +186,16 @@ class CypherSpec extends SparkSpec {
     assert(rows.head.getSeq[String](0).length == 3)
   }
 
+  test("QE12 full form: non-identity comprehension projects properties") {
+    val rows = q(
+      """MATCH (alice:Person {id: "alice"}), (diana:Person {id: "diana"})
+        |MATCH path = shortestPath((alice)-[*..5]-(diana))
+        |RETURN [n IN nodes(path) | n.name] AS path_nodes""".stripMargin)
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getSeq[String](0) == Seq("Alice", "Bob", "Diana"))
+  }
+
   test("QE16/18: SET + REMOVE property cycle (D21/D23)") {
     val g2 = Cypher.execute(people,
       """MATCH (p:Person {id: "alice"}) SET p.age = 31""").state

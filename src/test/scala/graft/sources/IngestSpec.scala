@@ -54,16 +54,37 @@ class IngestSpec extends SparkSpec {
 
   test("HL7v2-ish segments group into typed message vertices") {
     val lines = Seq(
-      "MSH|^~\\&|SND|FAC|RCV|FAC2|202401010000||ADT^A01|123|P|2.5",
-      "PID|1||12345||Doe^John",
-      "MSH|^~\\&|SND|FAC|RCV|FAC2|202401020000||ORU^R01|124|P|2.5",
-      "OBX|1|NM|GLU||105").toDF("value")
-    val msgs = Ingest.hl7Messages(spark, lines).orderBy("id").collect()
+      ("f1", 0, "MSH|^~\\&|SND|FAC|RCV|FAC2|202401010000||ADT^A01|123|P|2.5"),
+      ("f1", 1, "PID|1||12345||Doe^John"),
+      ("f1", 2, "MSH|^~\\&|SND|FAC|RCV|FAC2|202401020000||ORU^R01|124|P|2.5"),
+      ("f1", 3, "OBX|1|NM|GLU||105"),
+      ("f1", 4, "OBX|2|NM|HBA1C||5.4") // repeated segment: first wins
+    ).toDF("file", "offset", "value")
+    val msgs = Ingest.hl7Messages(spark, lines)
+      .orderBy("id").collect()
     assert(msgs.length == 2)
-    assert(msgs(0).getString(1) == "ADT^A01")
-    assert(msgs(1).getString(1) == "ORU^R01")
-    val props = msgs(0).getMap[String, String](2)
-    assert(props.contains("PID"))
+    assert(msgs.map(_.getString(1)).toSet == Set("ADT^A01", "ORU^R01"))
+    val byType = msgs.map(m => m.getString(1) ->
+      m.getMap[String, String](2)).toMap
+    assert(byType("ADT^A01").contains("PID"))
+    assert(byType("ORU^R01")("OBX") == "OBX|1|NM|GLU||105")
+  }
+
+  test("HL7 file ingest windows per file — no single-partition exchange") {
+    val dir = Files.createTempDirectory("hl7").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.hl7"),
+      ("MSH|^~\\&|A|F|R|F2|t||ADT^A01|1|P|2.5\nPID|1||1||A^B\n")
+        .getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "b.hl7"),
+      ("MSH|^~\\&|B|F|R|F2|t||ORU^R01|2|P|2.5\nOBX|1|NM|GLU||99\n")
+        .getBytes)
+    val msgs = Ingest.hl7Files(spark, dir)
+    val plan = msgs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"per-file window must not serialize the corpus:\n$plan")
+    val rows = msgs.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(1)).toSet == Set("ADT^A01", "ORU^R01"))
   }
 
   test("GraphStore save/load round-trips a snapshot") {
