@@ -88,27 +88,36 @@ object Traversals {
     val edges = hopEdges(g, edgeTypes, undirected)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // `p` stays lazy: `self` is only read in the final union and
+      // `targets0` is checkpointed right below — one materialization.
       val p = pairs
         .select(col(pairs.columns(0)).as("__a"),
           col(pairs.columns(1)).as("__b"))
         .dropDuplicates("__a", "__b")
-        .localCheckpoint()
       val self = p.filter(col("__a") === col("__b"))
         .select(col("__a"), col("__b"), array(col("__a")).as("path"),
           lit(0L).as("length"))
-      var targets = p.filter(col("__a") =!= col("__b")).localCheckpoint()
+      val targets0 = p.filter(col("__a") =!= col("__b")).localCheckpoint()
+      // ONE materializing job per hop (the frontier expansion); hit
+      // extraction, target pruning and loop control all derive lazily
+      // from checkpointed inputs and driver-side counters — iterative
+      // Spark lives and dies by job count, not just shuffle size.
+      var remaining = targets0.count()
       // predecessor table: (source, id, depth, pred)
-      var visited = targets.select(col("__a").as("source"))
+      var visited = targets0.select(col("__a").as("source"))
         .dropDuplicates("source")
         .select(col("source"), col("source").as("id"), lit(0).as("depth"),
           lit(null).cast("string").as("pred"))
         .localCheckpoint()
       var frontier = visited.select("source", "id")
-      var found: DataFrame = null
+      var foundParts = List.empty[DataFrame] // each tiny + checkpointed
+      def targetsLeft: DataFrame = foundParts.foldLeft(targets0)((t, h) =>
+        t.join(h.select("__a", "__b"), Seq("__a", "__b"), "left_anti"))
       var depth = 0
-      while (depth < maxDepth && !targets.isEmpty && !frontier.isEmpty) {
+      var frontierEmpty = remaining == 0
+      while (depth < maxDepth && remaining > 0 && !frontierEmpty) {
         depth += 1
-        val nxt = frontier
+        val nxt0 = frontier
           .join(edges, frontier("id") === edges("src"))
           .groupBy(col("source"), col("dst"))
           .agg(min(col("src")).as("pred")) // deterministic predecessor
@@ -116,24 +125,30 @@ object Traversals {
             col("pred"))
           .join(visited.select("source", "id"), Seq("source", "id"),
             "left_anti")
-          .localCheckpoint()
+        val nxt = nxt0.localCheckpoint()
         visited = visited.union(nxt)
         if (depth % 3 == 0) visited = visited.localCheckpoint()
+        val tl = targetsLeft
         val hits = nxt
-          .join(targets, nxt("source") === targets("__a") &&
-            nxt("id") === targets("__b"))
+          .join(tl, nxt("source") === tl("__a") && nxt("id") === tl("__b"))
           .select(col("__a"), col("__b"), col("depth").cast("long")
             .as("length"))
           .localCheckpoint()
-        found = if (found == null) hits else found.union(hits)
-        targets = targets.join(hits.select("__a", "__b"), Seq("__a", "__b"),
-          "left_anti").localCheckpoint()
+        val nHits = hits.count()
+        if (nHits > 0) {
+          foundParts ::= hits
+          remaining -= nHits
+        }
         // sources with no outstanding targets stop expanding
-        frontier = nxt.select("source", "id")
-          .join(targets.select(col("__a").as("source")), Seq("source"),
+        frontier =
+          if (nHits == 0) nxt.select("source", "id")
+          else nxt.select("source", "id").join(
+            targetsLeft.select(col("__a").as("source")), Seq("source"),
             "left_semi")
+        frontierEmpty = nxt.isEmpty // cheap: nxt is checkpointed
       }
-      if (found == null) return self
+      if (foundParts.isEmpty) return self
+      val found = foundParts.reduce(_.union(_))
       val maxLen = found.agg(max(col("length"))).collect()
         .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toLong))
         .getOrElse(0L)
@@ -155,7 +170,7 @@ object Traversals {
           .select(col("__a"), col("__b"), col("length"),
             concat(array(col("pred")), col("path")).as("path"),
             col("pred").as("cur"))
-          .localCheckpoint()
+        working = working.localCheckpoint()
       }
       val finished = working.filter(col("cur") === col("__a"))
         .select(col("__a"), col("__b"), col("path"), col("length"))

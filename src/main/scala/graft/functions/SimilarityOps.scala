@@ -53,47 +53,25 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane components (splitmix64-style
-    * mix of (plane, dim) → [-0.5, 0.5)); reproducible with no stored
-    * model. Computed driver-side so each plane is ONE array literal and
-    * the signature is `planes` dot products, not planes×dim flat exprs
-    * (keeps codegen small and the scan single-pass). */
-  private def planeVector(p: Int, dim: Int): Array[Double] =
-    Array.tabulate(dim) { i =>
-      var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      (z % 1000000L).toDouble / 2000000.0
-    }
-
-  /** Random-hyperplane LSH signature (a bit per plane). Each sign bit is
-    * a native codegen'd dot product against a literal plane — no
-    * interpreted higher-order lambdas on this per-row path. */
-  def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column = {
-    val v = asDouble(vec)
-    val bits = (0 until planes).map { p =>
-      val d = dot(v, lit(planeVector(p, dim)))
-      when(d >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  /** Random-hyperplane LSH signature (a bit per plane): band 0 of the
+    * native all-planes-in-one-pass expression. */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column =
+    hyperplaneBandValues(vec, dim, planes, 1).getItem(0)
 
   /** Banded hyperplane sketches: `bands`×`planesPerBand` deterministic
     * hyperplanes; element i packs band i's sign bits into a long. Two
     * vectors are near-dup candidates iff they agree on ALL bits of at
     * least one band — the OR-of-ANDs banding that keeps recall high at
     * moderate thresholds where a single full-signature bucket would miss
-    * almost everything (P[all n bits agree] ≈ p^n). */
+    * almost everything (P[all n bits agree] ≈ p^n). One native expression
+    * computes every plane dot per row — a Column-composed version of the
+    * same thing breaks whole-stage codegen on size (see
+    * HyperplaneBandsExpr). */
   def hyperplaneBandValues(vec: Column, dim: Int, planesPerBand: Int,
       bands: Int): Column = {
-    val v = asDouble(vec)
-    array((0 until bands).map { b =>
-      (0 until planesPerBand).map { j =>
-        val d = dot(v, lit(planeVector(b * planesPerBand + j, dim)))
-        when(d >= 0, shiftleft(lit(1L), j)).otherwise(0L)
-      }.reduce(_.bitwiseOR(_))
-    }: _*)
+    import org.apache.spark.sql.graft.{shims, HyperplaneBandsExpr}
+    shims.column(HyperplaneBandsExpr(
+      shims.expression(asDouble(vec)), dim, planesPerBand, bands))
   }
 
   /** ANN via hyperplane-LSH buckets: candidates share the query's bucket;
@@ -190,18 +168,27 @@ object SimilarityOps {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, planesPerBand: Int = 4,
       bands: Int = 32): DataFrame = {
-    val vecs = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-    val banded = vecs.select(col("vid"),
-      posexplode(hyperplaneBandValues(col("v"), dim, planesPerBand, bands))
-        .as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"), col("vid").as("id1"))
-    val b = banded.select(col("band"), col("band_hash"), col("vid").as("id2"))
-    val cands = a.join(b, Seq("band", "band_hash"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
-    cands
-      .join(vecs.select(col("vid").as("id1"), col("v").as("v1")), Seq("id1"))
-      .join(vecs.select(col("vid").as("id2"), col("v").as("v2")), Seq("id2"))
+    import org.apache.spark.sql.graft.{shims, BandsFirstMatchExpr}
+    // Vectors + the full band sketch ride along through the bucket join
+    // (one shuffle of bands×|rows| keyed rows). A pair colliding in k
+    // bands appears k times, but is scored ONLY in its first matching
+    // band (native first-match filter, fused into the join's codegen
+    // stage) — every pair scores exactly once and no post-join dedup
+    // shuffle exists at all; after the join the plan is pure map-side.
+    val withBands = df.select(col(idCol).as("vid"),
+      asDouble(col(vecCol)).as("v"),
+      hyperplaneBandValues(asDouble(col(vecCol)), dim,
+        planesPerBand, bands).as("bands"))
+    val banded = withBands.select(col("vid"), col("v"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("vid").as("id1"), col("v").as("v1"), col("bands").as("bands1"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("vid").as("id2"), col("v").as("v2"), col("bands").as("bands2"))
+    val firstMatch = shims.column(BandsFirstMatchExpr(
+      shims.expression(col("bands1")), shims.expression(col("bands2"))))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2") && col("band") === firstMatch)
       .select(col("id1"), col("id2"),
         round(cosine(col("v1"), col("v2")), 6).as("score"))
       .filter(col("score") >= threshold)

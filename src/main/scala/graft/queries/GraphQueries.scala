@@ -153,7 +153,8 @@ object GraphQueries {
     val regions = g.vertices.filter(col("label") === "region")
       .select(col("id").as("dst"))
     val pairs = custs.crossJoin(regions) // 5 regions: broadcastable dim
-    graft.engine.Traversals.shortestPathsPairs(g, pairs, maxDepth = 2)
+    graft.engine.Traversals.shortestPathsPairs(g, pairs, maxDepth = 2,
+      edgeTypes = Seq("IN_NATION", "IN_REGION"))
       .select(col("__a").as("src"), col("__b").as("dst"),
         array_join(col("path"), ">").as("path"), col("length"))
       .orderBy(col("src"), col("dst"))

@@ -193,6 +193,111 @@ case class MinHashTextSigExpr(child: Expression, n: Int, k: Int)
       : MinHashTextSigExpr = copy(child = newChild)
 }
 
+/** All hyperplane-LSH band values in ONE per-row pass: `bands` packed
+  * longs, bit j of band b = sign of ⟨v, plane(b·planesPerBand+j)⟩. The
+  * Column-composed equivalent (bands×planesPerBand separate DotProductExpr
+  * trees over literal plane arrays) grows a codegen unit past the JVM
+  * method limit, knocking the WHOLE stage (including downstream cosine
+  * scoring) back to interpreted eval. Planes are derived from the same
+  * deterministic splitmix64 family as SimilarityOps.planeVector, and the
+  * dot is the same sequential left-to-right sum as DotProductExpr, so the
+  * band values are bit-identical to the compositional form. */
+case class HyperplaneBandsExpr(child: Expression, dim: Int,
+    planesPerBand: Int, bands: Int)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  private val planes: Array[Array[Double]] =
+    Array.tabulate(planesPerBand * bands) { p =>
+      Array.tabulate(dim) { i =>
+        var z = p.toLong * 0x9E3779B97F4A7C15L +
+          i.toLong * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        (z % 1000000L).toDouble / 2000000.0
+      }
+    }
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var packed = 0L
+      var j = 0
+      while (j < planesPerBand) {
+        val plane = planes(b * planesPerBand + j)
+        val n = math.min(v.length, plane.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += v(i) * plane(i); i += 1 }
+        if (acc >= 0) packed |= (1L << j)
+        j += 1
+      }
+      out(b) = packed
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HyperplaneBandsExpr = copy(child = newChild)
+}
+
+/** First index at which two ARRAY<LONG> band sketches are equal (-1 if
+  * none). Lets a banded-LSH self-join score each candidate pair exactly
+  * once — keep the (band, pair) row only when band == first matching
+  * band — turning the post-join pair dedup (a full shuffle of every
+  * bucket collision) into a codegen'd per-row filter. */
+case class BandsFirstMatchExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bands_first_match"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = $i; break; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BandsFirstMatchExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native codegen'd popcount(a ^ b) — see graft.functions.HammingDistance
   * for the public API and rationale. Lives here because ImplicitCastInputTypes
   * / AbstractDataType are private[sql]. */
