@@ -109,8 +109,10 @@ object DedupOps {
         .withColumnRenamed("set", "set2"), Seq("id2"))
       .withColumn("inter",
         size(array_intersect(col("set1"), col("set2"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") /
-        (size(col("set1")) + size(col("set2")) - col("inter")), 4))
+      // floor-truncation, not round(): pure function of the double bits,
+      // so any engine computing the same division agrees (Det convention)
+      .withColumn("jaccard", graft.queries.Det.floor4(col("inter") /
+        (size(col("set1")) + size(col("set2")) - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }

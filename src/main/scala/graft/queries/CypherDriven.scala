@@ -192,6 +192,40 @@ object CypherDriven {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Gap-based sessionization (30-min inactivity), batch form of the
+    * flatMapGroupsWithState streaming operator, vs a DuckDB
+    * gaps-and-islands oracle. Whole-second gap deltas keep the boundary
+    * decision precision-independent (parquet nanos vs Spark micros). */
+  val st02 = QueryDef.sql("st02_sessionization",
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR CAST(floor(epoch(ts)) AS BIGINT)
+      |         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), y AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_seq
+      |  FROM x)
+      |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM y GROUP BY 1, 2
+      |ORDER BY user_id, sess_seq""".stripMargin) { (s, dir) =>
+    graft.streaming.EventStreams
+      .sessionizeBatch(Tables(s, dir).events, gapSeconds = 1800)
+      .select(col("user_id"), col("sess_seq").cast("long"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_seq"))
+  }
+
   /** As-of join vs DuckDB's native ASOF JOIN: each click/view/etc. event
     * picks up the user's latest signup value at-or-before its timestamp.
     */
@@ -222,5 +256,5 @@ object CypherDriven {
 
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
-      cy12, st01, tj01)
+      cy12, st01, st02, tj01)
 }

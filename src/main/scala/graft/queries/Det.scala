@@ -24,6 +24,9 @@ object Det {
   /** Deterministic 2-decimal truncation: floor(x*100)/100. */
   def floor2(c: Column): Column = floor(c * 100).cast("double") / 100
 
+  /** Deterministic 4-decimal truncation (similarity scores). */
+  def floor4(c: Column): Column = floor(c * 10000).cast("double") / 10000
+
   /** Deterministic 2-decimal average: exact sum / count, floored. */
   def avgFloor2(c: Column): Column =
     floor2(moneySum(c) / count(lit(1)))
@@ -34,6 +37,8 @@ object Det {
     s"CAST(sum(CAST(($expr) AS DECIMAL(18,4))) AS DOUBLE)"
   def floor2Sql(expr: String): String =
     s"CAST(floor(($expr) * 100) AS DOUBLE) / 100"
+  def floor4Sql(expr: String): String =
+    s"CAST(floor(($expr) * 10000) AS DOUBLE) / 10000"
   def avgFloor2Sql(expr: String): String =
     floor2Sql(s"${moneySumSql(expr)} / count(*)")
 }

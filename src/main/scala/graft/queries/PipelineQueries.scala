@@ -120,6 +120,37 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** END-TO-END MinHash→LSH→Jaccard near-dedup vs an EXACT all-pairs
+    * DuckDB oracle: hash-matching proves the banded-minhash candidate
+    * generation has recall 1.0 at threshold 0.8 on this corpus (the
+    * planted near-dups sit at J ≥ 0.88, where a 16-band×4-row signature
+    * misses with probability ≈ (1−J⁴)¹⁶ < 1e-6). Candidate generation
+    * never leaves LSH buckets; only candidates are exact-verified. */
+  val d06 = QueryDef.sql("d06_jaccard_near_dups",
+    s"""WITH s AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |    ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |      FOR i IN generate_series(1, len(ws) - 2)]) END AS sh
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents))
+       |SELECT id1, id2, jaccard FROM (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    ${graft.queries.Det.floor4Sql(
+                """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  | / (len(a.sh) + len(b.sh)
+                  |    - len(list_intersect(a.sh, b.sh)))""".stripMargin)}
+       |      AS jaccard
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val sig = DedupOps.minhashSignature(docs, "doc_id", "text", n = 3, k = 64)
+    val cands = DedupOps.candidatePairs(
+      DedupOps.lshBands(sig, "doc_id", bands = 16), "doc_id")
+    DedupOps.jaccardVerify(cands, docs, "doc_id", "text", n = 3,
+        threshold = 0.8)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Exact brute-force cosine top-5 for the first 10 vectors — the ANN
     * baseline, oracle-checked against DuckDB's list_dot_product. */
   val s01 = QueryDef.sql("s01_cosine_topk",
@@ -203,5 +234,6 @@ object PipelineQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, d01, d02, d03, d04, d05, s01, s02, s03, m01)
+    Seq(t01, t02, t03, t04, d01, d02, d03, d04, d05, d06, s01, s02, s03,
+      m01)
 }

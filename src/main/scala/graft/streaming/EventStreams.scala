@@ -91,6 +91,98 @@ object EventStreams {
       }.toDF()
   }
 
+  final case class SessionState(startMicros: Long, endMicros: Long,
+      n: Long)
+  final case class SessionOut(user_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Gap-based sessionization, batch form (gaps-and-islands): a new
+    * session starts when the whole-second delta to the previous event
+    * exceeds `gapSeconds`. One shuffle on user_id; the running flags are
+    * per-key window functions. Whole-second deltas keep the boundary
+    * decision identical across engines regardless of sub-second timestamp
+    * precision (parquet nanos vs Spark micros). */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("ts").cast("long") - col("__prev").cast("long") > gapSeconds, 1)
+        .otherwise(0))
+      .withColumn("sess_seq", sum(col("__new")).over(run))
+      .groupBy(col("user_id"), col("sess_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Gap-based sessionization, streaming form: per-user open-session
+    * state via flatMapGroupsWithState with an event-time timeout.
+    * Sessions closed by a later event emit immediately; the open session
+    * emits when the watermark passes its end + gap. Batch and streaming
+    * forms produce identical sessions (asserted in the spec) — the same
+    * whole-second gap rule on both paths. */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long,
+      watermark: String = "0 seconds")(implicit spark: SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    def tsOf(micros: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(micros / 1000000 * 1000)
+      t.setNanos((micros % 1000000).toInt * 1000)
+      t
+    }
+    def microsOf(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    }
+    def out(uid: Long, s: SessionState): SessionOut =
+      SessionOut(uid, tsOf(s.startMicros), tsOf(s.endMicros), s.n)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(out(uid, s))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val micros = microsOf(e.ts)
+              open match {
+                case Some(s)
+                    if micros / 1000000 - s.endMicros / 1000000
+                      <= gapSeconds =>
+                  open = Some(SessionState(s.startMicros,
+                    math.max(s.endMicros, micros), s.n + 1))
+                case Some(s) =>
+                  closed += out(uid, s)
+                  open = Some(SessionState(micros, micros, 1))
+                case None =>
+                  open = Some(SessionState(micros, micros, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                s.endMicros / 1000 + gapSeconds * 1000 + 1)
+            }
+            closed.result().iterator
+          }
+      }.toDF()
+  }
+
   /** Drive any of the above as a real streaming query from a parquet dir,
     * landing results in an in-memory table — used by tests and as the
     * template for production sinks (kafka/parquet/foreachBatch). */

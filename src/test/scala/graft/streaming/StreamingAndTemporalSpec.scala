@@ -47,6 +47,32 @@ class StreamingAndTemporalSpec extends SparkSpec {
     assert(mismatch.count() == 0)
   }
 
+  test("sessionization: streaming flatMapGroupsWithState matches batch") {
+    implicit val s = spark
+    val streamed = EventStreams.runToMemory(spark, eventsDir,
+      "sessions", df => EventStreams.sessionizeStream(df, 1800),
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    val batchDf = EventStreams.sessionizeBatch(
+      graft.sources.Tables(spark, sf("sf0.001")).events, 1800)
+    val batch = batchDf
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    // every streamed session is exactly a batch session...
+    val phantom = streamed -- batch
+    assert(phantom.isEmpty, s"streamed-only sessions: ${phantom.take(3)}")
+    // ...and everything flushes except (at most) the per-user session
+    // still open at the final watermark
+    val nUsers = batch.map(_._1).size
+    assert(streamed.size >= batch.size - nUsers)
+    assert(streamed.nonEmpty)
+  }
+
   private val logSchema = StructType(Seq(
     StructField("id", StringType), StructField("ts", TimestampType),
     StructField("op", StringType), StructField("payload", StringType)))
