@@ -190,7 +190,8 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       .select(col(s"${aVar}__id"), col(s"${bVar}__id")).distinct()
     val pathsDf = Traversals.shortestPathsPairs(g, pairs, maxDepth,
         edgeTypes = rp.types, undirected = rp.direction == 0)
-      .select(col("__a"), col("__b"), col("path").as(s"${pVar}__path"))
+      .select(col("__a"), col("__b"), col("path").as(s"${pVar}__path"),
+        col("epath").as(s"${pVar}__epath"))
     Frame(
       frame.df.join(pathsDf,
         col(s"${aVar}__id") === col("__a") &&
@@ -334,7 +335,12 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       case "coalesce"  => coalesce(args.map(compileExpr(_, frame)): _*)
       case "head"      => element_at(compileExpr(args.head, frame), 1)
       case "last"      => element_at(compileExpr(args.head, frame), -1)
-      case "nodes" | "relationships" => compileExpr(args.head, frame)
+      case "nodes" => compileExpr(args.head, frame)
+      case "relationships" => args.head match {
+        case EVar(v) if frame.vars.get(v).contains(PathVar) =>
+          col(s"${v}__epath")
+        case other => compileExpr(other, frame)
+      }
       case "keys" => args.head match {
         case EVar(v) => map_keys(col(s"${v}__props"))
         case EProp(v, k) => map_keys(element_at(col(s"${v}__props"), k))
@@ -515,11 +521,30 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       (name, i.expr)
     }
     // Non-identity list comprehensions over path elements —
-    // `[n IN nodes(p) | n.name]` (QE:109-113) — rewrite to a distributed
-    // explode → vertex join → ordered re-collect, bound as a fresh value
-    // var; the projection itself then compiles as a plain column.
+    // `[n IN nodes(p) | n.name]`, `[r IN relationships(p) | type(r)]`
+    // (QE:109-113) — rewrite to a distributed explode → vertex/edge join
+    // → ordered re-collect, bound as a fresh value var; the projection
+    // itself then compiles as a plain column.
+    def elementValue(src: Expr, v: String, proj: Expr)
+        : Option[DataFrame] = {
+      val overEdges = src match {
+        case EFunc("relationships", _, _) => true
+        case _                            => false
+      }
+      val table = if (overEdges) g.edges else g.vertices
+      proj match {
+        case EProp(pv, key) if pv == v => Some(table.select(
+          col("id").as("__elem"),
+          element_at(col("properties"), key).as("__pval")))
+        case EFunc("type", Seq(EVar(pv)), _) if pv == v && overEdges =>
+          Some(table.select(col("id").as("__elem"),
+            col("edge_type").as("__pval")))
+        case _ => None
+      }
+    }
     val items = items0.map {
-      case (name, EListComp(v, src, EProp(pv, key))) if pv == v =>
+      case (name, EListComp(v, src, proj))
+          if elementValue(src, v, proj).isDefined =>
         fresh += 1
         val bound = s"__lc$fresh"
         val rowId = s"${bound}_row"
@@ -531,9 +556,7 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
           .localCheckpoint()
         val lookup = tagged
           .select(col(rowId), posexplode(srcCol).as(Seq("__pos", "__elem")))
-          .join(g.vertices.select(col("id").as("__elem"),
-            element_at(col("properties"), key).as("__pval")),
-            Seq("__elem"), "left")
+          .join(elementValue(src, v, proj).get, Seq("__elem"), "left")
           .groupBy(col(rowId))
           .agg(transform(
             array_sort(collect_list(struct(col("__pos"), col("__pval")))),

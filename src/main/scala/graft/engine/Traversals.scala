@@ -71,8 +71,9 @@ object Traversals {
 
   /** Batched multi-source unweighted shortest paths with distributed path
     * reconstruction. `pairs`: two string columns (source id, target id);
-    * returns (src, dst, path ARRAY<STRING>, length) — one row per pair
-    * whose target is reachable within maxDepth, no rows otherwise.
+    * returns (src, dst, path ARRAY<STRING> of vertex ids, epath
+    * ARRAY<STRING> of edge ids, length) — one row per pair whose target
+    * is reachable within maxDepth, no rows otherwise.
     *
     * ALL pairs advance through ONE frontier DataFrame keyed by
     * (source, vertex): a MATCH producing thousands of endpoint pairs runs
@@ -96,18 +97,19 @@ object Traversals {
         .dropDuplicates("__a", "__b")
       val self = p.filter(col("__a") === col("__b"))
         .select(col("__a"), col("__b"), array(col("__a")).as("path"),
-          lit(0L).as("length"))
+          array().cast("array<string>").as("epath"), lit(0L).as("length"))
       val targets0 = p.filter(col("__a") =!= col("__b")).localCheckpoint()
       // ONE materializing job per hop (the frontier expansion); hit
       // extraction, target pruning and loop control all derive lazily
       // from checkpointed inputs and driver-side counters — iterative
       // Spark lives and dies by job count, not just shuffle size.
       var remaining = targets0.count()
-      // predecessor table: (source, id, depth, pred)
+      // predecessor table: (source, id, depth, pred, prededge)
       var visited = targets0.select(col("__a").as("source"))
         .dropDuplicates("source")
         .select(col("source"), col("source").as("id"), lit(0).as("depth"),
-          lit(null).cast("string").as("pred"))
+          lit(null).cast("string").as("pred"),
+          lit(null).cast("string").as("prededge"))
         .localCheckpoint()
       var frontier = visited.select("source", "id")
       var foundParts = List.empty[DataFrame] // each tiny + checkpointed
@@ -120,9 +122,13 @@ object Traversals {
         val nxt0 = frontier
           .join(edges, frontier("id") === edges("src"))
           .groupBy(col("source"), col("dst"))
-          .agg(min(col("src")).as("pred")) // deterministic predecessor
+          // deterministic predecessor: min vertex, then min edge id
+          // between that predecessor and the vertex
+          .agg(min(col("src")).as("pred"),
+            min_by(col("eid"), struct(col("src"), col("eid")))
+              .as("prededge"))
           .select(col("source"), col("dst").as("id"), lit(depth).as("depth"),
-            col("pred"))
+            col("pred"), col("prededge"))
           .join(visited.select("source", "id"), Seq("source", "id"),
             "left_anti")
         val nxt = nxt0.localCheckpoint()
@@ -154,29 +160,34 @@ object Traversals {
         .getOrElse(0L)
       // walk predecessors backward, all pairs at once; finished rows
       // (cur == source) retire from the working set each round
-      val preds = visited.select(col("source"), col("id"), col("pred"))
+      val preds = visited.select(col("source"), col("id"), col("pred"),
+        col("prededge"))
       var working = found.select(col("__a"), col("__b"), col("length"),
-        array(col("__b")).as("path"), col("__b").as("cur"))
+        array(col("__b")).as("path"),
+        array().cast("array<string>").as("epath"), col("__b").as("cur"))
       var done: DataFrame = null
       var i = 0L
       while (i < maxLen && !working.isEmpty) {
         i += 1
         val fin = working.filter(col("cur") === col("__a"))
-          .select(col("__a"), col("__b"), col("path"), col("length"))
+          .select(col("__a"), col("__b"), col("path"), col("epath"),
+            col("length"))
         done = if (done == null) fin else done.union(fin)
         working = working.filter(col("cur") =!= col("__a"))
           .join(preds, col("cur") === preds("id") &&
             col("__a") === preds("source"))
           .select(col("__a"), col("__b"), col("length"),
             concat(array(col("pred")), col("path")).as("path"),
+            concat(array(col("prededge")), col("epath")).as("epath"),
             col("pred").as("cur"))
         working = working.localCheckpoint()
       }
       val finished = working.filter(col("cur") === col("__a"))
-        .select(col("__a"), col("__b"), col("path"), col("length"))
+        .select(col("__a"), col("__b"), col("path"), col("epath"),
+          col("length"))
       done = if (done == null) finished else done.union(finished)
       self.union(done.select(col("__a"), col("__b"), col("path"),
-        col("length")))
+        col("epath"), col("length")))
     } finally edges.unpersist()
   }
 

@@ -18,6 +18,17 @@ object TextOps {
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** BPE-style pre-tokenizer count over normalized text: runs of
+    * letters, runs of digits, and runs of other symbols — each
+    * optionally absorbing one preceding space (the GPT-2 pre-tokenizer
+    * shape, restricted to a regex family whose leftmost-first semantics
+    * are identical in Java regex and RE2, so the DuckDB oracle agrees
+    * byte-for-byte). A better LLM token-cost proxy than whitespace
+    * words: punctuation and digit runs count separately. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(normalize(text),
+      lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0))).cast("long")
+
   /** Deterministic document fingerprint (md5 of normalized text).
     * The content-hash basis for exact dedup. */
   def fingerprint(text: Column): Column = md5(normalize(text))

@@ -29,6 +29,19 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-style pre-tokenizer counts (letter runs / digit runs / symbol
+    * runs, one optional leading space each) — the LLM token-cost proxy.
+    */
+  val t05 = QueryDef.sql("t05_bpe_tokens",
+    s"""SELECT doc_id, CAST(len(regexp_extract_all($normSql,
+       |  ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality-scoring metrics (char count, punctuation, mean word len). */
   val t02 = QueryDef.sql("t02_quality_metrics",
     """SELECT doc_id,
@@ -234,6 +247,6 @@ object PipelineQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, d01, d02, d03, d04, d05, d06, s01, s02, s03,
-      m01)
+    Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, s01, s02,
+      s03, m01)
 }

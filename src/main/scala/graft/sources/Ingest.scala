@@ -134,4 +134,26 @@ object GraphStore {
     GraphState(
       spark.read.parquet(s"$dir/vertices"),
       spark.read.parquet(s"$dir/edges"))
+
+  /** The 100 TB layout: vertices partitioned by label (label scans
+    * prune to one directory — the on-disk form of the constant-folded
+    * label filter), edges bucketed + sorted by src (frontier/pipe joins
+    * shuffle ONLY the frontier side; a traversal join against the edge
+    * table needs no edge shuffle at any scale). Registered as tables
+    * because bucketing metadata lives in the catalog. */
+  def saveBucketed(g: GraphState, spark: SparkSession, name: String,
+      dir: String, buckets: Int = 64): Unit = {
+    g.vertices.write.mode("overwrite")
+      .partitionBy("label")
+      .option("path", s"$dir/vertices")
+      .saveAsTable(s"${name}_vertices")
+    g.edges.write.mode("overwrite")
+      .bucketBy(buckets, "src").sortBy("src")
+      .option("path", s"$dir/edges")
+      .saveAsTable(s"${name}_edges")
+  }
+
+  def loadBucketed(spark: SparkSession, name: String): GraphState =
+    GraphState(spark.table(s"${name}_vertices"),
+      spark.table(s"${name}_edges"))
 }

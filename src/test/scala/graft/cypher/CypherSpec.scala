@@ -186,14 +186,16 @@ class CypherSpec extends SparkSpec {
     assert(rows.head.getSeq[String](0).length == 3)
   }
 
-  test("QE12 full form: non-identity comprehension projects properties") {
+  test("QE12 full form: property + relationship-type comprehensions") {
     val rows = q(
       """MATCH (alice:Person {id: "alice"}), (diana:Person {id: "diana"})
         |MATCH path = shortestPath((alice)-[*..5]-(diana))
-        |RETURN [n IN nodes(path) | n.name] AS path_nodes""".stripMargin)
-      .collect()
+        |RETURN [n IN nodes(path) | n.name] AS path_nodes,
+        |       [r IN relationships(path) | type(r)] AS edge_types"""
+        .stripMargin).collect()
     assert(rows.length == 1)
     assert(rows.head.getSeq[String](0) == Seq("Alice", "Bob", "Diana"))
+    assert(rows.head.getSeq[String](1) == Seq("KNOWS", "WORKS_WITH"))
   }
 
   test("QE16/18: SET + REMOVE property cycle (D21/D23)") {

@@ -60,6 +60,40 @@ class ScaleSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("bucketed graph store: label partition pruning + shuffle-free edge side") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_gs").toString
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val g = graft.sources.TpchGraph(
+        graft.sources.Tables(spark, sf("sf0.001")))
+      graft.sources.GraphStore.saveBucketed(g, spark, "gs", wh, buckets = 8)
+      val loaded = graft.sources.GraphStore.loadBucketed(spark, "gs")
+      // vertices partitioned by label: a label scan prunes on disk
+      val scan = loaded.vertices.filter(col("label") === "customer")
+      val scanPlan = scan.queryExecution.executedPlan.toString
+      assert(scanPlan.contains("PartitionFilters") &&
+        scanPlan.contains("label"),
+        s"label scan should prune partitions:\n$scanPlan")
+      assert(scan.count() == g.vertices
+        .filter(col("label") === "customer").count())
+      // traversal-shaped join (frontier ⋈ edges on src): the bucketed
+      // edge side must NOT shuffle — only the frontier side exchanges
+      val frontier = loaded.vertices.filter(col("label") === "customer")
+        .select(col("id").as("fid"))
+      val hop = frontier.join(loaded.edges, col("fid") === col("src"))
+      val hopPlan = hop.queryExecution.executedPlan.toString
+      val nExchanges = "Exchange".r.findAllIn(hopPlan).length
+      assert(nExchanges <= 1,
+        s"expected at most one (frontier-side) exchange:\n$hopPlan")
+      assert(hop.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS gs_vertices")
+      spark.sql("DROP TABLE IF EXISTS gs_edges")
+    }
+  }
+
   test("GraftExtensions wires hamming64 through the injection point") {
     // getOrCreate reuses the shared test session (extensions only apply
     // at session construction), so exercise the injection surface

@@ -60,15 +60,20 @@ class TraversalSpec extends SparkSpec {
     val pairs = Seq(
       ("a", "d"), ("b", "a"), ("a", "iso"), ("a", "a"), ("d", "c"))
       .toDF("s", "t")
-    val out = Traversals.shortestPathsPairs(chain, pairs, maxDepth = 10)
+    val rows = Traversals.shortestPathsPairs(chain, pairs, maxDepth = 10)
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getSeq[String](2), r.getLong(3))).toMap
+    val out = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getSeq[String](2), r.getLong(4))).toMap
     assert(out(("a", "d")) == (Seq("a", "c", "d"), 2L))
     assert(out(("b", "a")) == (Seq("b", "c", "d", "a"), 3L))
     assert(out(("a", "a")) == (Seq("a"), 0L))
     assert(out(("d", "c")) == (Seq("d", "a", "c"), 2L))
     assert(!out.contains(("a", "iso"))) // unreachable: no row
+    // edge ids along each path accompany the vertex ids
+    val epaths = rows.map(r => (r.getString(0), r.getString(1)) ->
+      r.getSeq[String](3)).toMap
+    assert(epaths(("a", "d")) == Seq("e4", "e3")) // a-[e4]->c-[e3]->d
+    assert(epaths(("a", "a")) == Seq())
     // results agree with the single-pair API
     implicit val s = spark
     assert(Traversals.shortestPathBetween(chain, "d", "c", 10)
