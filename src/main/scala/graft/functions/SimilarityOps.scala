@@ -97,18 +97,22 @@ object SimilarityOps {
 
   /** IVF (inverted-file) ANN: corpus pre-partitioned into `nlist` cells
     * by nearest coarse centroid; queries probe their `nprobe` nearest
-    * cells and exact-rerank inside them. Centroids are deterministic —
-    * the first `nlist` corpus vectors by id (a k-means refinement slots
-    * in without changing the query path). With nprobe == nlist this is
-    * exhaustive and must equal brute force (tested invariant). */
+    * cells and exact-rerank inside them. Seed centroids are the first
+    * `nlist` corpus vectors by id; `kmeansIters` Lloyd iterations refine
+    * them distributedly (assignment is one scan; the per-cell mean uses
+    * exact DECIMAL sums so centroids are bit-deterministic regardless of
+    * partition order). With nprobe == nlist this is exhaustive and must
+    * equal brute force for ANY centroids (tested invariant). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4)
-      : DataFrame = {
-    val cents: Array[(Int, Seq[Double])] = corpus
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 0): DataFrame = {
+    val seed: Array[(Int, Seq[Double])] = corpus
       .orderBy(col(idCol)).limit(nlist)
       .select(asDouble(col(vecCol))).collect()
       .map(_.getSeq[Double](0)).zipWithIndex
       .map { case (v, i) => (i, v) }
+    val cents: Array[(Int, Seq[Double])] =
+      refineCentroids(corpus, vecCol, seed, kmeansIters)
     // (distance, cell) pairs sorted ascending — ties break on cell id,
     // so assignment and probing are deterministic. Distance uses the
     // expansion ‖v−c‖² = ‖c‖² − 2⟨v,c⟩ + ‖v‖²; the ‖v‖² term is
@@ -140,6 +144,44 @@ object SimilarityOps {
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Lloyd refinement of IVF centroids: assign every corpus vector to
+    * its nearest centroid (same deterministic rule as the query path),
+    * then recompute each cell's element-wise mean with exact DECIMAL
+    * sums (shuffle-order independent). Per iteration: one corpus scan +
+    * one (cell, dim)-keyed aggregation of nlist×dim rows; the collected
+    * centroid set is bounded by nlist×dim doubles. Empty cells keep
+    * their previous centroid. */
+  private def refineCentroids(corpus: DataFrame, vecCol: String,
+      seed: Array[(Int, Seq[Double])], iters: Int)
+      : Array[(Int, Seq[Double])] = {
+    var cents = seed
+    (0 until iters).foreach { _ =>
+      def nearest(v: Column): Column = {
+        val pairs = array(cents.map { case (i, cvec) =>
+          val c2 = cvec.map(x => x * x).sum
+          struct((lit(c2) - lit(2.0d) * dot(v, lit(cvec.toArray))).as("d"),
+            lit(i).as("cell"))
+        }: _*)
+        array_sort(pairs).getItem(0).getField("cell")
+      }
+      val assigned = corpus.select(asDouble(col(vecCol)).as("v"))
+        .select(col("v"), nearest(col("v")).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg((sum(col("x").cast(org.apache.spark.sql.types
+          .DecimalType(28, 14))) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(
+          struct(col("dim"), col("m")))), s => s.getField("m")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
+    }
+    cents
   }
 
   /** Exact embedding-cosine near-duplicate pairs (id1 < id2): the

@@ -112,4 +112,17 @@ class TraversalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(cc("a") == cc("d") && cc("iso") != cc("a"))
   }
+
+  test("GraphX bridge: pageRank and degrees") {
+    implicit val s = spark
+    val pr = GraphXBridge.pageRank(chain)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // every vertex in the a->b->c->d->a cycle outranks the isolated one
+    assert(Seq("a", "b", "c", "d").forall(v => pr(v) > pr("iso")))
+    // c has two in-edges (from b and the a->c shortcut): top-ranked
+    assert(pr("c") == pr.values.max)
+    val deg = GraphXBridge.degrees(chain)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(deg("a") == 3 && deg("c") == 3 && deg.get("iso").isEmpty)
+  }
 }

@@ -77,6 +77,21 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(partial.forall(_.getLong(3) <= 5))
   }
 
+  test("IVF k-means refinement keeps the exhaustive-probe invariant, deterministically") {
+    val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
+    val q = emb.filter(col("vec_id") < 3)
+    def run() = SimilarityOps.ivfTopK(emb, q, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 8, kmeansIters = 2)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val refined = run()
+    val brute = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(refined == brute) // exhaustive probe == brute force, any centroids
+    assert(run() == refined) // DECIMAL-sum means → bit-deterministic
+  }
+
   test("LSH near-dup pairs equal the exact baseline, with no cartesian") {
     val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
     val lsh = SimilarityOps.cosineNearDupPairs(
