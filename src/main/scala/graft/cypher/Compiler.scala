@@ -459,7 +459,32 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       vars = named.map { case (n, e) => n -> carriedKind(e, frame) }.toMap
     }
     val f2 = Frame(df, vars)
-    w.where.fold(f2)(wx => Frame(f2.df.filter(compileExpr(wx, f2)), vars))
+    val f3 =
+      w.where.fold(f2)(wx => Frame(f2.df.filter(compileExpr(wx, f2)), vars))
+    // mid-pipeline ORDER BY + SKIP/LIMIT: the point is top-k/paging
+    // BEFORE later clauses (downstream joins do not preserve order —
+    // standard Cypher semantics). Exprs compile in the post-projection
+    // frame, so they reference the WITH aliases.
+    if (w.orderBy.isEmpty && w.skip.isEmpty && w.limit.isEmpty) f3
+    else {
+      var d = f3.df
+      if (w.orderBy.nonEmpty) {
+        val sortCols = w.orderBy.flatMap { case (e, asc) =>
+          val c = compileExpr(e, f3)
+          e match {
+            case _: EProp => // stringified props order numerically first
+              val num = c.try_cast("double")
+              Seq(if (asc) num.asc_nulls_last else num.desc_nulls_last,
+                if (asc) c.asc else c.desc)
+            case _ => Seq(if (asc) c.asc else c.desc)
+          }
+        }
+        d = d.orderBy(sortCols: _*)
+      }
+      w.skip.foreach(n => d = d.offset(n.toInt))
+      w.limit.foreach(n => d = d.limit(n.toInt))
+      Frame(d, f3.vars)
+    }
   }
 
   private implicit class Pipe[A](a: A) {

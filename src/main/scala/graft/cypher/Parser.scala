@@ -126,8 +126,11 @@ final class Parser(toks: Vector[Parser.Tok]) {
         case TKw("WITH") =>
           eatKw("WITH")
           val items = parseReturnItems()
+          val orderBy = parseOrderBy()
+          val skip = if (tryKw("SKIP")) Some(parseNum()) else None
+          val limit = if (tryKw("LIMIT")) Some(parseNum()) else None
           val where = if (tryKw("WHERE")) Some(parseExpr()) else None
-          clauses += WithClause(items, where)
+          clauses += WithClause(items, where, orderBy, skip, limit)
         case TKw("CREATE") =>
           next()
           clauses += CreateClause(parsePatterns())
@@ -373,9 +376,7 @@ final class Parser(toks: Vector[Parser.Tok]) {
     items.toSeq
   }
 
-  private def parseReturn(): ReturnClause = {
-    val distinct = tryKw("DISTINCT")
-    val items = parseReturnItems()
+  private def parseOrderBy(): Seq[(Expr, Boolean)] = {
     val orderBy = ArrayBuffer[(Expr, Boolean)]()
     if (tryKw("ORDER")) {
       eatKw("BY")
@@ -389,9 +390,16 @@ final class Parser(toks: Vector[Parser.Tok]) {
         more = trySym(",")
       }
     }
+    orderBy.toSeq
+  }
+
+  private def parseReturn(): ReturnClause = {
+    val distinct = tryKw("DISTINCT")
+    val items = parseReturnItems()
+    val orderBy = parseOrderBy()
     val skip = if (tryKw("SKIP")) Some(parseNum()) else None
     val limit = if (tryKw("LIMIT")) Some(parseNum()) else None
-    ReturnClause(distinct, items, orderBy.toSeq, skip, limit)
+    ReturnClause(distinct, items, orderBy, skip, limit)
   }
 
   private def parseNum(): Long = next() match {

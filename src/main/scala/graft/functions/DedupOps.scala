@@ -117,10 +117,51 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** SimHash near-dup pairs with GUARANTEED full recall: split the
+    * 64-bit signature into `maxDistance + 1` bit-bands — two signatures
+    * within hamming distance d differ in at most d bands, so by
+    * pigeonhole they AGREE on at least one band and meet in its bucket.
+    * Candidates are verified with the native hamming64; each pair is
+    * kept only in its first matching band (no post-join dedup shuffle —
+    * same discipline as the cosine LSH path). Equality with the
+    * all-pairs result is a theorem, not a tuning outcome (tested). */
+  def simhashNearDupsBanded(sig: DataFrame, idCol: String,
+      maxDistance: Int = 8): DataFrame = {
+    val bands = maxDistance + 1
+    val width = 64 / bands // trailing remainder bits join the last band
+    def bandVal(h: Column, b: Int): Column = {
+      val lo = b * width
+      val w = if (b == bands - 1) 64 - lo else width
+      // logical shift; mask the band's bits (w < 64 here since bands>=2)
+      shiftrightunsigned(h, lo).bitwiseAND((1L << w) - 1)
+    }
+    val banded = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        bandVal(col("simhash"), b)): _*)).as(Seq("band", "band_val")))
+    val a = banded.select(col("band"), col("band_val"),
+      col(idCol).as("id1"), col("simhash").as("h1"))
+    val b = banded.select(col("band"), col("band_val"),
+      col(idCol).as("id2"), col("simhash").as("h2"))
+    val joined = a.join(b, Seq("band", "band_val"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("distance",
+        HammingDistance.hamming64(col("h1"), col("h2")))
+      .filter(col("distance") <= maxDistance)
+    // keep each pair only in its FIRST agreeing band (nested CASE
+    // checking band 0 outermost), so no post-join dedup is needed
+    val firstMatch = (0 until bands).reverse.foldLeft(lit(-1)) {
+      (rest, bi) =>
+        when(bandVal(col("h1"), bi) === bandVal(col("h2"), bi), lit(bi))
+          .otherwise(rest)
+    }
+    joined.filter(col("band") === firstMatch)
+      .select(col("id1"), col("id2"), col("distance"))
+  }
+
   /** SimHash near-dup pairs: bucket by the signature's high bytes (cheap
     * pre-filter), then exact hamming distance via the native codegen'd
-    * HammingDistance expression. For a full-recall pass, bucket by k
-    * rotated bit-bands instead of one prefix. */
+    * HammingDistance expression. For guaranteed recall use
+    * [[simhashNearDupsBanded]]. */
   def simhashNearDups(sig: DataFrame, idCol: String,
       maxDistance: Int = 8, bucketBits: Int = 16): DataFrame = {
     val bucket =

@@ -183,6 +183,34 @@ object EventStreams {
       }.toDF()
   }
 
+  /** Streaming graph ingestion: each micro-batch projects to vertex rows
+    * and upserts into the session's GraphState via foreachBatch — the
+    * streaming write path for graph mutations (the reference's
+    * ChangeTracker append analogue, but with set-oriented batch upserts
+    * instead of row-at-a-time calls). The projection is materialized
+    * with localCheckpoint BEFORE the upsert: the snapshot must not
+    * retain lineage into a micro-batch DataFrame that expires with its
+    * trigger. */
+  def graphUpsertSink(spark: SparkSession, sourceDir: String,
+      session: graft.api.GraftSession,
+      toVertices: DataFrame => DataFrame): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(StructType(eventSchema.map {
+        case f if f.name == "ts" => StructField("ts", LongType)
+        case f => f
+      }))
+      .parquet(sourceDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        session.bulkInsert(vertices = toVertices(batch).localCheckpoint())
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive any of the above as a real streaming query from a parquet dir,
     * landing results in an in-memory table — used by tests and as the
     * template for production sinks (kafka/parquet/foreachBatch). */

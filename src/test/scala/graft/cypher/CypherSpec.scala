@@ -311,6 +311,24 @@ class CypherSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("Alice", 2), ("Bob", 2)))
   }
 
+  test("WITH ORDER BY + LIMIT does mid-pipeline top-k") {
+    val rows = q(
+      """MATCH (p:Person)-[r:KNOWS]->()
+        |WITH p, count(r) AS n ORDER BY n DESC, p.id LIMIT 1
+        |MATCH (p)-[:KNOWS]->(f)
+        |RETURN p.name AS name, f.name AS friend ORDER BY friend"""
+        .stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // Alice has the most KNOWS edges; top-1 kept, then re-expanded
+    assert(rows.toSeq == Seq(("Alice", "Bob"), ("Alice", "Charlie")))
+    // SKIP offsets past the top row
+    val second = q(
+      """MATCH (p:Person)
+        |WITH p ORDER BY p.id SKIP 1 LIMIT 1
+        |RETURN p.id AS id""".stripMargin).collect().map(_.getString(0))
+    assert(second.toSeq == Seq("bob"))
+  }
+
   test("WITH projection renames bindings for later clauses") {
     val rows = q(
       """MATCH (p:Person {id: "alice"})

@@ -67,6 +67,24 @@ class DedupSpec extends SparkSpec {
     assert(verified.toSet == Set((1L, 2L))) // 1-3 dissimilar, filtered out
   }
 
+  test("simhashNearDupsBanded equals the all-pairs result (pigeonhole recall)") {
+    val sig = DedupOps.simhash(
+      graft.sources.Tables(spark, sf("sf0.001")).documents
+        .withColumnRenamed("doc_id", "id"), "id", "text")
+      .localCheckpoint()
+    for (d <- Seq(3, 8, 16)) {
+      val banded = DedupOps.simhashNearDupsBanded(sig, "id", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // brute-force ground truth: bucketBits = 0 → single bucket
+      val exact = DedupOps.simhashNearDups(sig, "id", d, bucketBits = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(banded == exact, s"maxDistance=$d")
+      if (d == 8) assert(banded.nonEmpty) // planted near-dups exist
+    }
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val out = DedupOps.simhash(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

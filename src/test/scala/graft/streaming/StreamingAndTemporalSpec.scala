@@ -47,6 +47,22 @@ class StreamingAndTemporalSpec extends SparkSpec {
     assert(mismatch.count() == 0)
   }
 
+  test("foreachBatch graph-upsert sink lands every event as a vertex") {
+    val sess = graft.api.GraftSession.empty(spark)
+    EventStreams.graphUpsertSink(spark, eventsDir, sess, batch =>
+      batch.select(
+        concat(lit("ev:"), col("event_id")).as("id"),
+        col("event_type").as("label"),
+        map(lit("user"), col("user_id").cast("string")).as("properties")))
+    val nEvents = graft.sources.Tables(spark, sf("sf0.001")).events.count()
+    assert(sess.graph.vertices.count() == nEvents)
+    // snapshot is queryable through the normal engine after the stream
+    implicit val s = spark
+    val clicks = graft.cypher.Cypher.query(sess.graph,
+      "MATCH (e:click) RETURN count(e) AS n").collect().head.getLong(0)
+    assert(clicks > 0)
+  }
+
   test("sessionization: streaming flatMapGroupsWithState matches batch") {
     implicit val s = spark
     val streamed = EventStreams.runToMemory(spark, eventsDir,
