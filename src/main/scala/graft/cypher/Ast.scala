@@ -30,12 +30,13 @@ object Ast {
       varLength: Option[(Int, Int)])
 
   /** Linear chain: node (rel node)*; optionally named path or
-    * shortestPath(...) wrapper. */
+    * shortestPath(...) / allShortestPaths(...) wrapper. */
   final case class PathPat(
       pathVar: Option[String],
       shortest: Boolean,
       head: NodePat,
-      tail: Seq[(RelPat, NodePat)])
+      tail: Seq[(RelPat, NodePat)],
+      allPaths: Boolean = false)
 
   // ---- expressions ----
   sealed trait Expr

@@ -189,7 +189,8 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     val pairs = frame.df
       .select(col(s"${aVar}__id"), col(s"${bVar}__id")).distinct()
     val pathsDf = Traversals.shortestPathsPairs(g, pairs, maxDepth,
-        edgeTypes = rp.types, undirected = rp.direction == 0)
+        edgeTypes = rp.types, undirected = rp.direction == 0,
+        all = pat.allPaths)
       .select(col("__a"), col("__b"), col("path").as(s"${pVar}__path"),
         col("epath").as(s"${pVar}__epath"))
     Frame(

@@ -183,17 +183,19 @@ final class Parser(toks: Vector[Parser.Tok]) {
     peek match {
       case TIdent(f) if f.equalsIgnoreCase("shortestPath") ||
           f.equalsIgnoreCase("allShortestPaths") =>
-        shortest = true; pos += 1; eatSym("(")
-        val p = parseChain(pathVar, shortest)
+        shortest = true
+        val all = f.equalsIgnoreCase("allShortestPaths")
+        pos += 1; eatSym("(")
+        val p = parseChain(pathVar, shortest, all)
         eatSym(")")
         return p
       case _ =>
     }
-    parseChain(pathVar, shortest)
+    parseChain(pathVar, shortest, all = false)
   }
 
-  private def parseChain(pathVar: Option[String], shortest: Boolean)
-      : PathPat = {
+  private def parseChain(pathVar: Option[String], shortest: Boolean,
+      all: Boolean): PathPat = {
     val head = parseNodePat()
     val tail = ArrayBuffer[(RelPat, NodePat)]()
     while (isSym("-") || isSym("<-")) {
@@ -201,7 +203,7 @@ final class Parser(toks: Vector[Parser.Tok]) {
       val node = parseNodePat()
       tail += ((rel, node))
     }
-    PathPat(pathVar, shortest, head, tail.toSeq)
+    PathPat(pathVar, shortest, head, tail.toSeq, all)
   }
 
   private def parseNodePat(): NodePat = {

@@ -84,8 +84,8 @@ object Traversals {
     * when no targets remain. Reconstruction walks the predecessor table
     * backward with one join per path hop (≤ the found maximum depth). */
   def shortestPathsPairs(g: GraphState, pairs: DataFrame, maxDepth: Int,
-      edgeTypes: Seq[String] = Nil, undirected: Boolean = false)
-      : DataFrame = {
+      edgeTypes: Seq[String] = Nil, undirected: Boolean = false,
+      all: Boolean = false): DataFrame = {
     val edges = hopEdges(g, edgeTypes, undirected)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -104,12 +104,15 @@ object Traversals {
       // from checkpointed inputs and driver-side counters — iterative
       // Spark lives and dies by job count, not just shuffle size.
       var remaining = targets0.count()
-      // predecessor table: (source, id, depth, pred, prededge)
+      // predecessor table: (source, id, depth, preds ARRAY<STRUCT<pred,
+      // prededge>>) — one entry in the single-path mode, every minimal
+      // predecessor in all-shortest-paths mode
+      val emptyPreds = array()
+        .cast("array<struct<pred:string,prededge:string>>")
       var visited = targets0.select(col("__a").as("source"))
         .dropDuplicates("source")
         .select(col("source"), col("source").as("id"), lit(0).as("depth"),
-          lit(null).cast("string").as("pred"),
-          lit(null).cast("string").as("prededge"))
+          emptyPreds.as("preds"))
         .localCheckpoint()
       var frontier = visited.select("source", "id")
       var foundParts = List.empty[DataFrame] // each tiny + checkpointed
@@ -119,16 +122,20 @@ object Traversals {
       var frontierEmpty = remaining == 0
       while (depth < maxDepth && remaining > 0 && !frontierEmpty) {
         depth += 1
+        // single mode: the deterministic predecessor (min vertex, then
+        // min edge). all mode: EVERY minimal predecessor entry, sorted
+        // for deterministic reconstruction order.
+        val predsAgg =
+          if (all) array_sort(collect_set(
+            struct(col("src").as("pred"), col("eid").as("prededge"))))
+          else array(min(
+            struct(col("src").as("pred"), col("eid").as("prededge"))))
         val nxt0 = frontier
           .join(edges, frontier("id") === edges("src"))
           .groupBy(col("source"), col("dst"))
-          // deterministic predecessor: min vertex, then min edge id
-          // between that predecessor and the vertex
-          .agg(min(col("src")).as("pred"),
-            min_by(col("eid"), struct(col("src"), col("eid")))
-              .as("prededge"))
+          .agg(predsAgg.as("preds"))
           .select(col("source"), col("dst").as("id"), lit(depth).as("depth"),
-            col("pred"), col("prededge"))
+            col("preds"))
           .join(visited.select("source", "id"), Seq("source", "id"),
             "left_anti")
         val nxt = nxt0.localCheckpoint()
@@ -159,9 +166,10 @@ object Traversals {
         .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toLong))
         .getOrElse(0L)
       // walk predecessors backward, all pairs at once; finished rows
-      // (cur == source) retire from the working set each round
-      val preds = visited.select(col("source"), col("id"), col("pred"),
-        col("prededge"))
+      // (cur == source) retire from the working set each round. In all
+      // mode the explode fans one partial path out per predecessor —
+      // every minimal route reconstructs in the same bounded hop count.
+      val preds = visited.select(col("source"), col("id"), col("preds"))
       var working = found.select(col("__a"), col("__b"), col("length"),
         array(col("__b")).as("path"),
         array().cast("array<string>").as("epath"), col("__b").as("cur"))
@@ -176,10 +184,12 @@ object Traversals {
         working = working.filter(col("cur") =!= col("__a"))
           .join(preds, col("cur") === preds("id") &&
             col("__a") === preds("source"))
+          .select(col("__a"), col("__b"), col("length"), col("path"),
+            col("epath"), explode(col("preds")).as("p"))
           .select(col("__a"), col("__b"), col("length"),
-            concat(array(col("pred")), col("path")).as("path"),
-            concat(array(col("prededge")), col("epath")).as("epath"),
-            col("pred").as("cur"))
+            concat(array(col("p.pred")), col("path")).as("path"),
+            concat(array(col("p.prededge")), col("epath")).as("epath"),
+            col("p.pred").as("cur"))
         working = working.localCheckpoint()
       }
       val finished = working.filter(col("cur") === col("__a"))

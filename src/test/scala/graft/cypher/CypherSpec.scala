@@ -198,6 +198,21 @@ class CypherSpec extends SparkSpec {
     assert(rows.head.getSeq[String](1) == Seq("KNOWS", "WORKS_WITH"))
   }
 
+  test("allShortestPaths binds every minimal route through Cypher") {
+    // alice-KNOWS->bob-WORKS_WITH->diana is the unique 2-hop route in
+    // the fixture, so build a second route first: alice->charlie->diana
+    val g2 = runScript(people,
+      """MATCH (c:Person {id: "charlie"}), (d:Person {id: "diana"})
+        |CREATE (c)-[:KNOWS]->(d)""".stripMargin)
+    val rows = Cypher.query(g2,
+      """MATCH (a:Person {id: "alice"}), (d:Person {id: "diana"})
+        |MATCH p = allShortestPaths((a)-[*..4]->(d))
+        |RETURN [n IN nodes(p) | n.name] AS route""".stripMargin)
+      .collect().map(_.getSeq[String](0)).toSet
+    assert(rows == Set(Seq("Alice", "Bob", "Diana"),
+      Seq("Alice", "Charlie", "Diana")))
+  }
+
   test("QE16/18: SET + REMOVE property cycle (D21/D23)") {
     val g2 = Cypher.execute(people,
       """MATCH (p:Person {id: "alice"}) SET p.age = 31""").state

@@ -80,6 +80,26 @@ class TraversalSpec extends SparkSpec {
       .contains(Seq("d", "a", "c")))
   }
 
+  test("allShortestPaths returns every minimal route") {
+    import spark.implicits._
+    // two length-2 routes b->c: b->c is direct (e2, length 1)... use a
+    // diamond: x -> y1 -> z, x -> y2 -> z
+    val diamond = GraphState(
+      vertexDf(("x", "t", Map.empty), ("y1", "t", Map.empty),
+        ("y2", "t", Map.empty), ("z", "t", Map.empty)),
+      edgeDf(("d1", "x", "y1", "e"), ("d2", "x", "y2", "e"),
+        ("d3", "y1", "z", "e"), ("d4", "y2", "z", "e")))
+    val pairs = Seq(("x", "z")).toDF("s", "t")
+    val single = Traversals.shortestPathsPairs(diamond, pairs, 5)
+      .collect()
+    assert(single.length == 1) // deterministic single path
+    assert(single.head.getSeq[String](2) == Seq("x", "y1", "z"))
+    val allPaths = Traversals.shortestPathsPairs(diamond, pairs, 5,
+        all = true)
+      .collect().map(r => r.getSeq[String](2)).toSet
+    assert(allPaths == Set(Seq("x", "y1", "z"), Seq("x", "y2", "z")))
+  }
+
   test("paths enumerates trails in [min..max] (edge-unique, Cypher-style)") {
     val out = Traversals.paths(chain, srcDf("a"), 1, 3)
       .collect().map(r => r.getSeq[String](0)).toSet
