@@ -44,6 +44,13 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
   private var fresh = 0
   private def freshVar(): String = { fresh += 1; s"__anon$fresh" }
 
+  /** Comprehension-lambda substitutions: while compiling `[x IN xs | e]`
+    * the loop var maps to the lambda's element Column (innermost wins
+    * for nested comprehensions). Push/pop is synchronous — the
+    * functions.transform DSL invokes its Scala lambda eagerly at
+    * expression-build time. */
+  private var substStack: List[(String, Column)] = Nil
+
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect",
     "stdev", "percentilecont")
 
@@ -229,6 +236,8 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         element_at(c, key)
       case _ => throw new ParseException(s"unbound variable $v")
     }
+    case EVar(name) if substStack.exists(_._1 == name) =>
+      substStack.find(_._1 == name).get._2
     case EVar(name) => frame.vars.get(name) match {
       case Some(NodeVar) => struct(col(s"${name}__id").as("id"),
         col(s"${name}__label").as("label"),
@@ -357,16 +366,22 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       case other => throw new ParseException(s"unsupported function $other()")
     }
     case EListComp(v, src, proj) =>
+      // Inside the lambda the iteration var shadows: any scalar
+      // expression of the ELEMENT compiles with x substituted for
+      // EVar(v). Property/type access on path elements needs a lookup
+      // join — handled by the compileReturn rewrite, not expressible in
+      // a lambda; give that error, not "unbound variable".
+      proj match {
+        case EProp(`v`, _) | EFunc("type" | "labels", Seq(EVar(`v`)), _) =>
+          throw new ParseException("property/type access on comprehension " +
+            "elements is only supported in RETURN items")
+        case _ =>
+      }
       val srcCol = compileExpr(src, frame)
       transform(srcCol, x => {
-        // inside the lambda, the iteration var shadows: compile proj with
-        // x substituted for EVar(v)/EProp(v, _) — property access on path
-        // elements is not supported (ids only).
-        proj match {
-          case EVar(`v`) => x
-          case _ => throw new ParseException(
-            "only identity list comprehensions supported")
-        }
+        substStack ::= (v -> x)
+        try compileExpr(proj, frame)
+        finally substStack = substStack.tail
       })
     case other => throw new ParseException(s"unsupported expression $other")
   }

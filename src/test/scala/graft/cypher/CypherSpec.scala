@@ -213,6 +213,16 @@ class CypherSpec extends SparkSpec {
       Seq("Alice", "Charlie", "Diana")))
   }
 
+  test("list comprehensions apply scalar expressions to each element") {
+    val rows = q(
+      """UNWIND [1, 2, 3] AS ignored
+        |WITH collect(ignored) AS xs
+        |RETURN [x IN xs | x * 10] AS tens,
+        |       [x IN xs | toString(x)] AS strs""".stripMargin).collect()
+    assert(rows.head.getSeq[Double](0) == Seq(10.0, 20.0, 30.0))
+    assert(rows.head.getSeq[String](1) == Seq("1", "2", "3"))
+  }
+
   test("QE16/18: SET + REMOVE property cycle (D21/D23)") {
     val g2 = Cypher.execute(people,
       """MATCH (p:Person {id: "alice"}) SET p.age = 31""").state
