@@ -49,6 +49,14 @@ object Ast {
   final case class ENot(e: Expr) extends Expr
   final case class EListComp(variable: String, source: Expr, proj: Expr)
       extends Expr // [x IN xs | expr]
+  /** CASE WHEN … THEN … END (searched, subject=None) and
+    * CASE x WHEN v THEN … END (simple, subject=Some). */
+  final case class ECase(subject: Option[Expr], whens: Seq[(Expr, Expr)],
+      default: Option[Expr]) extends Expr
+  /** EXISTS { pattern [WHERE …] } / COUNT { pattern [WHERE …] }
+    * subqueries, correlated on shared variables. */
+  final case class ESub(isCount: Boolean, patterns: Seq[PathPat],
+      where: Option[Expr]) extends Expr
 
   final case class ReturnItem(expr: Expr, alias: Option[String])
 

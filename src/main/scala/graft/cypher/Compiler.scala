@@ -374,7 +374,8 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       proj match {
         case EProp(`v`, _) | EFunc("type" | "labels", Seq(EVar(`v`)), _) =>
           throw new ParseException("property/type access on comprehension " +
-            "elements is only supported in RETURN items")
+            "elements is only supported over nodes(p)/relationships(p) " +
+            "in RETURN items")
         case _ =>
       }
       val srcCol = compileExpr(src, frame)
@@ -475,32 +476,35 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       vars = named.map { case (n, e) => n -> carriedKind(e, frame) }.toMap
     }
     val f2 = Frame(df, vars)
-    val f3 =
-      w.where.fold(f2)(wx => Frame(f2.df.filter(compileExpr(wx, f2)), vars))
     // mid-pipeline ORDER BY + SKIP/LIMIT: the point is top-k/paging
     // BEFORE later clauses (downstream joins do not preserve order —
     // standard Cypher semantics). Exprs compile in the post-projection
-    // frame, so they reference the WITH aliases.
-    if (w.orderBy.isEmpty && w.skip.isEmpty && w.limit.isEmpty) f3
-    else {
-      var d = f3.df
-      if (w.orderBy.nonEmpty) {
-        val sortCols = w.orderBy.flatMap { case (e, asc) =>
-          val c = compileExpr(e, f3)
-          e match {
-            case _: EProp => // stringified props order numerically first
-              val num = c.try_cast("double")
-              Seq(if (asc) num.asc_nulls_last else num.desc_nulls_last,
-                if (asc) c.asc else c.desc)
-            case _ => Seq(if (asc) c.asc else c.desc)
+    // frame, so they reference the WITH aliases. Per openCypher the
+    // grammar order WITH … ORDER BY … SKIP … LIMIT … WHERE is also the
+    // EVALUATION order: WHERE filters the post-pagination row set.
+    val paged =
+      if (w.orderBy.isEmpty && w.skip.isEmpty && w.limit.isEmpty) f2
+      else {
+        var d = f2.df
+        if (w.orderBy.nonEmpty) {
+          val sortCols = w.orderBy.flatMap { case (e, asc) =>
+            val c = compileExpr(e, f2)
+            e match {
+              case _: EProp => // stringified props order numerically first
+                val num = c.try_cast("double")
+                Seq(if (asc) num.asc_nulls_last else num.desc_nulls_last,
+                  if (asc) c.asc else c.desc)
+              case _ => Seq(if (asc) c.asc else c.desc)
+            }
           }
+          d = d.orderBy(sortCols: _*)
         }
-        d = d.orderBy(sortCols: _*)
+        w.skip.foreach(n => d = d.offset(n.toInt))
+        w.limit.foreach(n => d = d.limit(n.toInt))
+        Frame(d, f2.vars)
       }
-      w.skip.foreach(n => d = d.offset(n.toInt))
-      w.limit.foreach(n => d = d.limit(n.toInt))
-      Frame(d, f3.vars)
-    }
+    w.where.fold(paged)(wx =>
+      Frame(paged.df.filter(compileExpr(wx, paged)), vars))
   }
 
   private implicit class Pipe[A](a: A) {
@@ -511,6 +515,11 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     case EVar(n) if frame.vars.get(n).contains(NodeVar) =>
       struct(col(s"${n}__id"), col(s"${n}__label"), col(s"${n}__props"))
         .as(s"${as}__struct")
+    case EVar(n) if frame.vars.get(n).contains(RelVar) =>
+      struct(col(s"${n}__id"), col(s"${n}__src"), col(s"${n}__dst"),
+        col(s"${n}__type"), col(s"${n}__props")).as(s"${as}__struct")
+    case EVar(n) if frame.vars.get(n).contains(PathVar) =>
+      struct(col(s"${n}__path"), col(s"${n}__epath")).as(s"${as}__struct")
     case _ => compileExpr(e, frame).as(s"${as}__val")
   }
 
@@ -525,6 +534,14 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       df.withColumn(s"${as}__id", col(s"${as}__struct.${n}__id"))
         .withColumn(s"${as}__label", col(s"${as}__struct.${n}__label"))
         .withColumn(s"${as}__props", col(s"${as}__struct.${n}__props"))
+        .drop(s"${as}__struct")
+    case EVar(n) if frame.vars.get(n).contains(RelVar) =>
+      Seq("id", "src", "dst", "type", "props").foldLeft(df) { (d, f) =>
+        d.withColumn(s"${as}__$f", col(s"${as}__struct.${n}__$f"))
+      }.drop(s"${as}__struct")
+    case EVar(n) if frame.vars.get(n).contains(PathVar) =>
+      df.withColumn(s"${as}__path", col(s"${as}__struct.${n}__path"))
+        .withColumn(s"${as}__epath", col(s"${as}__struct.${n}__epath"))
         .drop(s"${as}__struct")
     case _ => df
   }
@@ -541,7 +558,8 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
           col(s"${n}__type").as(s"${as}__type"),
           col(s"${n}__props").as(s"${as}__props"))
         case Some(ValueVar) => Seq(col(s"${n}__val").as(s"${as}__val"))
-        case Some(PathVar)  => Seq(col(s"${n}__path").as(s"${as}__path"))
+        case Some(PathVar)  => Seq(col(s"${n}__path").as(s"${as}__path"),
+          col(s"${n}__epath").as(s"${as}__epath"))
         case None => throw new ParseException(s"unbound $n in WITH")
       }
       case _ => Seq(compileExpr(e, frame).as(s"${as}__val"))
@@ -568,19 +586,27 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     // itself then compiles as a plain column.
     def elementValue(src: Expr, v: String, proj: Expr)
         : Option[DataFrame] = {
-      val overEdges = src match {
-        case EFunc("relationships", _, _) => true
-        case _                            => false
+      // The explode→join rewrite is only sound when the source elements
+      // are KNOWN to be vertex/edge ids — i.e. nodes(p)/relationships(p).
+      // An arbitrary collected list would silently join its elements
+      // against the vertex table and produce garbage; those fall through
+      // to compileExpr's clear unsupported-expression error instead.
+      val overEdgesOpt = src match {
+        case EFunc("relationships", _, _) => Some(true)
+        case EFunc("nodes", _, _)         => Some(false)
+        case _                            => None
       }
-      val table = if (overEdges) g.edges else g.vertices
-      proj match {
-        case EProp(pv, key) if pv == v => Some(table.select(
-          col("id").as("__elem"),
-          element_at(col("properties"), key).as("__pval")))
-        case EFunc("type", Seq(EVar(pv)), _) if pv == v && overEdges =>
-          Some(table.select(col("id").as("__elem"),
-            col("edge_type").as("__pval")))
-        case _ => None
+      overEdgesOpt.flatMap { overEdges =>
+        val table = if (overEdges) g.edges else g.vertices
+        proj match {
+          case EProp(pv, key) if pv == v => Some(table.select(
+            col("id").as("__elem"),
+            element_at(col("properties"), key).as("__pval")))
+          case EFunc("type", Seq(EVar(pv)), _) if pv == v && overEdges =>
+            Some(table.select(col("id").as("__elem"),
+              col("edge_type").as("__pval")))
+          case _ => None
+        }
       }
     }
     val items = items0.map {
@@ -602,7 +628,12 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
           .agg(transform(
             array_sort(collect_list(struct(col("__pos"), col("__pval")))),
             s => s.getField("__pval")).as(s"${bound}__val"))
-        frame = Frame(tagged.join(lookup, Seq(rowId), "left").drop(rowId),
+        // A zero-length source (empty path) emits no posexplode row, so
+        // the join back yields NULL — Cypher semantics want [] there.
+        frame = Frame(tagged.join(lookup, Seq(rowId), "left")
+          .withColumn(s"${bound}__val", coalesce(col(s"${bound}__val"),
+            array().cast("array<string>")))
+          .drop(rowId),
           frame.vars + (bound -> ValueVar))
         (name, EVar(bound))
       case other => other

@@ -47,6 +47,11 @@ object Cypher {
     var compiler = new Compiler(state)
     var frame = compiler.emptyFrame
     var result: Option[DataFrame] = None
+    // Statement-scoped counter for unnamed CREATE pattern nodes: the
+    // binding column names (__c1__id, …) are deterministic across JVMs,
+    // unlike the identityHashCode names they replace.
+    val unnamedSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+    def nextUnnamed(): String = s"__c${unnamedSeq.incrementAndGet()}"
 
     def recompile(): Unit = { compiler = new Compiler(state) }
 
@@ -56,7 +61,7 @@ object Cypher {
       case u: UnwindClause =>
         frame = compiler.compileUnwind(frame, u)
       case c: CreateClause =>
-        val (st2, fr2) = applyCreate(state, compiler, frame, c)
+        val (st2, fr2) = applyCreate(state, compiler, frame, c, nextUnnamed)
         state = st2
         frame = fr2
         recompile()
@@ -65,8 +70,13 @@ object Cypher {
         // row independently either binds the matching pattern or creates
         // it. Rows are tagged, matched via the pattern (whose props may
         // reference frame variables), and the anti-joined remainder goes
-        // through the CREATE machinery; both halves then union back into
-        // one frame. localCheckpoint pins the row tags across actions.
+        // through the CREATE machinery. localCheckpoint pins the row tags
+        // across actions. Two refinements for set-oriented correctness:
+        //  - duplicate unmatched keys create ONE pattern instance (Neo4j
+        //    MERGE sees, and binds, what an earlier row just created);
+        //  - both halves project to the SAME carried+named-variable
+        //    columns before the union (the matched frame carries extra
+        //    internal rel columns the created frame lacks).
         val tagged = Compiler.Frame(
           frame.df.withColumn("__merge_row", monotonically_increasing_id())
             .localCheckpoint(),
@@ -76,19 +86,52 @@ object Cypher {
         val unmatched = tagged.df.join(
           matched.df.select(col("__merge_row")).distinct(),
           Seq("__merge_row"), "left_anti")
+        val patNodes = m.pattern.head +: m.pattern.tail.map(_._2)
+        val patVars: Map[String, Compiler.VarKind] =
+          (patNodes.flatMap(_.variable)
+             .map(_ -> (Compiler.NodeVar: Compiler.VarKind)) ++
+           m.pattern.tail.flatMap(_._1.variable)
+             .map(_ -> (Compiler.RelVar: Compiler.VarKind))).toMap
+        val outVars = tagged.vars ++ patVars
+        val outCols = "__merge_row" +: outVars.toSeq.sortBy(_._1)
+          .flatMap { case (v, k) => varColumns(v, k) }
         if (unmatched.isEmpty) {
-          frame = Compiler.Frame(matched.df.drop("__merge_row"),
-            matched.vars)
+          frame = Compiler.Frame(
+            matched.df.select(outCols.map(col): _*).drop("__merge_row"),
+            outVars)
         } else {
+          // One creation per distinct pattern KEY (the compiled property
+          // values, null-safe): duplicate keys within a statement bind
+          // the same created instance instead of multiplying it.
+          val unFrame = Compiler.Frame(unmatched, tagged.vars)
+          val keyExprs = (patNodes.flatMap(_.props.toSeq) ++
+            m.pattern.tail.flatMap(_._1.props.toSeq)).map { case (_, e) =>
+            coalesce(compiler.compileExpr(e, unFrame).cast(StringType),
+              lit("\u0000"))
+          }
+          val keyed = unmatched.withColumn("__merge_key",
+            if (keyExprs.isEmpty) lit("")
+            else concat_ws("\u0001", keyExprs: _*))
+          val reps = keyed.dropDuplicates("__merge_key")
           val (st2, fr2) = applyCreate(state, compiler,
-            Compiler.Frame(unmatched, tagged.vars),
-            CreateClause(Seq(m.pattern)))
+            Compiler.Frame(reps, tagged.vars),
+            CreateClause(Seq(m.pattern)), nextUnnamed)
           state = st2
           recompile()
+          // re-bind EVERY unmatched row (incl. key duplicates) to the
+          // instance created for its key
+          val newCols = patVars.view
+            .filterKeys(v => !tagged.vars.contains(v)).toSeq
+            .flatMap { case (v, k) => varColumns(v, k) }
+          val bindings =
+            fr2.df.select(("__merge_key" +: newCols).map(col): _*)
+          val createdOut = keyed.join(bindings, Seq("__merge_key"))
+            .drop("__merge_key").select(outCols.map(col): _*)
           val merged =
-            if (matched.df.isEmpty) fr2.df
-            else matched.df.unionByName(fr2.df)
-          frame = Compiler.Frame(merged.drop("__merge_row"), fr2.vars)
+            if (matched.df.isEmpty) createdOut
+            else matched.df.select(outCols.map(col): _*)
+              .unionByName(createdOut)
+          frame = Compiler.Frame(merged.drop("__merge_row"), outVars)
         }
       case s: SetClause =>
         state = applySet(state, compiler, frame, s)
@@ -109,19 +152,32 @@ object Cypher {
 
   // ---------- CREATE ----------
 
+  /** Frame column names for a bound variable of the given kind. */
+  private def varColumns(v: String, k: Compiler.VarKind): Seq[String] =
+    k match {
+      case Compiler.NodeVar =>
+        Seq(s"${v}__id", s"${v}__label", s"${v}__props")
+      case Compiler.RelVar =>
+        Seq(s"${v}__id", s"${v}__src", s"${v}__dst", s"${v}__type",
+          s"${v}__props")
+      case Compiler.ValueVar => Seq(s"${v}__val")
+      case Compiler.PathVar  => Seq(s"${v}__path", s"${v}__epath")
+    }
+
   private def applyCreate(state: GraphState, compiler: Compiler,
-      frame0: Compiler.Frame, c: CreateClause)
+      frame0: Compiler.Frame, c: CreateClause, nextUnnamed: () => String)
       (implicit spark: SparkSession)
       : (GraphState, Compiler.Frame) = {
     var st = state
     var frame = frame0
     c.patterns.foreach { pat =>
-      // 1. bind/create every node in the chain
+      // 1. bind/create every node in the chain. Unnamed nodes get a
+      // deterministic statement-scoped binding name so the edge leg
+      // below can reference their generated ids.
       val nodes = pat.head +: pat.tail.map(_._2)
-      nodes.foreach { np =>
-        val v = np.variable.getOrElse("__unnamed")
-        if (np.variable.isEmpty || !frame.has(v)) {
-          val vName = np.variable.getOrElse(s"__c${System.identityHashCode(np)}")
+      val nodeNames = nodes.map(np => np.variable.getOrElse(nextUnnamed()))
+      nodes.zip(nodeNames).foreach { case (np, vName) =>
+        if (np.variable.isEmpty || !frame.has(vName)) {
           val propCols: Seq[Column] = np.props.toSeq.flatMap { case (k, e) =>
             Seq(lit(k), compiler.compileExpr(e, frame).cast(StringType))
           }
@@ -145,24 +201,45 @@ object Cypher {
           st = st.upsertVertices(newVerts)
         }
       }
-      // 2. create the chain's relationships
-      var prev = pat.head.variable.getOrElse("__unnamed")
-      pat.tail.foreach { case (rp, np) =>
-        val nv = np.variable.getOrElse("__unnamed")
+      // 2. create the chain's relationships; NAMED relationships bind
+      // into the frame (MERGE's union and later clauses reference them)
+      var prev = nodeNames.head
+      pat.tail.zip(nodeNames.tail).foreach { case ((rp, np), nv) =>
         val (srcV, dstV) = if (rp.direction == -1) (nv, prev) else (prev, nv)
         val t = rp.types.headOption.getOrElse("RELATED")
         val propCols: Seq[Column] = rp.props.toSeq.flatMap { case (k, e) =>
           Seq(lit(k), compiler.compileExpr(e, frame).cast(StringType))
         }
-        val newEdges = frame.df.select(
-          expr("uuid()").as("id"),
-          col(s"${srcV}__id").as("src"),
-          col(s"${dstV}__id").as("dst"),
-          lit(t).as("edge_type"),
-          lit("").as("label"),
-          (if (propCols.isEmpty) map().cast("map<string,string>")
-           else map(propCols: _*)).as("properties"))
-        st = st.upsertEdges(newEdges)
+        val propsCol =
+          if (propCols.isEmpty) map().cast("map<string,string>")
+          else map(propCols: _*)
+        rp.variable match {
+          case Some(rv) =>
+            val df2 = frame.df
+              .withColumn(s"${rv}__id", expr("uuid()"))
+              .withColumn(s"${rv}__src", col(s"${srcV}__id"))
+              .withColumn(s"${rv}__dst", col(s"${dstV}__id"))
+              .withColumn(s"${rv}__type", lit(t))
+              .withColumn(s"${rv}__props", propsCol)
+              .localCheckpoint()
+            frame = Compiler.Frame(df2,
+              frame.vars + (rv -> Compiler.RelVar))
+            st = st.upsertEdges(df2.select(
+              col(s"${rv}__id").as("id"),
+              col(s"${rv}__src").as("src"),
+              col(s"${rv}__dst").as("dst"),
+              col(s"${rv}__type").as("edge_type"),
+              lit("").as("label"),
+              col(s"${rv}__props").as("properties")))
+          case None =>
+            st = st.upsertEdges(frame.df.select(
+              expr("uuid()").as("id"),
+              col(s"${srcV}__id").as("src"),
+              col(s"${dstV}__id").as("dst"),
+              lit(t).as("edge_type"),
+              lit("").as("label"),
+              propsCol.as("properties")))
+        }
         prev = nv
       }
     }
@@ -201,6 +278,18 @@ object Cypher {
     st
   }
 
+  /** Edges incident to any probe vertex (`__vid` column). Two
+    * equi-semi-joins (src, dst) unioned instead of one OR-condition join:
+    * the OR form can only plan as a BroadcastNestedLoopJoin —
+    * O(|edges|×|victims|) comparisons — while these hash-join, the same
+    * pattern as GraphState.detachDeleteVertices' two anti-joins. */
+  private[cypher] def incidentEdges(st: GraphState, probe: DataFrame)
+      : DataFrame =
+    st.edges.join(probe.withColumnRenamed("__vid", "src"), Seq("src"),
+        "left_semi")
+      .unionByName(st.edges.join(
+        probe.withColumnRenamed("__vid", "dst"), Seq("dst"), "left_semi"))
+
   private def applyDelete(state: GraphState, compiler: Compiler,
       frame: Compiler.Frame, d: DeleteClause): GraphState = {
     var st = state
@@ -218,10 +307,7 @@ object Cypher {
               // Cypher refuses to delete a vertex that still has
               // relationships — dangling edges would corrupt the graph.
               val probe = ids.withColumnRenamed(s"${v}__id", "__vid")
-              val incident = st.edges.join(probe,
-                col("src") === col("__vid") || col("dst") === col("__vid"),
-                "left_semi")
-              if (!incident.isEmpty)
+              if (!incidentEdges(st, probe).isEmpty)
                 throw new ParseException(s"cannot DELETE $v: vertex still " +
                   "has relationships (use DETACH DELETE)")
               GraphState(st.vertices.join(

@@ -26,7 +26,7 @@ object Parser {
     "SET", "REMOVE", "DELETE", "DETACH", "ORDER", "BY", "LIMIT", "SKIP",
     "AND", "OR", "NOT", "XOR", "AS", "ASC", "DESC", "ASCENDING", "DESCENDING",
     "DISTINCT", "UNWIND", "WITH", "CONTAINS", "STARTS", "ENDS", "IN", "IS",
-    "NULL", "TRUE", "FALSE", "MERGE")
+    "NULL", "TRUE", "FALSE", "MERGE", "CASE", "WHEN", "THEN", "ELSE", "END")
 
   private val symbols = Seq("<=", ">=", "<>", "!=", "=~", "->", "<-", "..",
     "(", ")", "[", "]", "{", "}", ":", ",", ".", "=", "<", ">", "+", "-",
@@ -513,6 +513,30 @@ final class Parser(toks: Vector[Parser.Tok]) {
         TSym("{") =>
       ELit(parseLit())
     case TKw("NULL") => pos += 1; ELit(LStr(null))
+    case TKw("CASE") =>
+      pos += 1
+      // simple form has a subject expression before the first WHEN
+      val subject = if (isKw("WHEN")) None else Some(parseExpr())
+      val whens = ArrayBuffer[(Expr, Expr)]()
+      while (tryKw("WHEN")) {
+        val cond = parseExpr()
+        eatKw("THEN")
+        whens += ((cond, parseExpr()))
+      }
+      if (whens.isEmpty) fail("CASE needs at least one WHEN")
+      val default = if (tryKw("ELSE")) Some(parseExpr()) else None
+      eatKw("END")
+      ECase(subject, whens.toSeq, default)
+    case TIdent(name)
+        if (name.equalsIgnoreCase("exists") ||
+          name.equalsIgnoreCase("count")) && toks(pos + 1) == TSym("{") =>
+      // EXISTS { … } / COUNT { … } subqueries (optional MATCH keyword)
+      pos += 2
+      tryKw("MATCH")
+      val pats = parsePatterns()
+      val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+      eatSym("}")
+      ESub(name.equalsIgnoreCase("count"), pats, where)
     case TIdent(name) =>
       pos += 1
       if (trySym("(")) {

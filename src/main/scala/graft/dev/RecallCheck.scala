@@ -34,7 +34,21 @@ object RecallCheck {
       s"missed=${missed.size} extra=${extra.size}")
     if (missed.nonEmpty) println(s"MISSED: ${missed.take(10)}")
     if (extra.nonEmpty) println(s"EXTRA: ${extra.take(10)}")
+    // ANN recall@5 for the banded annTopK (the s04 gate invariant)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val exactTop = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annTop = SimilarityOps.annTopK(emb, q, "vec_id", "embedding", 5,
+        dim = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annMissed = exactTop -- annTop
+    println(s"annTopK: exact=${exactTop.size} ann=${annTop.size} " +
+      s"missed=${annMissed.size} recall=${
+        1.0 - annMissed.size.toDouble / exactTop.size}")
+    if (annMissed.nonEmpty) println(s"ANN MISSED: ${annMissed.take(10)}")
     spark.stop()
-    if (missed.nonEmpty || extra.nonEmpty) sys.exit(1)
+    if (missed.nonEmpty || extra.nonEmpty || annMissed.nonEmpty) sys.exit(1)
   }
 }

@@ -219,13 +219,53 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** ANN via hyperplane LSH (rows-only: engine-specific bucketing). */
+  /** ANN via banded hyperplane LSH (rows-only: engine-specific
+    * bucketing; quality is gated by s04's recall hash-match). */
   val s02 = QueryDef.rowsOnly("s02_ann_lsh") { (s, dir) =>
     val emb = Tables(s, dir).embeddings
     SimilarityOps.annTopK(
         corpus = emb, queries = emb.filter(col("vec_id") < 10),
-        idCol = "vec_id", vecCol = "embedding", k = 5, dim = 64, planes = 8)
+        idCol = "vec_id", vecCol = "embedding", k = 5, dim = 64)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** ANN recall@5 gate: joins the banded-LSH annTopK output against the
+    * exact brute-force top-5 and summarizes. The DuckDB oracle computes
+    * the exact top-5 pair count and ASSERTS recall 1.0 — if banding ever
+    * misses a true neighbor on this corpus, ann_hits drops below
+    * exact_pairs and the hash check fails. This pins the ANN quality the
+    * way d05/d06 pin dedup recall (deterministic hyperplanes make the
+    * result reproducible). */
+  val s04 = QueryDef.sql("s04_ann_recall",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |        round(list_dot_product(cv, qv) /
+      |          (sqrt(list_dot_product(cv, cv)) *
+      |           sqrt(list_dot_product(qv, qv))), 6) AS score
+      |      FROM c, q WHERE neighbor_id <> query_id),
+      |top5 AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+      |  WHERE rank <= 5)
+      |SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+      |       CAST(count(*) AS BIGINT) AS ann_hits,
+      |       CAST(1.0 AS DOUBLE) AS recall
+      |FROM top5""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir).embeddings
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = SimilarityOps.annTopK(emb, q, "vec_id", "embedding", 5,
+        dim = 64)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+    exact.agg(count(lit(1)).as("exact_pairs"))
+      .crossJoin(hits.agg(count(lit(1)).as("ann_hits")))
+      .select(col("exact_pairs"), col("ann_hits"),
+        (col("ann_hits").cast("double") / col("exact_pairs")).as("recall"))
   }
 
   /** Multimodal plumbing in the gate: the mapPartitions feature-extract
@@ -248,5 +288,5 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, s01, s02,
-      s03, m01)
+      s03, s04, m01)
 }

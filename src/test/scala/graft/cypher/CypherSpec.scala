@@ -269,6 +269,14 @@ class CypherSpec extends SparkSpec {
     assert(Cypher.query(g3, "MATCH ()-[r]->() RETURN r").count() == 0)
   }
 
+  test("non-DETACH DELETE guard plans hash semi-joins, not nested-loop") {
+    import org.apache.spark.sql.functions.col
+    val probe = people.vertices.select(col("id").as("__vid")).limit(2)
+    val plan = Cypher.incidentEdges(people, probe)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("non-DETACH DELETE refuses vertices that still have relationships") {
     val err = intercept[ParseException] {
       Cypher.execute(people,
@@ -399,6 +407,81 @@ class CypherSpec extends SparkSpec {
       """UNWIND ["alice", "newbie", "bob", "freshman"] AS pid
         |MERGE (p:Person {id: pid})""".stripMargin).state
     assert(Cypher.query(g2, "MATCH (n:Person) RETURN n").count() == 6)
+  }
+
+  test("MERGE on a relationship pattern unions mixed matched+unmatched rows") {
+    // alice-KNOWS->bob exists; alice-KNOWS->diana does not. The matched
+    // half carries rel-binding columns the created half must align with.
+    val g1 = Cypher.execute(people,
+      """UNWIND ["bob", "diana"] AS tid
+        |MATCH (a:Person {id: "alice"}), (t:Person {id: tid})
+        |MERGE (a)-[r:KNOWS]->(t)
+        |SET r.merged = "yes"""".stripMargin).state
+    // existing alice->bob reused; alice->diana created (5 edges total)
+    assert(Cypher.query(g1, "MATCH ()-[r]->() RETURN r").count() == 5)
+    val touched = Cypher.query(g1,
+      """MATCH (:Person {id: "alice"})-[r:KNOWS {merged: "yes"}]->(t)
+        |RETURN t.id ORDER BY t.id""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(touched.toSeq == Seq("bob", "diana"))
+  }
+
+  test("MERGE creates ONE node per distinct key, even with duplicate rows") {
+    val g1 = Cypher.execute(people,
+      """UNWIND ["x1", "x1", "x2"] AS i
+        |MERGE (p:NewP {id: i})""".stripMargin).state
+    // two distinct keys -> two creations, not three
+    assert(Cypher.query(g1, "MATCH (n:NewP) RETURN n").count() == 2)
+    // every row (incl. the duplicate) re-binds the created instance
+    val bound = Cypher.execute(people,
+      """UNWIND ["y1", "y1"] AS i
+        |MERGE (p:NewP {id: i})
+        |RETURN count(p) AS n""".stripMargin)
+    assert(bound.df.get.collect().head.getLong(0) == 2)
+    assert(Cypher.query(bound.state, "MATCH (n:NewP) RETURN n").count() == 1)
+  }
+
+  test("WITH … ORDER BY … LIMIT … WHERE filters AFTER pagination") {
+    // openCypher: grammar order == evaluation order. Take the two
+    // youngest, THEN keep those over 29 — only diana (32 is not in the
+    // youngest two: charlie 28, alice 30 -> filter >29 keeps alice).
+    val rows = q(
+      """MATCH (p:Person)
+        |WITH p ORDER BY p.age LIMIT 2 WHERE p.age > 29
+        |RETURN p.name AS name""".stripMargin)
+      .collect().map(_.getString(0))
+    // youngest two are Charlie(28) and Alice(30); WHERE keeps Alice only
+    assert(rows.toSeq == Seq("Alice"))
+  }
+
+  test("WITH carries path vars usable by relationships() downstream") {
+    val rows = q(
+      """MATCH (alice:Person {id: "alice"}), (diana:Person {id: "diana"})
+        |MATCH path = shortestPath((alice)-[*..5]-(diana))
+        |WITH path AS p
+        |RETURN [r IN relationships(p) | type(r)] AS edge_types"""
+        .stripMargin).collect()
+    assert(rows.head.getSeq[String](0) == Seq("KNOWS", "WORKS_WITH"))
+  }
+
+  test("zero-length path comprehension yields [] not NULL") {
+    val rows = q(
+      """MATCH (a:Person {id: "alice"})
+        |MATCH p = shortestPath((a)-[*..3]-(a))
+        |RETURN [r IN relationships(p) | type(r)] AS ts,
+        |       [n IN nodes(p) | n.name] AS ns""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getSeq[String](0) == Seq.empty[String])
+    assert(rows.head.getSeq[String](1) == Seq("Alice"))
+  }
+
+  test("property access comprehension over arbitrary lists errors clearly") {
+    val err = intercept[ParseException] {
+      q("""MATCH (p:Person)
+          |WITH collect(p.id) AS xs
+          |RETURN [x IN xs | x.name] AS names""".stripMargin).collect()
+    }
+    assert(err.getMessage.contains("nodes(p)/relationships(p)"))
   }
 
   test("full CRUD cycle (QE test1 script, D8)") {

@@ -53,11 +53,26 @@ class TextAndSimilaritySpec extends SparkSpec {
 
   test("annTopK returns a subset of brute-force results with scores") {
     val out = SimilarityOps.annTopK(vecs, vecs.filter(col("vec_id") === 1),
-      "vec_id", "embedding", k = 2, dim = 3, planes = 2)
+      "vec_id", "embedding", k = 2, dim = 3, planesPerBand = 2, bands = 2)
     // bucketing may drop candidates, but anything returned is scored + ranked
     val rows = out.collect()
     assert(rows.forall(_.getDouble(2) <= 1.000001))
     assert(rows.forall(_.getLong(1) != 1L))
+  }
+
+  test("banded annTopK recall@5 is 1.0 vs brute force on the test corpus") {
+    val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimilarityOps.annTopK(emb, q, "vec_id", "embedding", 5,
+        dim = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact -- ann).isEmpty,
+      s"ANN missed ${(exact -- ann).size}/${exact.size} exact neighbors")
+    assert(ann == exact) // same ordering rule → identical top-5
   }
 
   test("ivfTopK with full probe equals brute force; partial probe subsets") {
@@ -112,8 +127,7 @@ class TextAndSimilaritySpec extends SparkSpec {
     val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
     val q = emb.filter(col("vec_id") < 3)
     for (d <- Seq(
-        SimilarityOps.annTopK(emb, q, "vec_id", "embedding", 5, dim = 64,
-          planes = 8),
+        SimilarityOps.annTopK(emb, q, "vec_id", "embedding", 5, dim = 64),
         SimilarityOps.ivfTopK(emb, q, "vec_id", "embedding", 5,
           nlist = 8, nprobe = 2))) {
       val plan = d.queryExecution.executedPlan.toString
