@@ -96,17 +96,59 @@ object DedupOps {
       .select(col("id1"), col("id2")).distinct()
   }
 
+  /** Distinct word n-gram shingle set of the normalized text — native
+    * single-pass expression, value-identical to
+    * `array_distinct(shingles(text, n))` (whose `transform` lambda runs
+    * interpreted; the native form is the verify-stage hot path). */
+  def shingleSet(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.{shims, ShingleSetExpr}
+    shims.column(ShingleSetExpr(shims.expression(text), n))
+  }
+
+  /** Jaccard estimate from two MinHash signatures: fraction of equal
+    * minima (unbiased, σ ≈ √(J(1−J)/k)). Native codegen'd expression. */
+  def sigEstimate(sig1: Column, sig2: Column): Column = {
+    import org.apache.spark.sql.graft.{shims, SigEqFracExpr}
+    shims.column(SigEqFracExpr(shims.expression(sig1),
+      shims.expression(sig2)))
+  }
+
+  /** Candidate pairs pre-filtered by the signature Jaccard estimate:
+    * joins each (id1, id2) back to its signatures and keeps pairs with
+    * estimate ≥ `minEstimate`. Set `minEstimate = threshold − margin`
+    * with a generous margin (estimate σ at k=64 is ≤ 0.063, so a 0.3
+    * margin is ≈ 5σ): the exact verify stage then touches only
+    * plausibly-near pairs — at scale this is the difference between
+    * re-reading text for every bucket collision and only for real
+    * near-dup candidates. */
+  def candidatePairsEstimated(bandsDf: DataFrame, sig: DataFrame,
+      idCol: String, minEstimate: Double): DataFrame = {
+    candidatePairs(bandsDf, idCol)
+      .join(sig.select(col(idCol).as("id1"), col("signature").as("sig1")),
+        Seq("id1"))
+      .join(sig.select(col(idCol).as("id2"), col("signature").as("sig2")),
+        Seq("id2"))
+      .filter(sigEstimate(col("sig1"), col("sig2")) >= minEstimate)
+      .select(col("id1"), col("id2"))
+  }
+
   /** Exact Jaccard similarity over word-shingle sets for candidate pairs
-    * (the verification step after LSH). `docs` must have (id, text). */
+    * (the verification step after LSH). `docs` must have (id, text).
+    * Shingle sets are computed AFTER the pair joins — only candidate
+    * rows pay for shingling, not the whole corpus (the earlier
+    * sets-then-join shape shingled every document on both join sides:
+    * at 100 TB that is two full-corpus shingling passes for a candidate
+    * set that is orders of magnitude smaller). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = docs.select(col(idCol).as("jid"),
-      array_distinct(shingles(col(textCol), n)).as("set"))
+    val texts = docs.select(col(idCol).as("jid"), col(textCol).as("jtext"))
     pairs
-      .join(sets.withColumnRenamed("jid", "id1")
-        .withColumnRenamed("set", "set1"), Seq("id1"))
-      .join(sets.withColumnRenamed("jid", "id2")
-        .withColumnRenamed("set", "set2"), Seq("id2"))
+      .join(texts.withColumnRenamed("jid", "id1")
+        .withColumnRenamed("jtext", "text1"), Seq("id1"))
+      .join(texts.withColumnRenamed("jid", "id2")
+        .withColumnRenamed("jtext", "text2"), Seq("id2"))
+      .withColumn("set1", shingleSet(col("text1"), n))
+      .withColumn("set2", shingleSet(col("text2"), n))
       .withColumn("inter",
         size(array_intersect(col("set1"), col("set2"))).cast("double"))
       // floor-truncation, not round(): pure function of the double bits,

@@ -157,8 +157,11 @@ object PipelineQueries {
        |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir).documents
     val sig = DedupOps.minhashSignature(docs, "doc_id", "text", n = 3, k = 64)
-    val cands = DedupOps.candidatePairs(
-      DedupOps.lshBands(sig, "doc_id", bands = 16), "doc_id")
+    // estimate pre-filter at threshold − 0.3 (≈5σ of the k=64 estimator):
+    // the exact verify only re-reads text for plausibly-near pairs
+    val cands = DedupOps.candidatePairsEstimated(
+      DedupOps.lshBands(sig, "doc_id", bands = 16), sig, "doc_id",
+      minEstimate = 0.5)
     DedupOps.jaccardVerify(cands, docs, "doc_id", "text", n = 3,
         threshold = 0.8)
       .orderBy(col("id1"), col("id2"))

@@ -67,6 +67,43 @@ class DedupSpec extends SparkSpec {
     assert(verified.toSet == Set((1L, 2L))) // 1-3 dissimilar, filtered out
   }
 
+  test("native shingleSet == array_distinct(shingles) on real documents") {
+    val real = graft.sources.Tables(spark, sf("sf0.001")).documents
+      .limit(200)
+    for (n <- Seq(2, 3, 5)) {
+      val mismatches = real.select(
+          DedupOps.shingleSet(col("text"), n).as("fused"),
+          array_distinct(DedupOps.shingles(col("text"), n))
+            .as("compositional"))
+        .filter(col("fused") =!= col("compositional")).count()
+      assert(mismatches == 0, s"n=$n")
+    }
+  }
+
+  test("sigEstimate tracks true Jaccard (identical=1, near-dup high, unrelated low)") {
+    val sig = DedupOps.minhashSignature(docs, "id", "text", n = 3, k = 64)
+      .localCheckpoint()
+    def est(a: Long, b: Long): Double = sig.filter(col("id") === a)
+      .crossJoin(sig.filter(col("id") === b)
+        .withColumnRenamed("signature", "sig2").withColumnRenamed("id", "id2"))
+      .select(DedupOps.sigEstimate(col("signature"), col("sig2")))
+      .collect().head.getDouble(0)
+    assert(est(1L, 4L) == 1.0)  // case-normalized identical text
+    assert(est(1L, 2L) > 0.5)   // near-dup
+    assert(est(1L, 3L) < 0.3)   // unrelated
+  }
+
+  test("estimated candidate pairs keep true near-dups, drop unrelated") {
+    val sig = DedupOps.minhashSignature(docs, "id", "text", n = 3, k = 64)
+    val bands = DedupOps.lshBands(sig, "id", bands = 16)
+    val unfiltered = DedupOps.candidatePairs(bands, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = DedupOps.candidatePairsEstimated(bands, sig, "id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered.subsetOf(unfiltered))
+    assert(filtered.contains((1L, 4L))) // exact dup survives the filter
+  }
+
   test("simhashNearDupsBanded equals the all-pairs result (pigeonhole recall)") {
     val sig = DedupOps.simhash(
       graft.sources.Tables(spark, sf("sf0.001")).documents
