@@ -284,6 +284,25 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         case "%" => lc0.try_cast("double") % rc0.try_cast("double")
         case other => throw new ParseException(s"unsupported operator $other")
       }
+    case ECase(subject, whens, default) =>
+      // simple form compiles each WHEN value as subject = value — through
+      // EBin so numeric-literal-vs-string-property casting applies
+      val branches = whens.map { case (c, r) =>
+        val cond = subject match {
+          case Some(subj) => compileExpr(EBin("=", subj, c), frame)
+          case None       => compileExpr(c, frame)
+        }
+        cond -> compileExpr(r, frame)
+      }
+      val folded = branches.tail.foldLeft(
+        when(branches.head._1, branches.head._2)) {
+        case (acc, (c, r)) => acc.when(c, r)
+      }
+      default.fold(folded)(d => folded.otherwise(compileExpr(d, frame)))
+    case _: ESub =>
+      throw new ParseException(
+        "EXISTS{}/COUNT{} subqueries are only supported in WHERE and in " +
+          "RETURN/WITH projections (they rewrite to joins)")
     case EFunc(name, args, distinct) => name match {
       case "count" if args.headOption.contains(EVar("*")) => count(lit(1))
       case "count" =>
@@ -410,12 +429,66 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       ret.getOrElse(throw new ParseException("missing RETURN")))
   }
 
+  /** Rewrites EXISTS{…}/COUNT{…} subqueries inside `e` to relational
+    * form: each subquery's pattern is compiled on a fresh frame, grouped
+    * into per-correlation-key counts, LEFT-joined to the outer frame on
+    * the shared node/rel variable ids, and the ESub node is replaced by
+    * the bound count column (COUNT) or `count > 0` (EXISTS). This is the
+    * standard decorrelation — a distributed aggregate + equi-join, never
+    * a per-row probe. Returns the extended frame, the rewritten
+    * expression, and the bound helper columns (for the caller to drop
+    * after filtering). */
+  def bindSubqueries(frame0: Frame, e: Expr)
+      : (Frame, Expr, Seq[String]) = {
+    var frame = frame0
+    var boundCols: List[String] = Nil
+    def walk(x: Expr): Expr = x match {
+      case s: ESub =>
+        val bound = freshVar() + "_sub"
+        var sub = emptyFrame
+        s.patterns.foreach(p => sub = compilePattern(sub, p))
+        s.where.foreach(w =>
+          sub = Frame(sub.df.filter(compileExpr(w, sub)), sub.vars))
+        val shared = frame0.vars.keySet.intersect(sub.vars.keySet).toSeq
+          .filter { v =>
+            val k = frame0.vars(v)
+            (k == NodeVar || k == RelVar) && sub.vars(v) == k
+          }.sorted
+        if (shared.isEmpty)
+          throw new ParseException(
+            "EXISTS{}/COUNT{} subquery shares no bound node/rel variable " +
+              "with the outer scope")
+        val joinCols = shared.map(v => s"${v}__id")
+        val counts = sub.df.groupBy(joinCols.map(col): _*)
+          .agg(count(lit(1)).as(s"${bound}__val"))
+        frame = Frame(
+          frame.df.join(counts, joinCols, "left")
+            .withColumn(s"${bound}__val",
+              coalesce(col(s"${bound}__val"), lit(0L))),
+          frame.vars + (bound -> ValueVar))
+        boundCols ::= s"${bound}__val"
+        if (s.isCount) EVar(bound)
+        else EBin(">", EVar(bound), ELit(LInt(0)))
+      case EBin(op, l, r) => EBin(op, walk(l), walk(r))
+      case ENot(y)        => ENot(walk(y))
+      case EFunc(n, args, d) => EFunc(n, args.map(walk), d)
+      case ECase(subj, whens, dflt) => ECase(subj.map(walk),
+        whens.map { case (c, r) => (walk(c), walk(r)) }, dflt.map(walk))
+      case other => other
+    }
+    val e2 = walk(e)
+    (frame, e2, boundCols)
+  }
+
   def compileMatch(start: Frame, m: MatchClause): Frame = {
     if (!m.optional) {
       var frame = start
       m.patterns.foreach(p => frame = compilePattern(frame, p))
-      m.where.foreach(w => frame =
-        Frame(frame.df.filter(compileExpr(w, frame)), frame.vars))
+      m.where.foreach { w =>
+        val (f2, w2, helper) = bindSubqueries(frame, w)
+        frame = Frame(f2.df.filter(compileExpr(w2, f2)).drop(helper: _*),
+          frame.vars)
+      }
       frame
     } else {
       // OPTIONAL MATCH: compile the pattern against a fresh frame, then
@@ -503,8 +576,10 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         w.limit.foreach(n => d = d.limit(n.toInt))
         Frame(d, f2.vars)
       }
-    w.where.fold(paged)(wx =>
-      Frame(paged.df.filter(compileExpr(wx, paged)), vars))
+    w.where.fold(paged) { wx =>
+      val (f2, w2, helper) = bindSubqueries(paged, wx)
+      Frame(f2.df.filter(compileExpr(w2, f2)).drop(helper: _*), vars)
+    }
   }
 
   private implicit class Pipe[A](a: A) {
@@ -577,7 +652,13 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     var frame = frame0
     val items0 = r.items.map { i =>
       val name = i.alias.getOrElse(defaultName(i.expr))
-      (name, i.expr)
+      // EXISTS{}/COUNT{} in a projection: decorrelate into a bound
+      // per-row count column first (per-row semantics — it only becomes
+      // a grouping key if a real aggregate appears alongside, matching
+      // Cypher)
+      val (f2, e2, _) = bindSubqueries(frame, i.expr)
+      frame = f2
+      (name, e2)
     }
     // Non-identity list comprehensions over path elements —
     // `[n IN nodes(p) | n.name]`, `[r IN relationships(p) | type(r)]`

@@ -58,6 +58,22 @@ object GraphXBridge {
     cc.join(mapping, Seq("vid")).select(col("id"), col("component"))
   }
 
+  /** Fixed-iteration PageRank (GraphX `staticPageRank`), back as
+    * (id, rank). Deterministic for a given graph and iteration count —
+    * unlike the tolerance-converged variant there is no run-to-run
+    * wobble, so the result is oracle-checkable: with the classic
+    * formulation rank = reset + (1−reset)·Σ(in), a source-only vertex
+    * settles at `reset` after one iteration and its downstream vertices
+    * settle one iteration later, giving closed forms for DAG layers. */
+  def staticPageRank(g: GraphState, numIter: Int, resetProb: Double = 0.15)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (graph, mapping) = toGraphX(g)
+    val pr = graph.staticPageRank(numIter, resetProb).vertices
+      .toDF("vid", "rank")
+    pr.join(mapping, Seq("vid")).select(col("id"), col("rank"))
+  }
+
   /** PageRank (GraphX), back as (id, rank). */
   def pageRank(g: GraphState, tol: Double = 0.001)
       (implicit spark: SparkSession): DataFrame = {

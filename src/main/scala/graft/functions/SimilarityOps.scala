@@ -124,14 +124,27 @@ object SimilarityOps {
     * equal brute force for ANY centroids (tested invariant). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      kmeansIters: Int = 0): DataFrame = {
+      kmeansIters: Int = 0, trainSample: Int = 4096): DataFrame = {
     val seed: Array[(Int, Seq[Double])] = corpus
       .orderBy(col(idCol)).limit(nlist)
       .select(asDouble(col(vecCol))).collect()
       .map(_.getSeq[Double](0)).zipWithIndex
       .map { case (v, i) => (i, v) }
+    // Training runs on a bounded DETERMINISTIC sample, not the corpus:
+    // hash-ordered top-N (TakeOrdered — one scan, no full sort, id
+    // tie-break) pinned with localCheckpoint, so each Lloyd iteration
+    // costs O(trainSample·nlist) regardless of corpus size. Coarse
+    // quantizers only need a representative sample — scanning 100 TB
+    // per iteration to place 16 centroids is pure waste; correctness is
+    // unaffected (the exhaustive-probe == brute-force invariant holds
+    // for ANY centroids, and probing quality is a sampling question).
+    val train =
+      if (kmeansIters == 0) corpus // never scanned by refinement
+      else corpus
+        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSample)
+        .select(col(idCol), col(vecCol)).localCheckpoint()
     val cents: Array[(Int, Seq[Double])] =
-      refineCentroids(corpus, vecCol, seed, kmeansIters)
+      refineCentroids(train, vecCol, seed, kmeansIters)
     // (distance, cell) pairs sorted ascending — ties break on cell id,
     // so assignment and probing are deterministic. Distance uses the
     // expansion ‖v−c‖² = ‖c‖² − 2⟨v,c⟩ + ‖v‖²; the ‖v‖² term is

@@ -254,7 +254,77 @@ object CypherDriven {
       .orderBy(col("event_id"))
   }
 
+  /** CASE expression through the full Cypher stack: priority-bucketed
+    * order counts (searched CASE feeding an aggregation). */
+  val cy13 = QueryDef.sql("cy13_case_buckets",
+    """SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |         THEN 'expedite'
+      |       WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+      |       ELSE 'relaxed' END AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) {
+    run("""MATCH (o:order)
+          |RETURN CASE WHEN o.priority IN ['1-URGENT', '2-HIGH']
+          |         THEN 'expedite'
+          |       WHEN o.priority = '3-MEDIUM' THEN 'standard'
+          |       ELSE 'relaxed' END AS bucket, count(*) AS n
+          |ORDER BY bucket""".stripMargin)(_, _)
+  }
+
+  /** EXISTS{} subquery through the full Cypher stack: nations that have
+    * at least one supplier — decorrelated to a count join, no per-row
+    * probing. */
+  val cy14 = QueryDef.sql("cy14_exists_filter",
+    """SELECT n_name AS name FROM nation
+      |WHERE EXISTS (SELECT 1 FROM supplier
+      |              WHERE s_nationkey = n_nationkey)
+      |ORDER BY name""".stripMargin) {
+    run("""MATCH (n:nation)
+          |WHERE EXISTS { (s:supplier)-[:IN_NATION]->(n) }
+          |RETURN n.name AS name ORDER BY name""".stripMargin)(_, _)
+  }
+
+  /** COUNT{} subquery in a projection: per-nation customer counts as a
+    * per-row value (0 preserved for empty nations — LEFT-join
+    * semantics). */
+  val cy15 = QueryDef.sql("cy15_count_subquery",
+    """SELECT n_name AS name, CAST(
+      |    (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+      |  AS BIGINT) AS n_cust
+      |FROM nation ORDER BY name""".stripMargin) {
+    run("""MATCH (n:nation)
+          |RETURN n.name AS name,
+          |  COUNT { (c:customer)-[:IN_NATION]->(n) } AS n_cust
+          |ORDER BY name""".stripMargin)(_, _)
+  }
+
+  /** End-to-end streaming graph ingestion: events flow through a real
+    * Structured Streaming query into the graph via the foreachBatch
+    * upsert sink, then the RESULTING GRAPH STATE (not the stream output)
+    * is hash-compared against the relational ground truth — proving
+    * stream-ingested state equals batch-built state. The file source
+    * needs a directory, so events.parquet is staged into a temp dir. */
+  val st03 = QueryDef.sql("st03_stream_graph_upsert",
+    """SELECT 'ev:' || event_id AS id, event_type AS label,
+      |  CAST(user_id AS VARCHAR) AS uid
+      |FROM events ORDER BY id""".stripMargin) { (s, dir) =>
+    val stage = java.nio.file.Files.createTempDirectory("st03_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      stage.resolve("events.parquet"))
+    val sess = graft.api.GraftSession.empty(s)
+    graft.streaming.EventStreams.graphUpsertSink(s, stage.toString, sess,
+      batch => batch.select(
+        concat(lit("ev:"), col("event_id")).as("id"),
+        col("event_type").as("label"),
+        map(lit("user"), col("user_id").cast("string")).as("properties")))
+    sess.graph.vertices
+      .select(col("id"), col("label"),
+        element_at(col("properties"), "user").as("uid"))
+      .orderBy(col("id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
-      cy12, st01, st02, tj01)
+      cy12, cy13, cy14, cy15, st01, st02, st03, tj01)
 }

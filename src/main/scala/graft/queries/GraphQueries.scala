@@ -160,6 +160,69 @@ object GraphQueries {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** The nation/region membership subgraph, the GraphX-gate fixture:
+    * small, fixed shape at every SF (TPC-H nations/regions are constant),
+    * so whole-graph analytics have relationally-derivable ground truth. */
+  private def membershipSubgraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.engine.GraphState = {
+    val full = TpchGraph(Tables(s, dir))
+    graft.engine.GraphState(
+      full.vertices.filter(col("label").isin("nation", "region")),
+      full.edges.filter(col("edge_type") === "IN_REGION"))
+  }
+
+  /** GraphX connected components, oracle-anchored: on the nation→region
+    * membership graph the weak components are exactly the per-region
+    * groups. GraphX labels a component by its minimum internal (hashed)
+    * vertex id — engine-specific — so components are RE-labeled with
+    * their minimum member id STRING (a pure relabeling, deterministic,
+    * engine-independent), which DuckDB derives relationally. */
+  val gx01 = QueryDef.sql("gx01_connected_components",
+    """WITH m AS (SELECT n_regionkey AS rk,
+      |            min('n:' || n_nationkey) AS component_id
+      |          FROM nation GROUP BY 1)
+      |SELECT id, component_id FROM (
+      |  SELECT 'n:' || n_nationkey AS id, component_id
+      |  FROM nation JOIN m ON n_regionkey = rk
+      |  UNION ALL
+      |  SELECT 'r:' || r_regionkey AS id, component_id
+      |  FROM region JOIN m ON r_regionkey = rk)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val cc = graft.engine.GraphXBridge
+      .connectedComponents(membershipSubgraph(s, dir))
+    val labels = cc.groupBy(col("component"))
+      .agg(min(col("id")).as("component_id"))
+    cc.join(labels, Seq("component"))
+      .select(col("id"), col("component_id")).orderBy(col("id"))
+  }
+
+  /** GraphX fixed-iteration PageRank, oracle-anchored: on the
+    * nation→region DAG the ranks reach a closed form after 2 iterations
+    * (sources settle at reset, sinks one step later), and Spark 4's
+    * staticPageRank normalizes so Σranks = |V| — both derivable in SQL.
+    * floor4 absorbs the (≤1 ulp) difference between the iterative and
+    * closed-form arithmetic paths. */
+  val gx02 = QueryDef.sql("gx02_static_pagerank",
+    s"""WITH pre AS (
+       |  SELECT 'n:' || n_nationkey AS id, CAST(0.15 AS DOUBLE) AS pre
+       |  FROM nation
+       |  UNION ALL
+       |  SELECT 'r:' || r_regionkey AS id,
+       |    0.15 + 0.85 * 0.15 *
+       |      (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
+       |  FROM region),
+       |t AS (SELECT CAST(count(*) AS DOUBLE) AS nv, sum(pre) AS tot
+       |      FROM pre)
+       |SELECT id, ${graft.queries.Det.floor4Sql("pre * nv / tot")} AS rank
+       |FROM pre, t ORDER BY id""".stripMargin) { (s, dir) =>
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    graft.engine.GraphXBridge
+      .staticPageRank(membershipSubgraph(s, dir), numIter = 3)
+      .select(col("id"), Det.floor4(col("rank")).as("rank"))
+      .orderBy(col("id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01)
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02)
 }

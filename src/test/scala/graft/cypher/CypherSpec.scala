@@ -484,6 +484,93 @@ class CypherSpec extends SparkSpec {
     assert(err.getMessage.contains("nodes(p)/relationships(p)"))
   }
 
+  test("searched CASE buckets ages; ELSE catches the rest") {
+    val rows = q(
+      """MATCH (p:Person)
+        |RETURN p.name AS name,
+        |  CASE WHEN p.age >= 35 THEN 'senior'
+        |       WHEN p.age >= 30 THEN 'mid'
+        |       ELSE 'junior' END AS band
+        |ORDER BY name""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("Alice" -> "mid", "Bob" -> "senior",
+      "Charlie" -> "junior", "Diana" -> "mid"))
+  }
+
+  test("simple CASE compares the subject against WHEN values") {
+    val rows = q(
+      """MATCH (p:Person)
+        |RETURN p.name AS name,
+        |  CASE p.active WHEN true THEN 'yes' ELSE 'no/unknown' END AS act
+        |ORDER BY name""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("Alice") == "yes" && rows("Bob") == "yes" &&
+      rows("Charlie") == "no/unknown" && rows("Diana") == "no/unknown")
+  }
+
+  test("CASE without ELSE yields null for unmatched rows") {
+    val rows = q(
+      """MATCH (p:Person)
+        |RETURN p.name AS name,
+        |  CASE WHEN p.age > 33 THEN 'old' END AS tag
+        |ORDER BY name""".stripMargin).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows("Bob").contains("old") && rows("Alice").isEmpty)
+  }
+
+  test("CASE inside an aggregation groups buckets (gate cy13 shape)") {
+    val rows = q(
+      """MATCH (p:Person)
+        |RETURN CASE WHEN p.age >= 30 THEN '30+' ELSE 'under' END AS band,
+        |  count(*) AS n ORDER BY band""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("30+" -> 3L, "under" -> 1L))
+  }
+
+  test("EXISTS {} subquery filters on pattern existence") {
+    val rows = q(
+      """MATCH (p:Person)
+        |WHERE EXISTS { (p)-[:KNOWS]->(:Person) }
+        |RETURN p.name AS name ORDER BY name""".stripMargin).collect()
+      .map(_.getString(0)).toSeq
+    assert(rows == Seq("Alice", "Bob"))
+  }
+
+  test("NOT EXISTS {} is the complement; WHERE inside the subquery applies") {
+    val rows = q(
+      """MATCH (p:Person)
+        |WHERE NOT EXISTS { (p)-[:KNOWS]->(:Person) }
+        |RETURN p.name AS name ORDER BY name""".stripMargin).collect()
+      .map(_.getString(0)).toSeq
+    assert(rows == Seq("Charlie", "Diana"))
+    val filtered = q(
+      """MATCH (p:Person)
+        |WHERE EXISTS { (p)-[k:KNOWS]->(f:Person) WHERE f.age < 30 }
+        |RETURN p.name AS name""".stripMargin).collect()
+      .map(_.getString(0)).toSeq
+    assert(filtered == Seq("Alice")) // only Charlie (28) qualifies as f
+  }
+
+  test("COUNT {} subquery projects a per-row count (0 when no match)") {
+    val rows = q(
+      """MATCH (p:Person)
+        |RETURN p.name AS name,
+        |  COUNT { (p)-[:KNOWS]->(:Person) } AS n_knows
+        |ORDER BY name""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("Alice" -> 2L, "Bob" -> 1L, "Charlie" -> 0L,
+      "Diana" -> 0L))
+  }
+
+  test("EXISTS {} on an unbound-only pattern is rejected clearly") {
+    val err = intercept[ParseException] {
+      q("""MATCH (p:Person)
+          |WHERE EXISTS { (a:Nope)-[:X]->(b) }
+          |RETURN p.name""".stripMargin).collect()
+    }
+    assert(err.getMessage.contains("shares no bound"))
+  }
+
   test("full CRUD cycle (QE test1 script, D8)") {
     var g = runScript(people,
       """CREATE (:Person {id: "test1", name: "Test User 1", age: 42})""")

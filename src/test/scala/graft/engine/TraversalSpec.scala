@@ -145,4 +145,29 @@ class TraversalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(deg("a") == 3 && deg("c") == 3 && deg.get("iso").isEmpty)
   }
+
+  test("staticPageRank matches the DAG-layer closed form (nation→region)") {
+    implicit val s = spark
+    val tb = graft.sources.Tables(spark, sf("sf0.001"))
+    val full = graft.sources.TpchGraph(tb)
+    val sub = graft.engine.GraphState(
+      full.vertices.filter(col("label").isin("nation", "region")),
+      full.edges.filter(col("edge_type") === "IN_REGION"))
+    val pr = GraphXBridge.staticPageRank(sub, numIter = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val nPerRegion = tb.nation.groupBy(col("n_regionkey")).count()
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    // Spark 4 staticPageRank NORMALIZES so Σranks = |V|. Pre-norm: a
+    // source-only nation settles at reset = 0.15 and a region at
+    // 0.15 + 0.85·(0.15·|its nations|); scale by |V| / Σpre.
+    def pre(id: String): Double =
+      if (id.startsWith("n:")) 0.15
+      else 0.15 + 0.85 * 0.15 * nPerRegion(id.stripPrefix("r:").toLong)
+    val scale = pr.size / pr.keys.toSeq.map(pre).sum
+    pr.foreach { case (id, rank) =>
+      assert(math.abs(rank - pre(id) * scale) < 1e-9,
+        s"$id: $rank vs ${pre(id) * scale}")
+    }
+  }
 }
