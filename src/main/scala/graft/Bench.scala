@@ -36,12 +36,17 @@ object Bench {
       // a failed query must not masquerade as a fast one
       q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the whole JSON line under the
+    // harness's output-tail capture window — full nanosecond reprs
+    // pushed the line past it, truncating the line's head
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // -1 sentinels are reported per-query but excluded from the total
     val passed = results.collect { case (_, v) if v >= 0 => v }
     val nFailed = results.size - passed.size
-    val total = passed.sum
+    val total = fmt(passed.sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -381,6 +381,45 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       }
       case "abs"   => abs(compileExpr(args.head, frame).try_cast("double"))
       case "round" => round(compileExpr(args.head, frame).try_cast("double"))
+      case "floor" => floor(compileExpr(args.head, frame).try_cast("double"))
+        .cast("double")
+      case "ceil" | "ceiling" =>
+        ceil(compileExpr(args.head, frame).try_cast("double")).cast("double")
+      case "sqrt"  => sqrt(compileExpr(args.head, frame).try_cast("double"))
+      case "sign"  =>
+        signum(compileExpr(args.head, frame).try_cast("double")).cast("long")
+      case "reverse" => // string or list — same builtin
+        reverse(compileExpr(args.head, frame))
+      case "ltrim" => ltrim(compileExpr(args.head, frame))
+      case "rtrim" => rtrim(compileExpr(args.head, frame))
+      case "left" => substring(compileExpr(args.head, frame), 1,
+        args(1) match {
+          case ELit(LInt(n)) => n.toInt
+          case _ => throw new ParseException("left() needs a literal length")
+        })
+      case "right" =>
+        val n = args(1) match {
+          case ELit(LInt(v)) => v.toInt
+          case _ => throw new ParseException("right() needs a literal length")
+        }
+        val c = compileExpr(args.head, frame)
+        substring(c, -n, n)
+      case "range" =>
+        val from = compileExpr(args.head, frame).try_cast("long")
+        val to = compileExpr(args(1), frame).try_cast("long")
+        if (args.length > 2)
+          sequence(from, to, compileExpr(args(2), frame).try_cast("long"))
+        else sequence(from, to)
+      case "startnode" => args.head match {
+        case EVar(v) if frame.vars.get(v).contains(RelVar) =>
+          col(s"${v}__src")
+        case _ => throw new ParseException("startNode() needs a rel variable")
+      }
+      case "endnode" => args.head match {
+        case EVar(v) if frame.vars.get(v).contains(RelVar) =>
+          col(s"${v}__dst")
+        case _ => throw new ParseException("endNode() needs a rel variable")
+      }
       case "rand"  => rand()
       case other => throw new ParseException(s"unsupported function $other()")
     }

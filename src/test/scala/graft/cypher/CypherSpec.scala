@@ -571,6 +571,36 @@ class CypherSpec extends SparkSpec {
     assert(err.getMessage.contains("shares no bound"))
   }
 
+  test("math/string/list scalar functions compile and evaluate") {
+    val row = q(
+      """MATCH (p:Person {id: "alice"})
+        |RETURN floor(p.score) AS fl, ceil(p.score) AS ce,
+        |  sqrt(4.0) AS sq, sign(0 - p.age) AS sg,
+        |  reverse(p.name) AS rev, ltrim('  x') AS lt, rtrim('x  ') AS rt,
+        |  left(p.name, 2) AS l2, right(p.name, 3) AS r3,
+        |  range(1, 5) AS rg, range(0, 10, 5) AS rgs""".stripMargin)
+      .collect().head
+    assert(row.getDouble(0) == 95.0 && row.getDouble(1) == 96.0)
+    assert(row.getDouble(2) == 2.0 && row.getLong(3) == -1L)
+    assert(row.getString(4) == "ecilA")
+    assert(row.getString(5) == "x" && row.getString(6) == "x")
+    assert(row.getString(7) == "Al" && row.getString(8) == "ice")
+    assert(row.getSeq[Long](9) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(row.getSeq[Long](10) == Seq(0L, 5L, 10L))
+  }
+
+  test("startNode()/endNode() return the relationship endpoints' ids") {
+    val rows = q(
+      """MATCH (a:Person {id: "alice"})-[r:KNOWS]->(b)
+        |RETURN startNode(r) AS s, endNode(r) AS e, id(a) AS ia,
+        |  id(b) AS ib""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(2))
+      assert(r.getString(1) == r.getString(3))
+    }
+  }
+
   test("full CRUD cycle (QE test1 script, D8)") {
     var g = runScript(people,
       """CREATE (:Person {id: "test1", name: "Test User 1", age: 42})""")
