@@ -27,7 +27,25 @@ object Cypher {
     // Cypher SET overwrites existing property keys: map_concat must take
     // the last value rather than throw on duplicates.
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    val ast = Parser.parse(query)
+    val (parts, unionAll) = Parser.parseMulti(query)
+    if (parts.size > 1) {
+      // UNION chain: read-only parts, matching output columns; UNION
+      // dedupes (one distinct over the combined result), UNION ALL
+      // concatenates — both a single unionByName plan, no per-part jobs.
+      if (parts.exists(_.isMutation))
+        throw new ParseException("UNION parts must be read-only queries")
+      val dfs = parts.map(p => new Compiler(g).compileRead(p))
+      val cols = dfs.head.columns.toSeq
+      dfs.tail.foreach { d =>
+        if (d.columns.toSeq != cols)
+          throw new ParseException(
+            s"UNION parts return different columns: $cols vs " +
+              d.columns.toSeq)
+      }
+      val u = dfs.reduce(_ unionByName _)
+      return CypherResult(Some(if (unionAll) u else u.distinct()), g)
+    }
+    val ast = parts.head
     val compiler = new Compiler(g)
     if (!ast.isMutation)
       CypherResult(Some(compiler.compileRead(ast)), g)

@@ -26,7 +26,8 @@ object Parser {
     "SET", "REMOVE", "DELETE", "DETACH", "ORDER", "BY", "LIMIT", "SKIP",
     "AND", "OR", "NOT", "XOR", "AS", "ASC", "DESC", "ASCENDING", "DESCENDING",
     "DISTINCT", "UNWIND", "WITH", "CONTAINS", "STARTS", "ENDS", "IN", "IS",
-    "NULL", "TRUE", "FALSE", "MERGE", "CASE", "WHEN", "THEN", "ELSE", "END")
+    "NULL", "TRUE", "FALSE", "MERGE", "CASE", "WHEN", "THEN", "ELSE", "END",
+    "UNION", "ALL")
 
   private val symbols = Seq("<=", ">=", "<>", "!=", "=~", "->", "<-", "..",
     "(", ")", "[", "]", "{", "}", ":", ",", ".", "=", "<", ">", "+", "-",
@@ -83,6 +84,12 @@ object Parser {
 
   def parse(query: String): CypherQuery =
     new Parser(tokenize(query.trim.stripSuffix(";"))).parseQuery()
+
+  /** Top-level UNION [ALL] chain: (parts, isUnionAll). A single-part
+    * query returns (Seq(q), false). Mixing UNION and UNION ALL in one
+    * chain is rejected (Cypher parity). */
+  def parseMulti(query: String): (Seq[CypherQuery], Boolean) =
+    new Parser(tokenize(query.trim.stripSuffix(";"))).parseUnionChain()
 }
 
 final class Parser(toks: Vector[Parser.Tok]) {
@@ -111,9 +118,23 @@ final class Parser(toks: Vector[Parser.Tok]) {
     case t         => fail(s"expected identifier, got $t")
   }
 
+  def parseUnionChain(): (Seq[CypherQuery], Boolean) = {
+    val parts = ArrayBuffer(parseQuery())
+    var all: Option[Boolean] = None
+    while (tryKw("UNION")) {
+      val thisAll = tryKw("ALL")
+      if (all.exists(_ != thisAll))
+        fail("cannot mix UNION and UNION ALL in one query")
+      all = Some(thisAll)
+      parts += parseQuery()
+    }
+    if (peek != TEnd) fail("unexpected trailing input")
+    (parts.toSeq, all.getOrElse(false))
+  }
+
   def parseQuery(): CypherQuery = {
     val clauses = ArrayBuffer[Clause]()
-    while (peek != TEnd) {
+    while (peek != TEnd && !isKw("UNION")) {
       peek match {
         case TKw("MATCH")    => clauses += parseMatch(optional = false)
         case TKw("OPTIONAL") =>

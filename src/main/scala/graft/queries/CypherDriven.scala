@@ -298,6 +298,23 @@ object CypherDriven {
           |ORDER BY name""".stripMargin)(_, _)
   }
 
+  /** UNION through the full Cypher stack: distinct names drawn from two
+    * different labels (dedup across parts is the UNION contract; the
+    * plan is one unionByName + a single distinct — no per-part jobs).
+    * Ordering is applied to the combined result by the harness wrapper,
+    * as Cypher scopes ORDER BY to a single part. */
+  val cy16 = QueryDef.sql("cy16_union",
+    """SELECT c_name AS name FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |UNION
+      |SELECT s_name FROM supplier
+      |ORDER BY name""".stripMargin) { (s, dir) =>
+    run("""MATCH (c:customer) WHERE c.mktsegment = 'MACHINERY'
+          |RETURN c.name AS name
+          |UNION
+          |MATCH (su:supplier) RETURN su.name AS name""".stripMargin)(s, dir)
+      .orderBy(col("name"))
+  }
+
   /** End-to-end streaming graph ingestion: events flow through a real
     * Structured Streaming query into the graph via the foreachBatch
     * upsert sink, then the RESULTING GRAPH STATE (not the stream output)
@@ -324,7 +341,44 @@ object CypherDriven {
       .orderBy(col("id"))
   }
 
+  private val memSink = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming exact dedup — the stream form of d01: documents flow
+    * through a file-source stream into Spark's STATEFUL dropDuplicates
+    * (state-store-backed, the operator a 100 TB ingest pipeline would
+    * run), and the surviving fingerprint SET is hash-compared against
+    * batch DISTINCT ground truth. The fingerprint set is deterministic
+    * regardless of arrival order — exactly why the gate compares
+    * fingerprints, not representative doc ids. At production scale the
+    * state is bounded with an event-time watermark / fingerprint TTL;
+    * the parquet fixture has no event time, so state here is unbounded
+    * but finite. */
+  val st04 = QueryDef.sql("st04_stream_dedup",
+    """SELECT DISTINCT
+      |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |FROM documents ORDER BY fp""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val stage = java.nio.file.Files.createTempDirectory("st04_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val name = s"st04_dedup_${memSink.incrementAndGet()}"
+    val q = s.readStream.schema(schema).parquet(stage.toString)
+      .select(graft.functions.TextOps.fingerprint(col("text")).as("fp"))
+      .dropDuplicates("fp")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).orderBy(col("fp"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
-      cy12, cy13, cy14, cy15, st01, st02, st03, tj01)
+      cy12, cy13, cy14, cy15, cy16, st01, st02, st03, st04, tj01)
 }

@@ -601,6 +601,37 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("UNION dedupes across parts; UNION ALL keeps duplicates") {
+    val union = q(
+      """MATCH (p:Person) WHERE p.age >= 30 RETURN p.name AS name
+        |UNION
+        |MATCH (a:Person {id: "alice"})-[:KNOWS]->(f) RETURN f.name AS name"""
+        .stripMargin).collect().map(_.getString(0)).sorted.toSeq
+    // Bob appears in both parts but once in the result
+    assert(union == Seq("Alice", "Bob", "Charlie", "Diana"))
+    val unionAll = q(
+      """MATCH (p:Person) WHERE p.age >= 30 RETURN p.name AS name
+        |UNION ALL
+        |MATCH (a:Person {id: "alice"})-[:KNOWS]->(f) RETURN f.name AS name"""
+        .stripMargin).collect().map(_.getString(0)).sorted.toSeq
+    assert(unionAll == Seq("Alice", "Bob", "Bob", "Charlie", "Diana"))
+  }
+
+  test("UNION rejects mixed ALL, mutations, and column mismatches") {
+    assert(intercept[ParseException](q(
+      """MATCH (p:Person) RETURN p.name AS n UNION
+        |MATCH (p:Person) RETURN p.name AS n UNION ALL
+        |MATCH (p:Person) RETURN p.name AS n""".stripMargin))
+      .getMessage.contains("mix"))
+    assert(intercept[ParseException](Cypher.execute(people,
+      """CREATE (:Person {id: "x"}) UNION MATCH (p) RETURN p"""))
+      .getMessage.contains("read-only"))
+    assert(intercept[ParseException](q(
+      """MATCH (p:Person) RETURN p.name AS a UNION
+        |MATCH (p:Person) RETURN p.name AS b""".stripMargin))
+      .getMessage.contains("different columns"))
+  }
+
   test("full CRUD cycle (QE test1 script, D8)") {
     var g = runScript(people,
       """CREATE (:Person {id: "test1", name: "Test User 1", age: 42})""")
