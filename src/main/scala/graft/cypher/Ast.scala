@@ -67,7 +67,7 @@ object Ast {
   final case class UnwindClause(list: Expr, variable: String) extends Clause
   final case class WithClause(items: Seq[ReturnItem], where: Option[Expr],
       orderBy: Seq[(Expr, Boolean)] = Nil, skip: Option[Long] = None,
-      limit: Option[Long] = None) extends Clause
+      limit: Option[Long] = None, distinct: Boolean = false) extends Clause
   final case class CreateClause(patterns: Seq[PathPat]) extends Clause
   /** MERGE: bind the pattern if it matches, otherwise create it. */
   final case class MergeClause(pattern: PathPat) extends Clause

@@ -587,6 +587,17 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       df = df.select(cols: _*)
       vars = named.map { case (n, e) => n -> carriedKind(e, frame) }.toMap
     }
+    // WITH DISTINCT: row identity BEFORE pagination/WHERE. Node/rel
+    // equality is id equality, so dedup keys exclude map-typed columns
+    // (Spark set-ops reject maps; the props ride along with their id —
+    // same rows survive).
+    if (w.distinct) {
+      val keyCols = df.columns.filter(c =>
+        !df.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.MapType])
+      df = if (keyCols.isEmpty) df.distinct()
+        else df.dropDuplicates(keyCols.toSeq)
+    }
     val f2 = Frame(df, vars)
     // mid-pipeline ORDER BY + SKIP/LIMIT: the point is top-k/paging
     // BEFORE later clauses (downstream joins do not preserve order —

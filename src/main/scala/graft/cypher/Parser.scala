@@ -146,12 +146,13 @@ final class Parser(toks: Vector[Parser.Tok]) {
           clauses += UnwindClause(list, ident())
         case TKw("WITH") =>
           eatKw("WITH")
+          val distinct = tryKw("DISTINCT")
           val items = parseReturnItems()
           val orderBy = parseOrderBy()
           val skip = if (tryKw("SKIP")) Some(parseNum()) else None
           val limit = if (tryKw("LIMIT")) Some(parseNum()) else None
           val where = if (tryKw("WHERE")) Some(parseExpr()) else None
-          clauses += WithClause(items, where, orderBy, skip, limit)
+          clauses += WithClause(items, where, orderBy, skip, limit, distinct)
         case TKw("CREATE") =>
           next()
           clauses += CreateClause(parsePatterns())

@@ -243,26 +243,38 @@ object SimilarityOps {
       dim: Int, threshold: Double, planesPerBand: Int = 4,
       bands: Int = 32): DataFrame = {
     import org.apache.spark.sql.graft.{shims, BandsFirstMatchExpr}
-    // Vectors + the full band sketch ride along through the bucket join
-    // (one shuffle of bands×|rows| keyed rows). A pair colliding in k
-    // bands appears k times, but is scored ONLY in its first matching
-    // band (native first-match filter, fused into the join's codegen
-    // stage) — every pair scores exactly once and no post-join dedup
-    // shuffle exists at all; after the join the plan is pure map-side.
+    // Only ids + the band sketch (bands longs) ride through the bucket
+    // join — NOT the vectors: the exchange payload per exploded row is
+    // the 8·bands-byte sketch instead of sketch + 8·dim-byte vector
+    // (3× lighter at dim=64/bands=32; the ratio grows with dim, which
+    // is what matters for 1k-dim production embeddings). A pair
+    // colliding in k bands appears k times but survives ONLY in its
+    // first matching band (native first-match filter fused into the
+    // join's codegen stage) — every pair is emitted exactly once and no
+    // post-join dedup shuffle exists. Vectors are fetched for the few
+    // surviving candidates by two hash joins against the (id, vec)
+    // projection, then exactly re-scored map-side.
     val withBands = df.select(col(idCol).as("vid"),
-      asDouble(col(vecCol)).as("v"),
       hyperplaneBandValues(asDouble(col(vecCol)), dim,
         planesPerBand, bands).as("bands"))
-    val banded = withBands.select(col("vid"), col("v"), col("bands"),
+    val banded = withBands.select(col("vid"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "band_hash")))
     val a = banded.select(col("band"), col("band_hash"),
-      col("vid").as("id1"), col("v").as("v1"), col("bands").as("bands1"))
+      col("vid").as("id1"), col("bands").as("bands1"))
     val b = banded.select(col("band"), col("band_hash"),
-      col("vid").as("id2"), col("v").as("v2"), col("bands").as("bands2"))
+      col("vid").as("id2"), col("bands").as("bands2"))
     val firstMatch = shims.column(BandsFirstMatchExpr(
       shims.expression(col("bands1")), shims.expression(col("bands2"))))
-    a.join(b, Seq("band", "band_hash"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
       .filter(col("id1") < col("id2") && col("band") === firstMatch)
+      .select(col("id1"), col("id2"))
+    val vecs = df.select(col(idCol).as("jid"),
+      asDouble(col(vecCol)).as("jv"))
+    pairs
+      .join(vecs.withColumnRenamed("jid", "id1")
+        .withColumnRenamed("jv", "v1"), Seq("id1"))
+      .join(vecs.withColumnRenamed("jid", "id2")
+        .withColumnRenamed("jv", "v2"), Seq("id2"))
       .select(col("id1"), col("id2"),
         round(cosine(col("v1"), col("v2")), 6).as("score"))
       .filter(col("score") >= threshold)

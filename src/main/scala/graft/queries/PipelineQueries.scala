@@ -289,7 +289,50 @@ object PipelineQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** Composite training-data pipeline — the operators COMPOSED the way a
+    * real corpus-cleaning job runs them, end-to-end in one plan: token
+    * gate (≥40) → language gate (en beats fr) → exact dedup keepers →
+    * per-source rollup. Every stage reuses an individually-gated
+    * operator (t01/t04/d01), so this pins their composition, not just
+    * each piece: filters run BEFORE the dedup window (canonical ids are
+    * minima of the filtered set), and all predicates are pure codegen
+    * Columns that push into the single documents scan. */
+  val p01 = QueryDef.sql("p01_pipeline_clean",
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+       |      AS n_tokens,
+       |    ${enWords.map(occSql).mkString(" + ")} AS en_score,
+       |    ${frWords.map(occSql).mkString(" + ")} AS fr_score,
+       |    md5($normSql) AS fp
+       |  FROM (SELECT *, ' ' || $normSql || ' ' AS p FROM documents)),
+       |filtered AS (
+       |  SELECT * FROM base WHERE n_tokens >= 40 AND en_score > fr_score),
+       |keepers AS (
+       |  SELECT * FROM (SELECT *,
+       |      min(doc_id) OVER (PARTITION BY fp) AS canon FROM filtered)
+       |  WHERE canon = doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM keepers GROUP BY source ORDER BY source""".stripMargin) {
+    (s, dir) =>
+      val enriched = Tables(s, dir).documents.select(
+        col("doc_id"), col("source"), col("text"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.stopwordCount(col("text"), enWords).as("en_score"),
+        TextOps.stopwordCount(col("text"), frWords).as("fr_score"))
+      val filtered = enriched.filter(
+        col("n_tokens") >= 40 && col("en_score") > col("fr_score"))
+      val keepers = DedupOps.exactCanonical(filtered, "doc_id", "text")
+        .filter(col("canonical_id") === col("doc_id"))
+      keepers.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, s01, s02,
-      s03, s04, m01)
+      s03, s04, m01, p01)
 }

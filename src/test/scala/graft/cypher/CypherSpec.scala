@@ -632,6 +632,19 @@ class CypherSpec extends SparkSpec {
       .getMessage.contains("different columns"))
   }
 
+  test("WITH DISTINCT dedupes mid-pipeline (values and node identity)") {
+    val vals = q(
+      """MATCH (a:Person)-[:KNOWS]->(b:Person)
+        |WITH DISTINCT a
+        |RETURN count(a) AS n""".stripMargin).collect().head.getLong(0)
+    assert(vals == 2L) // alice KNOWS twice, bob once → {alice, bob}
+    val strs = q(
+      """MATCH (p:Person)
+        |WITH DISTINCT p.active AS act
+        |RETURN count(act) AS n""".stripMargin).collect().head.getLong(0)
+    assert(strs == 2L) // true / false (Diana's null not counted)
+  }
+
   test("full CRUD cycle (QE test1 script, D8)") {
     var g = runScript(people,
       """CREATE (:Person {id: "test1", name: "Test User 1", age: 42})""")
