@@ -289,6 +289,34 @@ object PipelineQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** Int8-quantized top-k — the cheap candidate stage of quantized
+    * retrieval (4–8× scan-bytes reduction at 100 TB), oracle-exact
+    * because quantization TRUNCATES (pure function of the double bits;
+    * no round-half ambiguity) and the int8 dots are exact integers. */
+  val s05 = QueryDef.sql("s05_quantized_topk",
+    """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |           FROM embeddings),
+      |q8 AS (SELECT vec_id,
+      |  CASE WHEN list_max([abs(x) FOR x IN v]) = 0
+      |    THEN [CAST(0 AS DOUBLE) FOR x IN v]
+      |    ELSE [CAST(CAST(trunc(x * 127 / list_max([abs(y) FOR y IN v]))
+      |      AS BIGINT) AS DOUBLE) FOR x IN v] END AS qv
+      |  FROM c),
+      |s AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |        CAST(list_dot_product(n.qv, q.qv) AS BIGINT) AS qdot
+      |      FROM q8 n, (SELECT * FROM q8 WHERE vec_id < 10) q
+      |      WHERE n.vec_id <> q.vec_id)
+      |SELECT query_id, neighbor_id, qdot, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS rank FROM s)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir).embeddings
+    SimilarityOps.quantizedTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Composite training-data pipeline — the operators COMPOSED the way a
     * real corpus-cleaning job runs them, end-to-end in one plan: token
     * gate (≥40) → language gate (en beats fr) → exact dedup keepers →
@@ -334,5 +362,5 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, s01, s02,
-      s03, s04, m01, p01)
+      s03, s04, s05, m01, p01)
 }

@@ -136,6 +136,27 @@ class TextAndSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: zero-safe, bounded, and top-k mostly agrees with exact") {
+    val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
+      .localCheckpoint()
+    // every quantized component is in [-127, 127]
+    val outOfRange = emb.select(
+        explode(SimilarityOps.quantizeInt8(col("embedding"))).as("x"))
+      .filter(col("x") > 127 || col("x") < -127).count()
+    assert(outOfRange == 0)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilarityOps.quantizedTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // quantized dots approximate UNNORMALIZED similarity — candidate
+    // recall need not be perfect, but must be high on real data
+    val overlap = exact.intersect(quant).size.toDouble / exact.size
+    assert(overlap >= 0.5, s"quantized/exact top-5 overlap $overlap")
+  }
+
   test("TpchGraph projection is consistent with base tables") {
     val g = graft.sources.TpchGraph(
       graft.sources.Tables(spark, sf("sf0.001")))
