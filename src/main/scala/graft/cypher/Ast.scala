@@ -49,6 +49,9 @@ object Ast {
   final case class ENot(e: Expr) extends Expr
   final case class EListComp(variable: String, source: Expr, proj: Expr)
       extends Expr // [x IN xs | expr]
+  /** reduce(acc = init, x IN xs | expr) — list fold. */
+  final case class EReduce(acc: String, init: Expr, variable: String,
+      source: Expr, proj: Expr) extends Expr
   /** CASE WHEN … THEN … END (searched, subject=None) and
     * CASE x WHEN v THEN … END (simple, subject=Some). */
   final case class ECase(subject: Option[Expr], whens: Seq[(Expr, Expr)],

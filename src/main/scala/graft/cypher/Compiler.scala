@@ -277,6 +277,16 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         case "IN"          => array_contains(rc0, lc0)
         case "IS_NULL"     => lc0.isNull
         case "IS_NOT_NULL" => lc0.isNotNull
+        // a string LITERAL on either side makes + a concat (Cypher's
+        // "a" + "b"); otherwise numeric add — properties are
+        // stringified, so the numeric reading has to win for p.a + p.b
+        // (a coalesce-over-both would let Spark coerce the concat branch
+        // to double and silently null out real string concat)
+        case "+" if l.isInstanceOf[ELit] &&
+            l.asInstanceOf[ELit].l.isInstanceOf[LStr] ||
+            r.isInstanceOf[ELit] &&
+            r.asInstanceOf[ELit].l.isInstanceOf[LStr] =>
+          concat(lc0.cast(StringType), rc0.cast(StringType))
         case "+" => lc0.try_cast("double") + rc0.try_cast("double")
         case "-" => lc0.try_cast("double") - rc0.try_cast("double")
         case "*" => lc0.try_cast("double") * rc0.try_cast("double")
@@ -423,6 +433,18 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       case "rand"  => rand()
       case other => throw new ParseException(s"unsupported function $other()")
     }
+    case EReduce(acc, init, v, src, proj) =>
+      // fold via the SQL aggregate HOF; acc and element both enter the
+      // lambda through the substitution stack (same mechanism as list
+      // comprehensions). Interpreted eval — fine for per-row lists,
+      // keep off corpus-scale hot paths.
+      val srcCol = compileExpr(src, frame)
+      val initCol = compileExpr(init, frame)
+      aggregate(srcCol, initCol, (a, x) => {
+        substStack = (acc -> a) :: (v -> x) :: substStack
+        try compileExpr(proj, frame)
+        finally substStack = substStack.drop(2)
+      })
     case EListComp(v, src, proj) =>
       // Inside the lambda the iteration var shadows: any scalar
       // expression of the ELEMENT compiles with x substituted for

@@ -559,6 +559,21 @@ final class Parser(toks: Vector[Parser.Tok]) {
       val where = if (tryKw("WHERE")) Some(parseExpr()) else None
       eatSym("}")
       ESub(name.equalsIgnoreCase("count"), pats, where)
+    case TIdent(name)
+        if name.equalsIgnoreCase("reduce") && toks(pos + 1) == TSym("(") =>
+      // reduce(acc = init, x IN xs | expr)
+      pos += 2
+      val acc = ident()
+      eatSym("=")
+      val init = parseExpr()
+      eatSym(",")
+      val v = ident()
+      eatKw("IN")
+      val src = parseExpr()
+      eatSym("|")
+      val proj = parseExpr()
+      eatSym(")")
+      EReduce(acc, init, v, src, proj)
     case TIdent(name) =>
       pos += 1
       if (trySym("(")) {

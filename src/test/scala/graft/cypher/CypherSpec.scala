@@ -645,6 +645,20 @@ class CypherSpec extends SparkSpec {
     assert(strs == 2L) // true / false (Diana's null not counted)
   }
 
+  test("reduce() folds a collected list with acc + element substitution") {
+    val total = q(
+      """MATCH (p:Person)
+        |WITH collect(p.age) AS ages
+        |RETURN reduce(total = 0.0, a IN ages | total + a) AS s"""
+        .stripMargin).collect().head.getDouble(0)
+    assert(total == 125.0) // 30 + 35 + 28 + 32
+    // string-literal + makes concat (predictable without type inference)
+    val tagged = q(
+      """MATCH (p:Person {id: "alice"})
+        |RETURN p.name + '!' AS t""".stripMargin).collect().head.getString(0)
+    assert(tagged == "Alice!")
+  }
+
   test("full CRUD cycle (QE test1 script, D8)") {
     var g = runScript(people,
       """CREATE (:Person {id: "test1", name: "Test User 1", age: 42})""")
