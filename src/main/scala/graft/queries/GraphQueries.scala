@@ -223,6 +223,29 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  private val storeId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The persistence round-trip IN the correctness gate: the graph
+    * projection is written as the production layout (vertices
+    * partitioned by label for scan pruning, edges bucketed+sorted by src
+    * so traversal joins co-locate), reloaded from disk, and a traversal
+    * is answered from the STORED graph — hash-checked against the same
+    * relational oracle as the in-memory path (g03). Proves the
+    * bucketed-store path end-to-end, not just in plan asserts. */
+  val gst01 = QueryDef.sql("gst01_bucketed_store_hop",
+    """SELECT 'o:' || o_orderkey AS id FROM orders
+      |WHERE o_custkey = 1 ORDER BY id""".stripMargin) { (s, dir) =>
+    val name = s"gst01_g${storeId.incrementAndGet()}"
+    val tmp = java.nio.file.Files.createTempDirectory("gst01_store")
+    graft.sources.GraphStore.saveBucketed(
+      TpchGraph(Tables(s, dir)), s, name, tmp.toString, buckets = 8)
+    val stored = graft.sources.GraphStore.loadBucketed(s, name)
+    val q = SpecificVertex(Seq("c:1"))
+      .outbound(t = Some("PLACED")).outbound()
+    QueryCompiler(stored).compile(q).select(col("id")).orderBy(col("id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02)
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
+      gst01)
 }
