@@ -378,7 +378,28 @@ object CypherDriven {
     s.table(name).orderBy(col("fp"))
   }
 
+  /** Stream-stream interval join through a REAL Structured Streaming
+    * query (two watermarked sides, equi-key + event-time-range state
+    * join): clicks matched to the same user's views in the preceding
+    * hour, hash-checked against the relational join. */
+  val st05 = QueryDef.sql("st05_stream_stream_join",
+    """SELECT c.event_id AS click_id, v.event_id AS view_id
+      |FROM events c JOIN events v
+      |  ON c.user_id = v.user_id
+      | AND c.event_type = 'click' AND v.event_type = 'view'
+      | AND v.ts >= c.ts - INTERVAL 3600 SECOND AND v.ts <= c.ts
+      |ORDER BY click_id, view_id""".stripMargin) { (s, dir) =>
+    val stage = java.nio.file.Files.createTempDirectory("st05_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      stage.resolve("events.parquet"))
+    val name = s"st05_join_${memSink.incrementAndGet()}"
+    graft.streaming.EventStreams.runToMemory(s, stage.toString, name,
+        ev => graft.streaming.EventStreams.clickViewJoin(ev, 3600))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
-      cy12, cy13, cy14, cy15, cy16, st01, st02, st03, st04, tj01)
+      cy12, cy13, cy14, cy15, cy16, st01, st02, st03, st04, st05, tj01)
 }

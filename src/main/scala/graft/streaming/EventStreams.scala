@@ -214,6 +214,30 @@ object EventStreams {
   /** Drive any of the above as a real streaming query from a parquet dir,
     * landing results in an in-memory table — used by tests and as the
     * template for production sinks (kafka/parquet/foreachBatch). */
+  /** Stream-stream INTERVAL self-join: each click matched to the same
+    * user's views in the preceding `windowSeconds`. Both sides carry
+    * watermarks (state eviction — at production scale join state is
+    * bounded by watermark × arrival rate, not history) and the join
+    * condition is an equi-key plus an event-time range, exactly the
+    * shape Structured Streaming's state store supports. Inner join:
+    * matches emit as they form, so a bounded source yields the complete
+    * deterministic pair set. */
+  def clickViewJoin(events: DataFrame, windowSeconds: Int): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    clicks.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("vts") >= col("cts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("vts") <= col("cts"))
+      .select(col("click_id"), col("view_id"))
+  }
+
   def runToMemory(spark: SparkSession, sourceDir: String, queryName: String,
       transform: DataFrame => DataFrame,
       outputMode: OutputMode = OutputMode.Append): DataFrame = {

@@ -63,6 +63,17 @@ class StreamingAndTemporalSpec extends SparkSpec {
     assert(clicks > 0)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val streamed = EventStreams.runToMemory(spark, eventsDir,
+        "ssj_parity", ev => EventStreams.clickViewJoin(ev, 3600))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventStreams.clickViewJoin(
+        graft.sources.Tables(spark, sf("sf0.001")).events, 3600)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionization: streaming flatMapGroupsWithState matches batch") {
     implicit val s = spark
     val streamed = EventStreams.runToMemory(spark, eventsDir,
