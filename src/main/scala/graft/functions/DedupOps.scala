@@ -237,4 +237,28 @@ object DedupOps {
           when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
+
+  /** Duplicate-CLUSTER assignment: the near-dup pair graph closed into
+    * connected components. Near-dup similarity is not transitive — A≈B
+    * and B≈C does not imply A≈C — but a training-data dedup must still
+    * drop a whole chain down to one representative, which is exactly a
+    * connected-components closure over the pair graph. Runs GraphX CC
+    * (Pregel min-id propagation: converges in O(component diameter)
+    * supersteps, each a local join — the standard formulation for
+    * billion-node graphs). `ids` supplies ALL corpus ids so singleton
+    * docs come back as their own cluster. Returns (idCol, cluster_id)
+    * where cluster_id = min id in the component — so
+    * `id == cluster_id` marks the canonical keeper. */
+  def dupClusters(pairs: DataFrame, ids: DataFrame, idCol: String)
+      : DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = ids.sparkSession
+    val edgeRdd = pairs
+      .select(col("id1").cast("long"), col("id2").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val vertRdd = ids.select(col(idCol).cast("long"))
+      .rdd.map(r => (r.getLong(0), ()))
+    val cc = Graph(vertRdd, edgeRdd).connectedComponents().vertices
+    spark.createDataFrame(cc).toDF(idCol, "cluster_id")
+  }
 }

@@ -167,6 +167,54 @@ object PipelineQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Near-dup CLUSTERS: the LSH pair graph closed into connected
+    * components (GraphX min-id propagation), each doc labeled with its
+    * cluster's minimum doc_id plus a keep flag — the "drop every
+    * duplicate chain down to one representative" step of a training-data
+    * pipeline. The oracle recomputes the EXACT all-pairs Jaccard graph
+    * and closes it with a recursive-CTE min-label reachability, so a
+    * hash match proves pair-stage recall AND clustering correctness in
+    * one gate. */
+  val d07 = QueryDef.sql("d07_dedup_clusters",
+    s"""WITH RECURSIVE s AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |    ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |      FOR i IN generate_series(1, len(ws) - 2)]) END AS sh
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents)),
+       |pairs AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |      ${graft.queries.Det.floor4Sql(
+                  """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    | / (len(a.sh) + len(b.sh)
+                    |    - len(list_intersect(a.sh, b.sh)))""".stripMargin)}
+       |        AS jaccard
+       |    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.8),
+       |und AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |        UNION ALL SELECT id2, id1 FROM pairs),
+       |reach(id, m) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT u.a, r.m FROM reach r JOIN und u ON u.b = r.id)
+       |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT)
+       |    AS cluster_id,
+       |  CAST(CASE WHEN id = min(m) THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val sig = DedupOps.minhashSignature(docs, "doc_id", "text", n = 3, k = 64)
+    val cands = DedupOps.candidatePairsEstimated(
+      DedupOps.lshBands(sig, "doc_id", bands = 16), sig, "doc_id",
+      minEstimate = 0.5)
+    val pairs = DedupOps.jaccardVerify(cands, docs, "doc_id", "text",
+      n = 3, threshold = 0.8).select(col("id1"), col("id2"))
+    DedupOps.dupClusters(pairs, docs.select(col("doc_id")), "doc_id")
+      .withColumn("keep",
+        (col("doc_id") === col("cluster_id")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact brute-force cosine top-5 for the first 10 vectors — the ANN
     * baseline, oracle-checked against DuckDB's list_dot_product. */
   val s01 = QueryDef.sql("s01_cosine_topk",
@@ -361,6 +409,6 @@ object PipelineQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, s01, s02,
-      s03, s04, s05, m01, p01)
+    Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, s01,
+      s02, s03, s04, s05, m01, p01)
 }

@@ -122,6 +122,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dupClusters closes pair chains to min-id components; singletons kept") {
+    val pairSchema = StructType(Seq(
+      StructField("id1", LongType), StructField("id2", LongType)))
+    // chain 1-2, 2-4 (not 1-4 directly) must collapse into one cluster
+    val pairs = df(pairSchema, Row(1L, 2L), Row(2L, 4L))
+    val out = DedupOps.dupClusters(pairs, docs.select(col("id")), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 3L -> 3L, 5L -> 5L))
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val out = DedupOps.simhash(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
