@@ -60,6 +60,11 @@ object Ast {
     * subqueries, correlated on shared variables. */
   final case class ESub(isCount: Boolean, patterns: Seq[PathPat],
       where: Option[Expr]) extends Expr
+  /** Map projection `v {.key, alias: expr, other, .*}` — items are
+    * (outputKey, valueExpr) in source order; `star` merges all of v's
+    * remaining properties (explicit keys win, Cypher semantics). */
+  final case class EMapProj(variable: String, items: Seq[(String, Expr)],
+      star: Boolean) extends Expr
 
   final case class ReturnItem(expr: Expr, alias: Option[String])
 

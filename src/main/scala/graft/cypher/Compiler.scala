@@ -4,7 +4,7 @@ package graft.cypher
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{MapType, StringType}
 
 import Ast._
 import graft.engine.{GraphState, Traversals}
@@ -313,6 +313,26 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       throw new ParseException(
         "EXISTS{}/COUNT{} subqueries are only supported in WHERE and in " +
           "RETURN/WITH projections (they rewrite to joins)")
+    case EMapProj(v, items, star) =>
+      if (!frame.vars.get(v).exists(k => k == NodeVar || k == RelVar))
+        throw new ParseException(
+          s"map projection needs a node or relationship variable: $v")
+      // values stringified to match the string-valued property maps
+      val explicit = items.flatMap { case (k, ve) =>
+        Seq(lit(k), compileExpr(ve, frame).cast(StringType)) }
+      val explicitMap =
+        if (explicit.isEmpty) map().cast(MapType(StringType, StringType))
+        else map(explicit: _*)
+      if (!star) explicitMap
+      else {
+        val keys = items.map(_._1)
+        val base = col(s"${v}__props")
+        // drop explicitly-projected keys from the .* remainder so the
+        // merge never hits duplicate-key semantics (explicit wins)
+        val rest = if (keys.isEmpty) base
+          else map_filter(base, (k, _) => !k.isin(keys.map(lit(_)): _*))
+        if (items.isEmpty) rest else map_concat(rest, explicitMap)
+      }
     case EFunc(name, args, distinct) => name match {
       case "count" if args.headOption.contains(EVar("*")) => count(lit(1))
       case "count" =>
@@ -535,6 +555,8 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       case EFunc(n, args, d) => EFunc(n, args.map(walk), d)
       case ECase(subj, whens, dflt) => ECase(subj.map(walk),
         whens.map { case (c, r) => (walk(c), walk(r)) }, dflt.map(walk))
+      case EMapProj(v, items, star) => EMapProj(v,
+        items.map { case (k, ve) => (k, walk(ve)) }, star)
       case other => other
     }
     val e2 = walk(e)
@@ -857,6 +879,7 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     case ELit(LFloat(v))     => v.toString
     case ELit(LBool(v))      => v.toString
     case EBin(op, l, r)      => s"${defaultName(l)}$op${defaultName(r)}"
+    case EMapProj(v, _, _)   => v
     case _                   => "expr"
   }
 }

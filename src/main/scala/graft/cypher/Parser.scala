@@ -591,7 +591,32 @@ final class Parser(toks: Vector[Parser.Tok]) {
         EFunc(name.toLowerCase, args.toSeq, distinct)
       } else if (trySym(".")) {
         EProp(name, ident())
+      } else if (isSym("{")) {
+        parseMapProjection(name)
       } else EVar(name)
     case t => fail(s"unexpected token in expression: $t")
+  }
+
+  /** Map projection body after `v`: `{.key, alias: expr, other, .*}`. */
+  private def parseMapProjection(v: String): Expr = {
+    eatSym("{")
+    val items = ArrayBuffer[(String, Expr)]()
+    var star = false
+    if (!isSym("}")) {
+      var more = true
+      while (more) {
+        if (trySym(".")) {
+          if (trySym("*")) star = true
+          else { val k = ident(); items += ((k, EProp(v, k))) }
+        } else {
+          val k = ident()
+          if (trySym(":")) items += ((k, parseExpr()))
+          else items += ((k, EVar(k)))
+        }
+        more = trySym(",")
+      }
+    }
+    eatSym("}")
+    EMapProj(v, items.toSeq, star)
   }
 }

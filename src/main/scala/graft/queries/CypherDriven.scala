@@ -315,6 +315,26 @@ object CypherDriven {
       .orderBy(col("name"))
   }
 
+  /** Map projection `c {.*, alias: expr}` through the full stack —
+    * the result map is exploded to (row, key, value) so the plain-SQL
+    * oracle can pin every entry, including the explicit-key-wins merge
+    * of the `.*` remainder. */
+  val cy17 = QueryDef.sql("cy17_map_projection",
+    """SELECT name, key, value FROM (
+      |  SELECT c_name AS name, 'name' AS key, c_name AS value
+      |  FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION ALL SELECT c_name, 'mktsegment', c_mktsegment
+      |  FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION ALL SELECT c_name, 'seg', lower(c_mktsegment)
+      |  FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY name, key""".stripMargin) { (s, dir) =>
+    run("""MATCH (c:customer) WHERE c.mktsegment = 'BUILDING'
+          |RETURN c.name AS name, c {.*, seg: toLower(c.mktsegment)} AS m"""
+        .stripMargin)(s, dir)
+      .select(col("name"), explode(col("m")).as(Seq("key", "value")))
+      .orderBy(col("name"), col("key"))
+  }
+
   /** End-to-end streaming graph ingestion: events flow through a real
     * Structured Streaming query into the graph via the foreachBatch
     * upsert sink, then the RESULTING GRAPH STATE (not the stream output)
@@ -401,5 +421,6 @@ object CypherDriven {
 
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
-      cy12, cy13, cy14, cy15, cy16, st01, st02, st03, st04, st05, tj01)
+      cy12, cy13, cy14, cy15, cy16, cy17, st01, st02, st03, st04, st05,
+      tj01)
 }

@@ -589,6 +589,39 @@ class CypherSpec extends SparkSpec {
     assert(row.getSeq[Long](10) == Seq(0L, 5L, 10L))
   }
 
+  test("map projection: .key, alias: expr, and bare-variable items") {
+    val row = q(
+      """MATCH (p:Person {id: "alice"})
+        |WITH p, 42 AS answer
+        |RETURN p {.name, .age, doubled: p.age + p.age, answer} AS m"""
+        .stripMargin).collect().head
+    val m = row.getMap[String, String](0)
+    assert(m("name") == "Alice" && m("age") == "30")
+    assert(m("doubled") == "60.0" && m("answer") == "42")
+    assert(m.size == 4)
+  }
+
+  test("map projection .* merges remaining properties; explicit keys win") {
+    val row = q(
+      """MATCH (p:Person {id: "charlie"})
+        |RETURN p {.*, name: toUpper(p.name)} AS m""".stripMargin)
+      .collect().head
+    val m = row.getMap[String, String](0)
+    assert(m("name") == "CHARLIE") // explicit overrides the .* copy
+    assert(m("id") == "charlie" && m("age") == "28" && m("active") == "false")
+    assert(m.size == 4)
+  }
+
+  test("map projection on a relationship variable") {
+    val rows = q(
+      """MATCH (:Person {id: "alice"})-[r:KNOWS]->(b:Person)
+        |RETURN b.id AS to, r {.since} AS m ORDER BY to""".stripMargin)
+      .collect()
+    assert(rows.map(r => r.getString(0) ->
+      r.getMap[String, String](1)("since")).toSeq ==
+      Seq("bob" -> "2018", "charlie" -> "2020"))
+  }
+
   test("startNode()/endNode() return the relationship endpoints' ids") {
     val rows = q(
       """MATCH (a:Person {id: "alice"})-[r:KNOWS]->(b)
