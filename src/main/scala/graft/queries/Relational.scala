@@ -396,7 +396,31 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** Skew-salted fact-fact join, hash-checked against the plain join:
+    * proves `Skew.saltedJoin` (deterministic xxhash64 salt on the skewed
+    * side, `factor`× replication of the other) is semantics-preserving on
+    * real data — the tool for hot keys that overwhelm a single reducer
+    * when AQE cannot split them (same key huge on BOTH sides). The
+    * aggregate keeps the gate output small while every joined row feeds
+    * the checked sums. */
+  val q26 = QueryDef.sql("q26_salted_join",
+    s"""SELECT o_orderpriority AS priority,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  ${Det.moneySumSql("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    graft.engine.Skew.saltedJoin(
+      t.lineitem.select(col("l_orderkey").as("ok"), col("l_quantity")),
+      t.orders.select(col("o_orderkey").as("ok"), col("o_orderpriority")),
+      "ok", factor = 8)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("l_quantity"))
+        .as("sum_qty"))
+      .orderBy(col("priority"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25)
+    q24, q25, q26)
 }
