@@ -415,7 +415,8 @@ object CypherDriven {
       stage.resolve("events.parquet"))
     val name = s"st05_join_${memSink.incrementAndGet()}"
     graft.streaming.EventStreams.runToMemory(s, stage.toString, name,
-        ev => graft.streaming.EventStreams.clickViewJoin(ev, 3600))
+        ev => graft.streaming.EventStreams.clickViewJoin(ev, 3600),
+        statePartitions = Some(8))
       .orderBy(col("click_id"), col("view_id"))
   }
 

@@ -211,9 +211,6 @@ object EventStreams {
     q.stop()
   }
 
-  /** Drive any of the above as a real streaming query from a parquet dir,
-    * landing results in an in-memory table — used by tests and as the
-    * template for production sinks (kafka/parquet/foreachBatch). */
   /** Stream-stream INTERVAL self-join: each click matched to the same
     * user's views in the preceding `windowSeconds`. Both sides carry
     * watermarks (state eviction — at production scale join state is
@@ -238,24 +235,38 @@ object EventStreams {
       .select(col("click_id"), col("view_id"))
   }
 
+  /** Drive any of the above as a real streaming query from a parquet dir,
+    * landing results in an in-memory table — used by tests and as the
+    * template for production sinks (kafka/parquet/foreachBatch).
+    * `statePartitions` pins the query's shuffle-partition count (state
+    * store instances are per shuffle partition and their open/commit
+    * cost is per-partition-per-microbatch, so heavily-stateful queries
+    * on small clusters want fewer, fuller partitions); the session
+    * value is restored after the stream stops. */
   def runToMemory(spark: SparkSession, sourceDir: String, queryName: String,
       transform: DataFrame => DataFrame,
-      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+      outputMode: OutputMode = OutputMode.Append,
+      statePartitions: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(StructType(eventSchema.map {
-        case f if f.name == "ts" => StructField("ts", LongType)
-        case f => f
-      }))
-      .parquet(sourceDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = transform(raw).writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(outputMode)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(queryName)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val raw = spark.readStream
+        .schema(StructType(eventSchema.map {
+          case f if f.name == "ts" => StructField("ts", LongType)
+          case f => f
+        }))
+        .parquet(sourceDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = transform(raw).writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(queryName)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }
