@@ -254,6 +254,34 @@ object CypherDriven {
       .orderBy(col("event_id"))
   }
 
+  /** Keyless interval join through the BINNED range-join operator (every
+    * event × every overlapping campaign window — the naive plan is a
+    * cross join; the binned plan is an equi-join on a time bin). The
+    * oracle runs the naive inequality join, so a hash match proves the
+    * binning is lossless and dup-free. */
+  val tj02 = QueryDef.sql("tj02_range_join",
+    """WITH iv AS (
+      |  SELECT user_id AS campaign, min(ts) AS start_ts,
+      |    min(ts) + INTERVAL 30 MINUTE AS end_ts
+      |  FROM events WHERE user_id < 50 GROUP BY user_id)
+      |SELECT campaign, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM iv JOIN events e ON e.ts >= start_ts AND e.ts <= end_ts
+      |GROUP BY campaign ORDER BY campaign""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir).events
+    val iv = ev.filter(col("user_id") < 50)
+      .groupBy(col("user_id").as("campaign"))
+      .agg(min(col("ts")).as("start_ts"))
+      .withColumn("end_ts", col("start_ts") + expr("INTERVAL 30 MINUTES"))
+    graft.temporal.Temporal.rangeJoinBinned(
+        ev.select(col("user_id"), col("ts")), "ts",
+        iv, "start_ts", "end_ts", binSeconds = 1800)
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("campaign"))
+  }
+
   /** CASE expression through the full Cypher stack: priority-bucketed
     * order counts (searched CASE feeding an aggregation). */
   val cy13 = QueryDef.sql("cy13_case_buckets",
@@ -423,5 +451,5 @@ object CypherDriven {
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, st01, st02, st03, st04, st05,
-      tj01)
+      tj01, tj02)
 }

@@ -110,4 +110,29 @@ object Temporal {
       fresh.withColumn("end_time", lit(null).cast("timestamp")),
       allowMissingColumns = true)
   }
+
+  /** Keyless interval (range) join: every point row matched to every
+    * interval row with `start <= ts <= end` (both inclusive). The naive
+    * plan is a cross join with an inequality filter — O(|points|·|ivs|)
+    * comparisons, a scale-killer. Binned instead: points get ONE time
+    * bin, intervals are replicated to each bin they overlap, and the
+    * match becomes an equi-join on the bin (each true pair meets exactly
+    * once — in the point's bin — so no post-join dedup). Replication
+    * factor ≈ interval length / binSeconds + 1: pick binSeconds near the
+    * typical interval length so the join stays linear in its true output
+    * while the hot path is a plain hash join. Column names of the two
+    * sides must be disjoint. */
+  def rangeJoinBinned(points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binSeconds: Long): DataFrame = {
+    val p = points.withColumn("__bin",
+      floor(unix_timestamp(col(tsCol)) / binSeconds).cast("long"))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(unix_timestamp(col(startCol)) / binSeconds).cast("long"),
+        floor(unix_timestamp(col(endCol)) / binSeconds).cast("long"))))
+    p.join(i, Seq("__bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bin")
+  }
 }

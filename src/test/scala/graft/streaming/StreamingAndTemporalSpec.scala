@@ -74,6 +74,28 @@ class StreamingAndTemporalSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("rangeJoinBinned equals the naive cross-join filter") {
+    val ev = graft.sources.Tables(spark, sf("sf0.001")).events
+      .select(col("event_id"), col("ts"))
+    val iv = graft.sources.Tables(spark, sf("sf0.001")).events
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id").as("campaign"))
+      .agg(min(col("ts")).as("start_ts"))
+      .withColumn("end_ts", col("start_ts") + expr("INTERVAL 47 MINUTES"))
+    // bin deliberately NOT aligned to the interval length (701 s) so the
+    // multi-bin replication path is exercised
+    val binned = graft.temporal.Temporal
+      .rangeJoinBinned(ev, "ts", iv, "start_ts", "end_ts", 701)
+      .select(col("event_id"), col("campaign"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = ev.crossJoin(iv)
+      .filter(col("ts") >= col("start_ts") && col("ts") <= col("end_ts"))
+      .select(col("event_id"), col("campaign"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive)
+    assert(binned.nonEmpty)
+  }
+
   test("sessionization: streaming flatMapGroupsWithState matches batch") {
     implicit val s = spark
     val streamed = EventStreams.runToMemory(spark, eventsDir,
