@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data pipelines.
+  *
+  * A training corpus needs train/validation/test membership that is (a) a
+  * pure function of the record id — stable across reruns, engines, and
+  * cluster sizes (rand()-based sampling is none of these), (b) uniform,
+  * and (c) computable map-side with no shuffle. The standard trick: hash
+  * the id, map the hash to [0,1), compare against cumulative fraction
+  * bounds.
+  *
+  * The hash here is the first 8 hex chars of md5 — 32 uniform bits.
+  * Crucially the COMPARISON stays in hex-string space: lowercase hex
+  * ordering is order-isomorphic to the numeric value, so engines that
+  * agree on md5 (all of them) agree on membership with no hex-parsing
+  * or float-rounding edge cases. Bounds are precomputed as 8-digit hex
+  * literals of floor(frac · 2³²).
+  */
+object SamplingOps {
+
+  private def hexBound(frac: Double): String =
+    f"${math.min((frac * 4294967296.0).toLong, 4294967295L)}%08x"
+
+  /** 8-hex-char uniform key of an id (any type; cast to string first). */
+  def hashKey(id: Column): Column = substring(md5(id.cast("string")), 1, 8)
+
+  /** 'train' / 'validation' / 'test' assignment with the given fractions
+    * (test gets the remainder). Pure map-side column — no shuffle. */
+  def hashSplit(id: Column, trainFrac: Double, valFrac: Double): Column = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      "fractions must be non-negative and sum to at most 1")
+    val h = hashKey(id)
+    when(h < lit(hexBound(trainFrac)), "train")
+      .when(h < lit(hexBound(trainFrac + valFrac)), "validation")
+      .otherwise("test")
+  }
+
+  /** Deterministic Bernoulli(frac) membership by id — the shuffle-free,
+    * rerun-stable replacement for df.sample(). */
+  def deterministicSample(id: Column, frac: Double): Column =
+    hashKey(id) < lit(hexBound(frac))
+
+  /** The same bounds for an oracle SQL dialect (DuckDB): a CASE over
+    * substr(md5(..)) with identical hex literals. */
+  def hashSplitSql(idExpr: String, trainFrac: Double,
+      valFrac: Double): String =
+    s"""CASE WHEN substr(md5(CAST(($idExpr) AS VARCHAR)), 1, 8)
+       |      < '${hexBound(trainFrac)}' THEN 'train'
+       |    WHEN substr(md5(CAST(($idExpr) AS VARCHAR)), 1, 8)
+       |      < '${hexBound(trainFrac + valFrac)}' THEN 'validation'
+       |    ELSE 'test' END""".stripMargin
+}

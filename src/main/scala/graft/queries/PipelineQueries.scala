@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupOps, SimilarityOps, TextOps}
+import graft.functions.{DedupOps, SamplingOps, SimilarityOps, TextOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators as correctness-gate entries: text
@@ -373,6 +373,21 @@ object PipelineQueries {
     * each piece: filters run BEFORE the dedup window (canonical ids are
     * minima of the filtered set), and all predicates are pure codegen
     * Columns that push into the single documents scan. */
+  /** Deterministic train/validation/test assignment: membership is a
+    * pure function of md5(doc_id) compared in hex-string space, so the
+    * SAME doc lands in the SAME split on any engine, any rerun, any
+    * cluster size — the property rand()-based splits lack. Map-side
+    * only; the gate pins every doc's assignment, not just the counts. */
+  val p02 = QueryDef.sql("p02_hash_split",
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  ${SamplingOps.hashSplitSql("doc_id", 0.8, 0.1)} AS split
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        SamplingOps.hashSplit(col("doc_id"), 0.8, 0.1).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val p01 = QueryDef.sql("p01_pipeline_clean",
     s"""WITH base AS (
        |  SELECT doc_id, source,
@@ -410,5 +425,5 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, s01,
-      s02, s03, s04, s05, m01, p01)
+      s02, s03, s04, s05, m01, p01, p02)
 }

@@ -17,6 +17,26 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("hashSplit: exhaustive, disjoint, near-nominal fractions, stable") {
+    val ids = spark.range(0, 10000).select(col("id"))
+    val split = ids.select(col("id"),
+      SamplingOps.hashSplit(col("id"), 0.8, 0.1).as("s"))
+    val counts = split.groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "validation", "test"))
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts("train") - 8000L) < 200)
+    assert(math.abs(counts("validation") - 1000L) < 150)
+    // rerun-stable: identical assignment on a second evaluation
+    val again = ids.select(col("id"),
+      SamplingOps.hashSplit(col("id"), 0.8, 0.1).as("s"))
+    assert(split.except(again).count() == 0)
+    // boundary fractions
+    val all = ids.filter(SamplingOps.deterministicSample(col("id"), 1.0))
+    val none = ids.filter(SamplingOps.deterministicSample(col("id"), 0.0))
+    assert(all.count() == 10000L && none.count() == 0L)
+  }
+
   test("fingerprint is whitespace/case-insensitive and stable") {
     val d = df(schema, Row(1L, "Hello  World"), Row(2L, " hello world "))
     val fps = d.select(TextOps.fingerprint(col("text")))
