@@ -373,6 +373,27 @@ object PipelineQueries {
     * each piece: filters run BEFORE the dedup window (canonical ids are
     * minima of the filtered set), and all predicates are pure codegen
     * Columns that push into the single documents scan. */
+  /** JSONL ingestion IN the gate: the documents table staged to real
+    * JSON-lines files, read back through the ingest path's vertex
+    * contract (stringified properties, null dropping), and
+    * oracle-checked field-by-field against the base table — ingestion
+    * was previously spec-covered only. */
+  val in01 = QueryDef.sql("in01_jsonl_ingest",
+    """SELECT CAST(doc_id AS VARCHAR) AS id,
+      |  lang, source, CAST(n_chars AS VARCHAR) AS n_chars
+      |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+    val stage = java.nio.file.Files.createTempDirectory("in01_docs")
+    Tables(s, dir).documents.drop("text") // stage the metadata columns
+      .write.mode("overwrite").json(s"$stage/docs")
+    graft.sources.Ingest.jsonVertices(s, s"$stage/docs", "document",
+        "doc_id")
+      .select(col("id"),
+        element_at(col("properties"), "lang").as("lang"),
+        element_at(col("properties"), "source").as("source"),
+        element_at(col("properties"), "n_chars").as("n_chars"))
+      .orderBy(col("id"))
+  }
+
   /** Deterministic train/validation/test assignment: membership is a
     * pure function of md5(doc_id) compared in hex-string space, so the
     * SAME doc lands in the SAME split on any engine, any rerun, any
@@ -425,5 +446,5 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, s01,
-      s02, s03, s04, s05, m01, p01, p02)
+      s02, s03, s04, s05, m01, p01, p02, in01)
 }
