@@ -373,6 +373,30 @@ object PipelineQueries {
     * each piece: filters run BEFORE the dedup window (canonical ids are
     * minima of the filtered set), and all predicates are pure codegen
     * Columns that push into the single documents scan. */
+  /** Corpus length statistics: exact interpolated quantiles of document
+    * length per language (both engines implement the standard
+    * (n−1)·p linear-interpolation definition; floor2 absorbs ulp
+    * drift). At 100 TB the same query swaps `percentile` for
+    * `approx_percentile` (t-digest: fixed-size mergeable state, no
+    * per-group sort) — the exact form here pins the semantics. */
+  val t06 = QueryDef.sql("t06_length_quantiles",
+    s"""SELECT lang,
+       |  ${graft.queries.Det.floor2Sql("quantile_cont(n_chars, 0.25)")}
+       |    AS p25,
+       |  ${graft.queries.Det.floor2Sql("quantile_cont(n_chars, 0.50)")}
+       |    AS p50,
+       |  ${graft.queries.Det.floor2Sql("quantile_cont(n_chars, 0.90)")}
+       |    AS p90
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+    (s, dir) =>
+      Tables(s, dir).documents.groupBy(col("lang"))
+        .agg(
+          Det.floor2(expr("percentile(n_chars, 0.25)")).as("p25"),
+          Det.floor2(expr("percentile(n_chars, 0.50)")).as("p50"),
+          Det.floor2(expr("percentile(n_chars, 0.90)")).as("p90"))
+        .orderBy(col("lang"))
+  }
+
   /** JSONL ingestion IN the gate: the documents table staged to real
     * JSON-lines files, read back through the ingest path's vertex
     * contract (stringified properties, null dropping), and
@@ -446,5 +470,5 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, s01,
-      s02, s03, s04, s05, m01, p01, p02, in01)
+      s02, s03, s04, s05, m01, p01, p02, in01, t06)
 }

@@ -420,7 +420,30 @@ object Relational {
       .orderBy(col("priority"))
   }
 
+  /** HyperLogLog++ approximate distinct count, gated the way an
+    * approximation can be: the query computes BOTH the sketch estimate
+    * and the exact count per group and asserts the relative error bound
+    * INSIDE the checked result (a 2% rsd sketch must land within 5%).
+    * The oracle states the exact counts and an all-ones error flag — a
+    * hash match certifies the sketch against ground truth. At 100 TB the
+    * sketch is the only viable plan (fixed-size state, map-side
+    * mergeable, one shuffle of sketches instead of a distinct-shuffle of
+    * every user id). */
+  val q27 = QueryDef.sql("q27_approx_distinct",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  CAST(1 AS BIGINT) AS within_5pct
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          col("n_exact") * 0.05).cast("long").as("within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26)
+    q24, q25, q26, q27)
 }
