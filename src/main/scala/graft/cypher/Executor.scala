@@ -22,12 +22,13 @@ final case class CypherResult(df: Option[DataFrame], state: GraphState)
   */
 object Cypher {
 
-  def execute(g: GraphState, query: String)(implicit spark: SparkSession)
-      : CypherResult = {
+  def execute(g: GraphState, query: String,
+      params: Map[String, Any] = Map.empty)
+      (implicit spark: SparkSession): CypherResult = {
     // Cypher SET overwrites existing property keys: map_concat must take
     // the last value rather than throw on duplicates.
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    val (parts, unionAll) = Parser.parseMulti(query)
+    val (parts, unionAll) = Parser.parseMulti(query, params)
     if (parts.size > 1) {
       // UNION chain: read-only parts, matching output columns; UNION
       // dedupes (one distinct over the combined result), UNION ALL
@@ -54,9 +55,10 @@ object Cypher {
   }
 
   /** Convenience: read-only execution returning the DataFrame. */
-  def query(g: GraphState, q: String)(implicit spark: SparkSession)
-      : DataFrame =
-    execute(g, q).df.getOrElse(
+  def query(g: GraphState, q: String,
+      params: Map[String, Any] = Map.empty)
+      (implicit spark: SparkSession): DataFrame =
+    execute(g, q, params).df.getOrElse(
       throw new ParseException("statement returned no rows"))
 
   private def executeMutation(g0: GraphState, ast: CypherQuery)

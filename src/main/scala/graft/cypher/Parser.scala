@@ -31,7 +31,7 @@ object Parser {
 
   private val symbols = Seq("<=", ">=", "<>", "!=", "=~", "->", "<-", "..",
     "(", ")", "[", "]", "{", "}", ":", ",", ".", "=", "<", ">", "+", "-",
-    "*", "/", "|", "%", "&")
+    "*", "/", "|", "%", "&", "$")
 
   def tokenize(q: String): Vector[Tok] = {
     val out = ArrayBuffer[Tok]()
@@ -82,21 +82,52 @@ object Parser {
     out.toVector
   }
 
-  def parse(query: String): CypherQuery =
-    new Parser(tokenize(query.trim.stripSuffix(";"))).parseQuery()
+  def parse(query: String, params: Map[String, Any] = Map.empty)
+      : CypherQuery =
+    new Parser(tokenize(query.trim.stripSuffix(";")), params).parseQuery()
 
   /** Top-level UNION [ALL] chain: (parts, isUnionAll). A single-part
     * query returns (Seq(q), false). Mixing UNION and UNION ALL in one
     * chain is rejected (Cypher parity). */
-  def parseMulti(query: String): (Seq[CypherQuery], Boolean) =
-    new Parser(tokenize(query.trim.stripSuffix(";"))).parseUnionChain()
+  def parseMulti(query: String, params: Map[String, Any] = Map.empty)
+      : (Seq[CypherQuery], Boolean) =
+    new Parser(tokenize(query.trim.stripSuffix(";")), params)
+      .parseUnionChain()
+
+  /** Parameter value → literal AST (applied at parse time: `$name` is
+    * indistinguishable from an inline literal downstream, so every
+    * expression position that takes a literal takes a parameter). */
+  def toLit(v: Any): Lit = v match {
+    case s: String  => LStr(s)
+    case i: Int     => LInt(i.toLong)
+    case l: Long    => LInt(l)
+    case s: Short   => LInt(s.toLong)
+    case d: Double  => LFloat(d)
+    case f: Float   => LFloat(f.toDouble)
+    case b: Boolean => LBool(b)
+    case seq: Seq[_]  => LList(seq.map(toLit))
+    case m: Map[_, _] =>
+      LMap(m.map { case (k, mv) => k.toString -> toLit(mv) })
+    case null => LStr(null)
+    case other =>
+      throw new ParseException(
+        s"unsupported parameter type: ${other.getClass.getName}")
+  }
 }
 
-final class Parser(toks: Vector[Parser.Tok]) {
+final class Parser(toks: Vector[Parser.Tok],
+    params: Map[String, Any] = Map.empty) {
   import Parser._
   import Ast._
 
   private var pos = 0
+  private def paramLit(): Lit = {
+    val name = ident()
+    params.get(name) match {
+      case Some(v) => Parser.toLit(v)
+      case None => throw new ParseException(s"missing parameter: $$$name")
+    }
+  }
   private def peek: Tok = toks(pos)
   private def next(): Tok = { val t = toks(pos); pos += 1; t }
   private def fail(msg: String): Nothing =
@@ -340,6 +371,7 @@ final class Parser(toks: Vector[Parser.Tok]) {
   }
 
   private def parseLit(): Lit = peek match {
+    case TSym("$")    => pos += 1; paramLit()
     case TStr(s)      => pos += 1; LStr(s)
     case TNum(s)      => pos += 1
       if (s.contains('.')) LFloat(s.toDouble) else LInt(s.toLong)
@@ -532,7 +564,7 @@ final class Parser(toks: Vector[Parser.Tok]) {
           ELit(parseLit())
       }
     case TStr(_) | TNum(_) | TKw("TRUE") | TKw("FALSE") | TSym("-") |
-        TSym("{") =>
+        TSym("{") | TSym("$") =>
       ELit(parseLit())
     case TKw("NULL") => pos += 1; ELit(LStr(null))
     case TKw("CASE") =>

@@ -254,6 +254,22 @@ object CypherDriven {
       .orderBy(col("event_id"))
   }
 
+  /** Query parameters through the full stack: `$seg` and `$minlen`
+    * resolve at parse time so every literal position takes a parameter
+    * — the plan is identical to the inlined-literal query (plan reuse
+    * for a parameterized workload). */
+  val cy18 = QueryDef.sql("cy18_parameters",
+    """SELECT c_name AS name FROM customer
+      |WHERE c_mktsegment = 'AUTOMOBILE' AND length(c_name) > 15
+      |ORDER BY name""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
+    Cypher.query(TpchGraph(Tables(s, dir)),
+      """MATCH (c:customer) WHERE c.mktsegment = $seg
+        |  AND size(c.name) > $minlen
+        |RETURN c.name AS name ORDER BY name""".stripMargin,
+      Map("seg" -> "AUTOMOBILE", "minlen" -> 15))
+  }
+
   /** Keyless interval join through the BINNED range-join operator (every
     * event × every overlapping campaign window — the naive plan is a
     * cross join; the binned plan is an equi-join on a time bin). The
@@ -450,6 +466,6 @@ object CypherDriven {
 
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
-      cy12, cy13, cy14, cy15, cy16, cy17, st01, st02, st03, st04, st05,
-      tj01, tj02)
+      cy12, cy13, cy14, cy15, cy16, cy17, cy18, st01, st02, st03, st04,
+      st05, tj01, tj02)
 }

@@ -589,6 +589,26 @@ class CypherSpec extends SparkSpec {
     assert(row.getSeq[Long](10) == Seq(0L, 5L, 10L))
   }
 
+  test("parameters: scalar in WHERE, pattern prop, list IN, missing fails") {
+    val byAge = Cypher.query(people,
+      "MATCH (p:Person) WHERE p.age > $minAge RETURN p.name AS n ORDER BY n",
+      Map("minAge" -> 30))
+    assert(byAge.collect().map(_.getString(0)).toSeq == Seq("Bob", "Diana"))
+    val byProp = Cypher.query(people,
+      "MATCH (p:Person {id: $pid}) RETURN p.name AS n", Map("pid" -> "bob"))
+    assert(byProp.collect().map(_.getString(0)).toSeq == Seq("Bob"))
+    val byList = Cypher.query(people,
+      """MATCH (p:Person) WHERE p.id IN $ids
+        |RETURN p.name AS n ORDER BY n""".stripMargin,
+      Map("ids" -> Seq("alice", "diana")))
+    assert(byList.collect().map(_.getString(0)).toSeq ==
+      Seq("Alice", "Diana"))
+    val err = intercept[ParseException] {
+      Cypher.query(people, "MATCH (p:Person {id: $nope}) RETURN p")
+    }
+    assert(err.getMessage.contains("missing parameter"))
+  }
+
   test("map projection: .key, alias: expr, and bare-variable items") {
     val row = q(
       """MATCH (p:Person {id: "alice"})
