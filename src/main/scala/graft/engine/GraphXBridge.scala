@@ -90,4 +90,23 @@ object GraphXBridge {
     val deg = graph.degrees.toDF("vid", "degree")
     deg.join(mapping, Seq("vid")).select(col("id"), col("degree"))
   }
+
+  /** Total triangle count of an UNDIRECTED simple graph given as
+    * canonical Long-id edges (src < dst, already distinct). GraphX's
+    * triangleCount charges each triangle to its three corners, so the
+    * graph total is Σ(vertex counts)/3. The edge-partitioned formulation
+    * is the standard billion-edge approach: each vertex ships its
+    * smaller adjacency set along edges — never a global join of full
+    * adjacency lists. */
+  def triangleTotal(edges: DataFrame)
+      (implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.graphx.PartitionStrategy
+    import spark.implicits._
+    val edgeRdd = edges.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val graph = Graph.fromEdgeTuples(edgeRdd, defaultValue = 0,
+      uniqueEdges = Some(PartitionStrategy.RandomVertexCut))
+    val perVertex = graph.triangleCount().vertices.map(_._2.toLong)
+    val total = perVertex.fold(0L)(_ + _) / 3
+    Seq(total).toDF("n_triangles")
+  }
 }

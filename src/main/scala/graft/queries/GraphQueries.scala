@@ -223,6 +223,36 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** Triangle counting (GraphX) over the co-purchase projection: parts
+    * are linked when they appear in the same order; the oracle counts
+    * canonical (x<y<z) edge triples with a three-way self-join. The
+    * projection itself is the interesting scale step — C(k,2) pairs per
+    * order stay bounded because order sizes are; the count then runs on
+    * the edge-partitioned GraphX formulation instead of a three-way
+    * shuffle join of the full edge list. */
+  val gx03 = QueryDef.sql("gx03_triangle_count",
+    """WITH e AS (
+      |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey)
+      |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM e a JOIN e b ON b.src = a.src AND b.dst > a.dst
+      |JOIN e c ON c.src = a.dst AND c.dst = b.dst""".stripMargin) {
+    (s, dir) =>
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val l = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = l
+        .join(l.select(col("l_orderkey"), col("l_partkey").as("p2")),
+          Seq("l_orderkey"))
+        .filter(col("l_partkey") < col("p2"))
+        .select(col("l_partkey").cast("long").as("src"),
+          col("p2").cast("long").as("dst"))
+        .distinct()
+      graft.engine.GraphXBridge.triangleTotal(edges)
+  }
+
   private val storeId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The persistence round-trip IN the correctness gate: the graph
@@ -247,5 +277,5 @@ object GraphQueries {
 
   val all: Seq[QueryDef] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
-      gst01)
+      gx03, gst01)
 }
