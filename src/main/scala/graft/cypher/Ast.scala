@@ -78,7 +78,9 @@ object Ast {
       limit: Option[Long] = None, distinct: Boolean = false) extends Clause
   final case class CreateClause(patterns: Seq[PathPat]) extends Clause
   /** MERGE: bind the pattern if it matches, otherwise create it. */
-  final case class MergeClause(pattern: PathPat) extends Clause
+  final case class MergeClause(pattern: PathPat,
+      onCreate: Seq[SetItem] = Nil, onMatch: Seq[SetItem] = Nil)
+      extends Clause
   final case class SetClause(items: Seq[SetItem]) extends Clause
   final case class RemoveClause(items: Seq[RemoveItem]) extends Clause
   final case class DeleteClause(variables: Seq[String], detach: Boolean)
@@ -91,6 +93,10 @@ object Ast {
   final case class SetProp(variable: String, key: String, value: Expr)
       extends SetItem
   final case class SetLabel(variable: String, label: String) extends SetItem
+  /** `SET v = {map}` (replace, additive=false) / `SET v += {map}`
+    * (merge, additive=true); value must compile to a string map. */
+  final case class SetAll(variable: String, value: Expr, additive: Boolean)
+      extends SetItem
 
   sealed trait RemoveItem
   final case class RemoveProp(variable: String, key: String)

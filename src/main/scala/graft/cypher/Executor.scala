@@ -115,10 +115,21 @@ object Cypher {
         val outVars = tagged.vars ++ patVars
         val outCols = "__merge_row" +: outVars.toSeq.sortBy(_._1)
           .flatMap { case (v, k) => varColumns(v, k) }
+        // ON MATCH SET / ON CREATE SET run against exactly the half of
+        // the rows that matched / were created (Cypher semantics); the
+        // frame's carried props predate the SET, matching plain SET's
+        // read-your-own-writes contract (re-query the state to observe).
+        def applyOn(items: Seq[SetItem], half: DataFrame): Unit =
+          if (items.nonEmpty && !half.isEmpty) {
+            state = applySet(state, compiler,
+              Compiler.Frame(half, outVars), SetClause(items))
+            recompile()
+          }
         if (unmatched.isEmpty) {
-          frame = Compiler.Frame(
-            matched.df.select(outCols.map(col): _*).drop("__merge_row"),
-            outVars)
+          val matchedOut =
+            matched.df.select(outCols.map(col): _*).drop("__merge_row")
+          applyOn(m.onMatch, matchedOut)
+          frame = Compiler.Frame(matchedOut, outVars)
         } else {
           // One creation per distinct pattern KEY (the compiled property
           // values, null-safe): duplicate keys within a statement bind
@@ -147,6 +158,9 @@ object Cypher {
             fr2.df.select(("__merge_key" +: newCols).map(col): _*)
           val createdOut = keyed.join(bindings, Seq("__merge_key"))
             .drop("__merge_key").select(outCols.map(col): _*)
+          applyOn(m.onMatch, matched.df.select(outCols.map(col): _*)
+            .drop("__merge_row"))
+          applyOn(m.onCreate, createdOut.drop("__merge_row"))
           val merged =
             if (matched.df.isEmpty) createdOut
             else matched.df.select(outCols.map(col): _*)
@@ -282,6 +296,24 @@ object Cypher {
         }
       case SetLabel(v, label) =>
         st = st.addVertexLabel(frame.df.select(col(s"${v}__id")), label)
+      case SetAll(v, valueExpr, additive) =>
+        import org.apache.spark.sql.types.{MapType, StringType => StrT}
+        val mapCol = compiler.compileExpr(valueExpr, frame)
+          .cast(MapType(StrT, StrT))
+        val isEdge = frame.vars.get(v).contains(Compiler.RelVar)
+        if (additive) {
+          // merge: explode to (id, key, value) rows — same upsert path
+          // as SET v.k (empty maps contribute nothing, as in Cypher)
+          val updates = frame.df
+            .select(col(s"${v}__id").as("id"), explode(mapCol))
+          st = if (isEdge) st.setEdgePropertiesRows(updates)
+            else st.setVertexPropertiesRows(updates)
+        } else {
+          val repl = frame.df
+            .select(col(s"${v}__id").as("id"), mapCol.as("__new"))
+          st = if (isEdge) st.replaceEdgeProperties(repl)
+            else st.replaceVertexProperties(repl)
+        }
     }
     st
   }

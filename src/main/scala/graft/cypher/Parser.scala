@@ -27,11 +27,11 @@ object Parser {
     "AND", "OR", "NOT", "XOR", "AS", "ASC", "DESC", "ASCENDING", "DESCENDING",
     "DISTINCT", "UNWIND", "WITH", "CONTAINS", "STARTS", "ENDS", "IN", "IS",
     "NULL", "TRUE", "FALSE", "MERGE", "CASE", "WHEN", "THEN", "ELSE", "END",
-    "UNION", "ALL")
+    "UNION", "ALL", "ON")
 
   private val symbols = Seq("<=", ">=", "<>", "!=", "=~", "->", "<-", "..",
-    "(", ")", "[", "]", "{", "}", ":", ",", ".", "=", "<", ">", "+", "-",
-    "*", "/", "|", "%", "&", "$")
+    "+=", "(", ")", "[", "]", "{", "}", ":", ",", ".", "=", "<", ">", "+",
+    "-", "*", "/", "|", "%", "&", "$")
 
   def tokenize(q: String): Vector[Tok] = {
     val out = ArrayBuffer[Tok]()
@@ -189,7 +189,20 @@ final class Parser(toks: Vector[Parser.Tok],
           clauses += CreateClause(parsePatterns())
         case TKw("MERGE") =>
           next()
-          clauses += MergeClause(parsePathPattern())
+          val pat = parsePathPattern()
+          var onCreate = Seq.empty[SetItem]
+          var onMatch = Seq.empty[SetItem]
+          while (tryKw("ON")) {
+            val which = ident().toLowerCase
+            eatKw("SET")
+            val items = parseSetItems()
+            which match {
+              case "create" => onCreate ++= items
+              case "match"  => onMatch ++= items
+              case other => fail(s"expected ON CREATE/ON MATCH, got $other")
+            }
+          }
+          clauses += MergeClause(pat, onCreate, onMatch)
         case TKw("SET") =>
           eatKw("SET")
           clauses += SetClause(parseSetItems())
@@ -413,7 +426,12 @@ final class Parser(toks: Vector[Parser.Tok],
         items += SetProp(v, k, parseExpr())
       } else if (trySym(":")) {
         items += SetLabel(v, ident())
-      } else fail("expected .prop = value or :Label after SET var")
+      } else if (trySym("+=")) {
+        items += SetAll(v, parseExpr(), additive = true)
+      } else if (trySym("=")) {
+        items += SetAll(v, parseExpr(), additive = false)
+      } else fail(
+        "expected .prop = value, :Label, = {map} or += {map} after SET var")
       more = trySym(",")
     }
     items.toSeq

@@ -98,6 +98,26 @@ final case class GraphState(vertices: DataFrame, edges: DataFrame) {
       .drop("__new"))
   }
 
+  /** REPLACE the whole property map of matched vertices (Cypher
+    * `SET n = {map}`). `repl` rows: (id, __new MAP<STRING,STRING>) —
+    * one shuffle-free(able) left join; unmatched vertices keep theirs. */
+  def replaceVertexProperties(repl: DataFrame): GraphState =
+    copy(vertices = vertices
+      .join(repl.dropDuplicates("id"), Seq("id"), "left")
+      .withColumn("properties",
+        when(col("__new").isNotNull, col("__new"))
+          .otherwise(col("properties")))
+      .drop("__new"))
+
+  /** REPLACE the whole property map of matched edges (`SET r = {map}`). */
+  def replaceEdgeProperties(repl: DataFrame): GraphState =
+    copy(edges = edges
+      .join(repl.dropDuplicates("id"), Seq("id"), "left")
+      .withColumn("properties",
+        when(col("__new").isNotNull, col("__new"))
+          .otherwise(col("properties")))
+      .drop("__new"))
+
   /** Per-row edge property upsert by edge id. */
   def setEdgePropertiesRows(updates: DataFrame): GraphState = {
     val merged = updates.groupBy(col("id")).agg(

@@ -254,6 +254,28 @@ object CypherDriven {
       .orderBy(col("event_id"))
   }
 
+  /** MERGE ON CREATE SET / ON MATCH SET in the gate: a seeded subset
+    * takes the ON MATCH branch, the remainder the ON CREATE branch, and
+    * the resulting per-vertex flags are read back — the oracle derives
+    * each region's branch relationally. */
+  val cy19 = QueryDef.sql("cy19_merge_on_set",
+    """SELECT r_name AS name,
+      |  CASE WHEN r_name < 'AS' THEN 'had' ELSE 'new' END AS flag
+      |FROM region ORDER BY name""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
+    val g0 = TpchGraph(Tables(s, dir))
+    val g1 = Cypher.execute(g0,
+      """MATCH (r:region) WHERE r.name < 'AS'
+        |CREATE (m:omirror {name: r.name})""".stripMargin).state
+    val g2 = Cypher.execute(g1,
+      """MATCH (r:region) MERGE (m:omirror {name: r.name})
+        |ON MATCH SET m.flag = 'had'
+        |ON CREATE SET m.flag = 'new'""".stripMargin).state
+    Cypher.query(g2,
+      """MATCH (m:omirror) RETURN m.name AS name, m.flag AS flag
+        |ORDER BY name""".stripMargin)
+  }
+
   /** Query parameters through the full stack: `$seg` and `$minlen`
     * resolve at parse time so every literal position takes a parameter
     * — the plan is identical to the inlined-literal query (plan reuse
@@ -466,6 +488,6 @@ object CypherDriven {
 
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
-      cy12, cy13, cy14, cy15, cy16, cy17, cy18, st01, st02, st03, st04,
-      st05, tj01, tj02)
+      cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, st01, st02, st03,
+      st04, st05, tj01, tj02)
 }

@@ -589,6 +589,37 @@ class CypherSpec extends SparkSpec {
     assert(row.getSeq[Long](10) == Seq(0L, 5L, 10L))
   }
 
+  test("SET += merges into the property map; SET = replaces it") {
+    val g0 = runScript(emptyGraph, """CREATE (:Thing {id: "t", keep: "1"})""")
+    val g1 = Cypher.execute(g0,
+      "MATCH (t:Thing {id: 't'}) SET t += {extra: 'x', keep: '2'}").state
+    val m1 = g1.vertices.collect().head.getMap[String, String](2)
+    assert(m1 == Map("id" -> "t", "keep" -> "2", "extra" -> "x"))
+    val g2 = Cypher.execute(g1,
+      "MATCH (t:Thing) WHERE t.extra = 'x' SET t = {only: 'y'}").state
+    val m2 = g2.vertices.collect().head.getMap[String, String](2)
+    assert(m2 == Map("only" -> "y"))
+  }
+
+  test("MERGE ON CREATE SET / ON MATCH SET apply to the correct halves") {
+    val g0 = runScript(emptyGraph, """CREATE (:Item {id: "a"})""")
+    val g1 = Cypher.execute(g0,
+      """UNWIND ['a', 'b'] AS i
+        |MERGE (n:Item {id: i})
+        |ON MATCH SET n.seen = 'yes'
+        |ON CREATE SET n.fresh = 'yes'""".stripMargin).state
+    val props = g1.vertices.collect()
+      .map(r => {
+        val m = r.getMap[String, String](2)
+        m("id") -> m
+      }).toMap
+    assert(props.keySet == Set("a", "b"))
+    assert(props("a").get("seen").contains("yes") &&
+      !props("a").contains("fresh"))
+    assert(props("b").get("fresh").contains("yes") &&
+      !props("b").contains("seen"))
+  }
+
   test("parameters: scalar in WHERE, pattern prop, list IN, missing fails") {
     val byAge = Cypher.query(people,
       "MATCH (p:Person) WHERE p.age > $minAge RETURN p.name AS n ORDER BY n",
