@@ -91,6 +91,34 @@ object GraphXBridge {
     deg.join(mapping, Seq("vid")).select(col("id"), col("degree"))
   }
 
+  /** Weighted single/multi-source shortest distances (directed) over
+    * Long-id edges (src, dst, weight DOUBLE ≥ 0): classic Pregel
+    * relaxation — vertices hold the best-known distance, a superstep
+    * sends `d(src)+w` along edges that would improve the destination,
+    * min-combines messages, and terminates when no relaxation fires
+    * (O(shortest-path hop depth) supersteps; each is a local
+    * triplet-join, never a global all-pairs structure). Returns only
+    * reached vertices as (id, distance). */
+  def weightedSssp(edges: DataFrame, sources: Seq[Long])
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val srcSet = sources.toSet
+    val edgeRdd = edges.rdd
+      .map(r => GxEdge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val graph = Graph.fromEdges(edgeRdd, 0.0)
+      .mapVertices((id, _) =>
+        if (srcSet.contains(id)) 0.0 else Double.PositiveInfinity)
+    val res = graph.pregel(Double.PositiveInfinity)(
+      (_, d, msg) => math.min(d, msg),
+      t =>
+        if (t.srcAttr + t.attr < t.dstAttr)
+          Iterator((t.dstId, t.srcAttr + t.attr))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 < Double.PositiveInfinity)
+      .toDF("id", "distance")
+  }
+
   /** Total triangle count of an UNDIRECTED simple graph given as
     * canonical Long-id edges (src < dst, already distinct). GraphX's
     * triangleCount charges each triangle to its three corners, so the

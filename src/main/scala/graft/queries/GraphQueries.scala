@@ -253,6 +253,40 @@ object GraphQueries {
       graft.engine.GraphXBridge.triangleTotal(edges)
   }
 
+  /** Weighted SSSP (custom GraphX Pregel relaxation) over the purchase
+    * DAG — customer→order edges weigh 1, order→part edges weigh the
+    * line quantity; ids are disambiguated into disjoint mod-3 spaces.
+    * The engine relaxes over the FULL graph from one source; the oracle
+    * derives the reachable closure's closed form (min commutes with the
+    * monotone +1.0, so the two evaluation orders agree exactly on
+    * doubles). */
+  val gx04 = QueryDef.sql("gx04_weighted_sssp",
+    """WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+      |           WHERE o_custkey = 1)
+      |SELECT id, distance FROM (
+      |  SELECT CAST(3 AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS distance
+      |  UNION ALL
+      |  SELECT o_orderkey * 3 + 1, 1.0 FROM o
+      |  UNION ALL
+      |  SELECT l_partkey * 3 + 2, 1.0 + min(l_quantity)
+      |  FROM lineitem JOIN o ON l_orderkey = o_orderkey
+      |  GROUP BY l_partkey)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val t = Tables(s, dir)
+    val custToOrder = t.orders.select(
+      (col("o_custkey").cast("long") * 3).as("src"),
+      (col("o_orderkey").cast("long") * 3 + 1).as("dst"),
+      lit(1.0).as("w"))
+    val orderToPart = t.lineitem.select(
+      (col("l_orderkey").cast("long") * 3 + 1).as("src"),
+      (col("l_partkey").cast("long") * 3 + 2).as("dst"),
+      col("l_quantity").cast("double").as("w"))
+    graft.engine.GraphXBridge
+      .weightedSssp(custToOrder.unionByName(orderToPart), Seq(3L))
+      .orderBy(col("id"))
+  }
+
   private val storeId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The persistence round-trip IN the correctness gate: the graph
@@ -277,5 +311,5 @@ object GraphQueries {
 
   val all: Seq[QueryDef] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
-      gx03, gst01)
+      gx03, gx04, gst01)
 }

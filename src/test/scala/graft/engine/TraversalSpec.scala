@@ -146,6 +146,21 @@ class TraversalSpec extends SparkSpec {
     assert(deg("a") == 3 && deg("c") == 3 && deg.get("iso").isEmpty)
   }
 
+  test("weightedSssp relaxes through the cheaper multi-hop path") {
+    implicit val s = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val eSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType), StructField("w", DoubleType)))
+    // 1→4 direct costs 10; 1→2→3→4 costs 1+1+1; 5 is unreachable-from-1
+    val edges = df(eSchema,
+      Row(1L, 4L, 10.0), Row(1L, 2L, 1.0), Row(2L, 3L, 1.0),
+      Row(3L, 4L, 1.0), Row(5L, 4L, 0.5))
+    val out = GraphXBridge.weightedSssp(edges, Seq(1L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0))
+  }
+
   test("staticPageRank matches the DAG-layer closed form (nation→region)") {
     implicit val s = spark
     val tb = graft.sources.Tables(spark, sf("sf0.001"))
