@@ -114,6 +114,35 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Train the IVF coarse quantizer and return the centroid CATALOG as
+    * a DataFrame (cell INT, centroid ARRAY<DOUBLE>) — parquet-
+    * round-trippable, so a 100 TB corpus trains ONCE and every serving
+    * job loads the catalog instead of re-clustering. Training runs on a
+    * bounded DETERMINISTIC sample (hash-ordered TakeOrdered with id
+    * tie-break, pinned by localCheckpoint): each Lloyd iteration costs
+    * O(trainSample·nlist) regardless of corpus size. Coarse quantizers
+    * only need a representative sample — and correctness never depends
+    * on centroid quality (the exhaustive-probe == brute-force
+    * invariant holds for ANY centroids; probing quality is a sampling
+    * question). */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, kmeansIters: Int = 0, trainSample: Int = 4096)
+      : DataFrame = {
+    import corpus.sparkSession.implicits._
+    val seed: Array[(Int, Seq[Double])] = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(asDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0)).zipWithIndex
+      .map { case (v, i) => (i, v) }
+    val train =
+      if (kmeansIters == 0) corpus // never scanned by refinement
+      else corpus
+        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSample)
+        .select(col(idCol), col(vecCol)).localCheckpoint()
+    refineCentroids(train, vecCol, seed, kmeansIters)
+      .toSeq.toDF("cell", "centroid")
+  }
+
   /** IVF (inverted-file) ANN: corpus pre-partitioned into `nlist` cells
     * by nearest coarse centroid; queries probe their `nprobe` nearest
     * cells and exact-rerank inside them. Seed centroids are the first
@@ -124,27 +153,23 @@ object SimilarityOps {
     * equal brute force for ANY centroids (tested invariant). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      kmeansIters: Int = 0, trainSample: Int = 4096): DataFrame = {
-    val seed: Array[(Int, Seq[Double])] = corpus
-      .orderBy(col(idCol)).limit(nlist)
-      .select(asDouble(col(vecCol))).collect()
-      .map(_.getSeq[Double](0)).zipWithIndex
-      .map { case (v, i) => (i, v) }
-    // Training runs on a bounded DETERMINISTIC sample, not the corpus:
-    // hash-ordered top-N (TakeOrdered — one scan, no full sort, id
-    // tie-break) pinned with localCheckpoint, so each Lloyd iteration
-    // costs O(trainSample·nlist) regardless of corpus size. Coarse
-    // quantizers only need a representative sample — scanning 100 TB
-    // per iteration to place 16 centroids is pure waste; correctness is
-    // unaffected (the exhaustive-probe == brute-force invariant holds
-    // for ANY centroids, and probing quality is a sampling question).
-    val train =
-      if (kmeansIters == 0) corpus // never scanned by refinement
-      else corpus
-        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSample)
-        .select(col(idCol), col(vecCol)).localCheckpoint()
-    val cents: Array[(Int, Seq[Double])] =
-      refineCentroids(train, vecCol, seed, kmeansIters)
+      kmeansIters: Int = 0, trainSample: Int = 4096): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      trainIvfCentroids(corpus, idCol, vecCol, nlist, kmeansIters,
+        trainSample), nprobe)
+
+  /** IVF search against a PRE-TRAINED centroid catalog (from
+    * `trainIvfCentroids`, possibly persisted and reloaded — the
+    * train-once/serve-many shape). The catalog is bounded (nlist×dim
+    * doubles), so collecting it to drive codegen'd per-centroid dot
+    * products is a constant, not a scan. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: DataFrame, nprobe: Int = 4)
+      : DataFrame = {
+    val cents: Array[(Int, Seq[Double])] = centroids
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
     // (distance, cell) pairs sorted ascending — ties break on cell id,
     // so assignment and probing are deterministic. Distance uses the
     // expansion ‖v−c‖² = ‖c‖² − 2⟨v,c⟩ + ‖v‖²; the ‖v‖² term is

@@ -127,6 +127,25 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(run() == refined) // DECIMAL-sum means → bit-deterministic
   }
 
+  test("IVF centroid catalog persists: save→load→search == direct path") {
+    val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
+    val q = emb.filter(col("vec_id") < 3)
+    val cats = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 8, kmeansIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_catalog")
+    cats.write.mode("overwrite").parquet(dir.toString)
+    val loaded = spark.read.parquet(dir.toString)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = key(SimilarityOps.ivfTopK(emb, q, "vec_id", "embedding",
+      5, nlist = 8, nprobe = 4, kmeansIters = 2))
+    val served = key(SimilarityOps.ivfTopKWith(emb, q, "vec_id",
+      "embedding", 5, loaded, nprobe = 4))
+    assert(served == direct)
+    assert(served.nonEmpty)
+  }
+
   test("LSH near-dup pairs equal the exact baseline, with no cartesian") {
     val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
     val lsh = SimilarityOps.cosineNearDupPairs(
