@@ -602,8 +602,15 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
   }
 
   def compileWith(frame: Frame, w: WithClause): Frame = {
-    val hasAgg = w.items.exists(i => containsAgg(i.expr))
-    val named = w.items.map { i =>
+    // `WITH *` / `WITH *, expr AS x`: the star expands to every bound
+    // variable, carried under its own name (openCypher semantics)
+    val wItems = w.items.flatMap {
+      case ReturnItem(EVar("*"), None) =>
+        frame.vars.keys.toSeq.sorted.map(v => ReturnItem(EVar(v), None))
+      case other => Seq(other)
+    }
+    val hasAgg = wItems.exists(i => containsAgg(i.expr))
+    val named = wItems.map { i =>
       val name = i.alias.getOrElse(i.expr match {
         case EVar(n)     => n
         case EProp(_, k) => k
@@ -744,7 +751,12 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
 
   def compileReturn(frame0: Frame, r: ReturnClause): DataFrame = {
     var frame = frame0
-    val items0 = r.items.map { i =>
+    val rItems = r.items.flatMap {
+      case ReturnItem(EVar("*"), None) =>
+        frame0.vars.keys.toSeq.sorted.map(v => ReturnItem(EVar(v), Some(v)))
+      case other => Seq(other)
+    }
+    val items0 = rItems.map { i =>
       val name = i.alias.getOrElse(defaultName(i.expr))
       // EXISTS{}/COUNT{} in a projection: decorrelate into a bound
       // per-row count column first (per-row semantics — it only becomes

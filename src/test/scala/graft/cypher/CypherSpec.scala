@@ -589,6 +589,19 @@ class CypherSpec extends SparkSpec {
     assert(row.getSeq[Long](10) == Seq(0L, 5L, 10L))
   }
 
+  test("WITH * carries every bound variable; RETURN * projects them") {
+    val rows = q(
+      """MATCH (a:Person {id: "alice"})-[r:KNOWS]->(b)
+        |WITH *, r.since AS since
+        |WHERE b.id = 'bob'
+        |RETURN b.name AS bn, since""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "Bob" &&
+      rows.head.getString(1) == "2018")
+    val star = q("""MATCH (p:Person {id: "charlie"}) RETURN *""")
+    assert(star.columns.toSeq == Seq("p") && star.count() == 1)
+  }
+
   test("SET += merges into the property map; SET = replaces it") {
     val g0 = runScript(emptyGraph, """CREATE (:Thing {id: "t", keep: "1"})""")
     val g1 = Cypher.execute(g0,
