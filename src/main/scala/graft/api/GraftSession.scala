@@ -25,10 +25,11 @@ final class GraftSession(val spark: SparkSession, initial: GraphState) {
   /** Route and execute a query string: Cypher → our engine; SQL →
     * spark.sql (a strict superset of the reference's parse-only SQL,
     * sql_parser.rs:39-98). */
-  def execute(query: String): DataFrame =
+  def execute(query: String,
+      params: Map[String, Any] = Map.empty): DataFrame =
     QueryRouter.classify(query) match {
       case QueryRouter.Cypher =>
-        val CypherResult(df, st) = Cypher.execute(state, query)
+        val CypherResult(df, st) = Cypher.execute(state, query, params)
         state = st
         df.getOrElse(spark.emptyDataFrame)
       case QueryRouter.Sql =>

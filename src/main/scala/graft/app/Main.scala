@@ -17,12 +17,26 @@ import graft.sources.{Tables, TpchGraph}
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
+    val pairs = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    }.toSeq
+    val opts = pairs.toMap
     val dataDir = opts.getOrElse("data", "/root/testdata/sf0.001")
     val query = opts.getOrElse("query",
       "MATCH (n) RETURN count(n) AS total_vertices")
+    // repeatable --param name=value; numerics/booleans are typed, the
+    // rest stay strings (Cypher `$name` placeholders)
+    val params: Map[String, Any] = pairs.collect {
+      case ("param", kv) if kv.contains('=') =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> (v match {
+          case vv if vv.matches("-?\\d+")        => vv.toLong
+          case vv if vv.matches("-?\\d*\\.\\d+") => vv.toDouble
+          case "true"                            => true
+          case "false"                           => false
+          case vv                                => vv
+        })
+    }.toMap
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -38,7 +52,7 @@ object Main {
     val session = GraftSession(spark, TpchGraph(tables))
     session.registerTables(tables)
 
-    val out = session.execute(query)
+    val out = session.execute(query, params)
     // streamed, not collect(): bounded driver memory on any result size
     out.toJSON.toLocalIterator().forEachRemaining(println(_))
     spark.stop()

@@ -33,6 +33,14 @@ class ApiSpec extends SparkSpec {
     assert(probe.map(_.getString(0)).toSeq == Seq("router-test"))
   }
 
+  test("execute() threads Cypher parameters through the router") {
+    val sess = GraftSession(spark, TpchGraph(Tables(spark, sf("sf0.001"))))
+    val n = sess.execute(
+      "MATCH (c:customer) WHERE c.mktsegment = $seg RETURN count(c) AS n",
+      Map("seg" -> "BUILDING")).collect().head.getLong(0)
+    assert(n == 34L)
+  }
+
   test("stream() yields rows incrementally via toLocalIterator") {
     val sess = GraftSession(spark, TpchGraph(Tables(spark, sf("sf0.001"))))
     val it = sess.stream("MATCH (n:nation) RETURN n.name AS name")
