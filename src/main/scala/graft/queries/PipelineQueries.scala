@@ -337,6 +337,26 @@ object PipelineQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** Frame-sampling stage in the gate: the flatMap (UDTF-shaped) frame
+    * sampler emits every 3rd 16-byte block; per-asset frame counts have
+    * a closed arithmetic form the oracle states directly — pinning the
+    * partition-amortized batch shape's row multiplicity, not just its
+    * schema. */
+  val m02 = QueryDef.sql("m02_frame_sampling",
+    """SELECT doc_id AS asset_id,
+      |  CAST((CAST(ceil(strlen(text) / 16.0) AS BIGINT) - 1) // 3 + 1
+      |    AS BIGINT) AS n_frames
+      |FROM documents WHERE strlen(text) > 0
+      |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+    implicit val sp = s
+    val media = graft.multimodal.Multimodal.syntheticMedia(
+      Tables(s, dir).documents)
+    graft.multimodal.Multimodal.sampleFrames(media, everyK = 3)
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_frames"))
+      .orderBy(col("asset_id"))
+  }
+
   /** Int8-quantized top-k — the cheap candidate stage of quantized
     * retrieval (4–8× scan-bytes reduction at 100 TB), oracle-exact
     * because quantization TRUNCATES (pure function of the double bits;
@@ -470,5 +490,5 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, s01,
-      s02, s03, s04, s05, m01, p01, p02, in01, t06)
+      s02, s03, s04, s05, m01, m02, p01, p02, in01, t06)
 }
