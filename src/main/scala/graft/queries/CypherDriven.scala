@@ -486,8 +486,37 @@ object CypherDriven {
       .orderBy(col("click_id"), col("view_id"))
   }
 
+  /** Sliding-window aggregation through a REAL streaming query
+    * (1 h windows every 15 min, Complete mode so the final open windows
+    * emit on a bounded source). The oracle expands each event into its
+    * ceil(len/slide)=4 covering windows with generate_series — both
+    * engines align window starts to the epoch slide grid, so the rows
+    * must hash-match exactly. */
+  val st06 = QueryDef.sql("st06_sliding_windows",
+    """SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM (
+      |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+      |           - k * INTERVAL '15 minutes' AS window_start, event_type
+      |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k))
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val stage = java.nio.file.Files.createTempDirectory("st06_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      stage.resolve("events.parquet"))
+    val name = s"st06_slide_${memSink.incrementAndGet()}"
+    graft.streaming.EventStreams.runToMemory(s, stage.toString, name,
+        ev => graft.streaming.EventStreams
+          .slidingAggregates(ev, "1 hour", "15 minutes", "10 minutes")
+          .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"), col("event_type"), col("n")),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Complete,
+        statePartitions = Some(8))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, st01, st02, st03,
-      st04, st05, tj01, tj02)
+      st04, st05, st06, tj01, tj02)
 }

@@ -37,6 +37,30 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("rangeJoinBinned plans an equi-join, never a nested-loop/cartesian") {
+    import spark.implicits._
+    val points = (1 to 100)
+      .map(i => (i.toLong, new java.sql.Timestamp(i * 60000L)))
+      .toDF("pid", "ts")
+    val ivs = (1 to 10).map(i => (i.toLong,
+      new java.sql.Timestamp(i * 300000L),
+      new java.sql.Timestamp(i * 300000L + 600000L)))
+      .toDF("iid", "start_ts", "end_ts")
+    val joined = graft.temporal.Temporal
+      .rangeJoinBinned(points, "ts", ivs, "start_ts", "end_ts", 600)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // and it is lossless vs the naive filter
+    val naive = points.crossJoin(ivs)
+      .filter($"ts" >= $"start_ts" && $"ts" <= $"end_ts")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val binned = joined.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive && binned.nonEmpty)
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
