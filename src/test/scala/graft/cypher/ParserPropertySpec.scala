@@ -95,4 +95,65 @@ object ParserPropertySpec extends Properties("CypherParser") {
         case _                          => false
       }
     }
+
+  property("map projections parse items, aliases, and the star") =
+    forAll(ident, Gen.choose(1, 4), Gen.oneOf(true, false)) {
+      (v, nKeys, star) =>
+        val keys = (1 to nKeys).map(i => s".k$i")
+        val items = (keys :+ "extra: 1") ++ (if (star) Seq(".*") else Nil)
+        val ast = Parser.parse(
+          s"MATCH ($v) RETURN $v {${items.mkString(", ")}} AS m")
+        val r = ast.clauses.last.asInstanceOf[Ast.ReturnClause]
+        r.items.head.expr match {
+          case Ast.EMapProj(pv, its, st) =>
+            pv == v && st == star && its.length == nKeys + 1 &&
+              its.take(nKeys).forall {
+                case (k, Ast.EProp(`v`, pk)) => k == pk
+                case _                       => false
+              }
+          case _ => false
+        }
+    }
+
+  property("parameters substitute literals of every scalar shape") =
+    forAll(ident, Gen.choose(-1000L, 1000L), Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(true, false)) { (v, n, s, b) =>
+      val ast = Parser.parse(
+        s"MATCH ($v) WHERE $v.a = $$pn AND $v.b = $$ps AND $v.c = $$pb " +
+          s"RETURN $v.a",
+        Map("pn" -> n, "ps" -> s, "pb" -> b))
+      def lits(e: Ast.Expr): Seq[Ast.Lit] = e match {
+        case Ast.EBin(_, l, r) => lits(l) ++ lits(r)
+        case Ast.ELit(l)       => Seq(l)
+        case _                 => Seq.empty
+      }
+      val found = ast.clauses.head.asInstanceOf[Ast.MatchClause]
+        .where.toSeq.flatMap(lits)
+      found.contains(Ast.LInt(n)) && found.contains(Ast.LStr(s)) &&
+        found.contains(Ast.LBool(b))
+    }
+
+  property("MERGE ON CREATE/ON MATCH SET attach to the right branches") =
+    forAll(ident, ident, Gen.oneOf(true, false)) { (v, k, createFirst) =>
+      val onC = s"ON CREATE SET $v.$k = 'c'"
+      val onM = s"ON MATCH SET $v.$k = 'm'"
+      val tail = if (createFirst) s"$onC $onM" else s"$onM $onC"
+      val ast = Parser.parse(s"MERGE ($v:L {id: 'x'}) $tail")
+      ast.clauses.head match {
+        case Ast.MergeClause(_, oc, om) =>
+          oc.length == 1 && om.length == 1
+        case _ => false
+      }
+    }
+
+  property("SET = and SET += parse to SetAll with the right mode") =
+    forAll(ident, Gen.oneOf(true, false)) { (v, additive) =>
+      val op = if (additive) "+=" else "="
+      val ast = Parser.parse(s"MATCH ($v) SET $v $op {a: '1'}")
+      ast.clauses.last match {
+        case Ast.SetClause(Seq(Ast.SetAll(pv, _, add))) =>
+          pv == v && add == additive
+        case _ => false
+      }
+    }
 }
