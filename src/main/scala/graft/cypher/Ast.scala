@@ -65,6 +65,12 @@ object Ast {
     * remaining properties (explicit keys win, Cypher semantics). */
   final case class EMapProj(variable: String, items: Seq[(String, Expr)],
       star: Boolean) extends Expr
+  /** List subscript `base[idx]` (single element, 0-based, negative =
+    * from the end) and slice `base[from..to]` (from-inclusive,
+    * to-exclusive, 0-based; either bound optional). */
+  final case class EIndex(base: Expr, idx: Expr) extends Expr
+  final case class ESlice(base: Expr, from: Option[Expr],
+      to: Option[Expr]) extends Expr
 
   final case class ReturnItem(expr: Expr, alias: Option[String])
 

@@ -313,6 +313,22 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       throw new ParseException(
         "EXISTS{}/COUNT{} subqueries are only supported in WHERE and in " +
           "RETURN/WITH projections (they rewrite to joins)")
+    case EIndex(base, idx) =>
+      val c = compileExpr(base, frame)
+      val i = compileExpr(idx, frame).try_cast("int")
+      // slice() understands negative (from-the-end) starts, and an
+      // out-of-bounds start yields an empty array — get() then returns
+      // null instead of the ANSI element_at error, matching Cypher.
+      get(slice(c, when(i >= 0, i + 1).otherwise(i), lit(1)), lit(0))
+    case ESlice(base, from, to) =>
+      val c = compileExpr(base, frame)
+      val f = from.map(compileExpr(_, frame).try_cast("int"))
+        .getOrElse(lit(0))
+      val t = to.map(compileExpr(_, frame).try_cast("int"))
+        .getOrElse(size(c))
+      val fN = when(f < 0, greatest(size(c) + f, lit(0))).otherwise(f)
+      val tN = when(t < 0, greatest(size(c) + t, lit(0))).otherwise(t)
+      slice(c, fN + 1, greatest(tN - fN, lit(0)))
     case EMapProj(v, items, star) =>
       if (!frame.vars.get(v).exists(k => k == NodeVar || k == RelVar))
         throw new ParseException(
@@ -557,6 +573,8 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         whens.map { case (c, r) => (walk(c), walk(r)) }, dflt.map(walk))
       case EMapProj(v, items, star) => EMapProj(v,
         items.map { case (k, ve) => (k, walk(ve)) }, star)
+      case EIndex(b, i)     => EIndex(walk(b), walk(i))
+      case ESlice(b, f, t)  => ESlice(walk(b), f.map(walk), t.map(walk))
       case other => other
     }
     val e2 = walk(e)
@@ -744,9 +762,12 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
   private def containsAgg(e: Expr): Boolean = e match {
     case EFunc(n, args, _) =>
       aggFns.contains(n) || args.exists(containsAgg)
-    case EBin(_, l, r) => containsAgg(l) || containsAgg(r)
-    case ENot(x)       => containsAgg(x)
-    case _             => false
+    case EBin(_, l, r)   => containsAgg(l) || containsAgg(r)
+    case ENot(x)         => containsAgg(x)
+    case EIndex(b, i)    => containsAgg(b) || containsAgg(i)
+    case ESlice(b, f, t) => containsAgg(b) ||
+      f.exists(containsAgg) || t.exists(containsAgg)
+    case _               => false
   }
 
   def compileReturn(frame0: Frame, r: ReturnClause): DataFrame = {

@@ -559,7 +559,33 @@ final class Parser(toks: Vector[Parser.Tok],
     l
   }
 
-  private def parseAtom(): Expr = peek match {
+  private def parseAtom(): Expr = {
+    var e = parseAtomPrimary()
+    // postfix subscripts: e[idx], e[from..to], e[..to], e[from..]
+    var done = false
+    while (!done) {
+      if (trySym("[")) {
+        if (trySym("..")) {
+          val to = if (isSym("]")) None else Some(parseExpr())
+          eatSym("]")
+          e = ESlice(e, None, to)
+        } else {
+          val first = parseExpr()
+          if (trySym("..")) {
+            val to = if (isSym("]")) None else Some(parseExpr())
+            eatSym("]")
+            e = ESlice(e, Some(first), to)
+          } else {
+            eatSym("]")
+            e = EIndex(e, first)
+          }
+        }
+      } else done = true
+    }
+    e
+  }
+
+  private def parseAtomPrimary(): Expr = peek match {
     case TSym("(") =>
       pos += 1
       val e = parseExpr()

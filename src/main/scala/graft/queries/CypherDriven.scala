@@ -486,6 +486,17 @@ object CypherDriven {
       .orderBy(col("click_id"), col("view_id"))
   }
 
+  /** List subscript through the full stack: split + 0-based index
+    * (DuckDB lists are 1-based — the oracle indexes [2]). */
+  val cy20 = QueryDef.sql("cy20_list_subscript",
+    """SELECT string_split(c_name, '#')[2] AS num
+      |FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
+      |ORDER BY num""".stripMargin) {
+    run("""MATCH (c:customer) WHERE c.mktsegment = 'HOUSEHOLD'
+          |RETURN split(c.name, '#')[1] AS num ORDER BY num"""
+      .stripMargin)(_, _)
+  }
+
   /** Sliding-window aggregation through a REAL streaming query
     * (1 h windows every 15 min, Complete mode so the final open windows
     * emit on a bounded source). The oracle expands each event into its
@@ -517,6 +528,6 @@ object CypherDriven {
 
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
-      cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, st01, st02, st03,
-      st04, st05, st06, tj01, tj02)
+      cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, st01, st02,
+      st03, st04, st05, st06, tj01, tj02)
 }

@@ -589,6 +589,29 @@ class CypherSpec extends SparkSpec {
     assert(row.getSeq[Long](10) == Seq(0L, 5L, 10L))
   }
 
+  test("list subscripts: index (incl. negative/OOB-null) and slices") {
+    val row = q(
+      """MATCH (p:Person {id: "alice"})
+        |WITH [10, 20, 30, 40] AS xs
+        |RETURN xs[0] AS a, xs[3] AS b, xs[-1] AS last, xs[9] AS oob,
+        |  xs[1..3] AS mid, xs[..2] AS head2, xs[2..] AS tail2,
+        |  xs[1..-1] AS negTo""".stripMargin).collect().head
+    assert(row.getLong(0) == 10L && row.getLong(1) == 40L)
+    assert(row.getLong(2) == 40L)       // xs[-1] = last element
+    assert(row.isNullAt(3))             // out of bounds → null
+    assert(row.getSeq[Long](4) == Seq(20L, 30L))
+    assert(row.getSeq[Long](5) == Seq(10L, 20L))
+    assert(row.getSeq[Long](6) == Seq(30L, 40L))
+    assert(row.getSeq[Long](7) == Seq(20L, 30L)) // to = -1 → size-1
+  }
+
+  test("subscript after collect() in an aggregating projection") {
+    val rows = q(
+      """MATCH (p:Person) WHERE exists(p.age)
+        |RETURN collect(p.id)[0] AS first""".stripMargin).collect()
+    assert(rows.length == 1 && rows.head.getString(0).nonEmpty)
+  }
+
   test("WITH * carries every bound variable; RETURN * projects them") {
     val rows = q(
       """MATCH (a:Person {id: "alice"})-[r:KNOWS]->(b)
