@@ -438,6 +438,35 @@ object PipelineQueries {
       .orderBy(col("id"))
   }
 
+  /** Sequence packing (concat-and-chunk): each doc's global token
+    * start offset and 512-token bin, in doc_id order. The oracle is a
+    * plain running-sum window; the ENGINE side computes the same
+    * cumsum with the two-pass range-partition + partial-offsets scheme
+    * — a bare ORDER-BY window would collapse 100 TB into one task, so
+    * the gate pins that the scalable plan is value-identical. */
+  val p03 = QueryDef.sql("p03_token_packing",
+    s"""SELECT doc_id,
+       |  CAST(sum(n) OVER (ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+       |    AS BIGINT) AS start_offset,
+       |  CAST(floor((sum(n) OVER (ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+       |       / 512.0) AS BIGINT) AS bin
+       |FROM (SELECT doc_id,
+       |        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |          ELSE len(string_split_regex(trim(text), '\\s+')) END
+       |          AS BIGINT) AS n
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+    graft.functions.PackingOps
+      .packTokens(docs, "doc_id", "n_tokens", budget = 512)
+      .select(col("doc_id"), col("start_offset"), col("bin"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/validation/test assignment: membership is a
     * pure function of md5(doc_id) compared in hex-string space, so the
     * SAME doc lands in the SAME split on any engine, any rerun, any
@@ -490,5 +519,5 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, s01,
-      s02, s03, s04, s05, m01, m02, p01, p02, in01, t06)
+      s02, s03, s04, s05, m01, m02, p01, p02, p03, in01, t06)
 }

@@ -17,6 +17,19 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("two-pass globalCumsum equals the single-window running sum") {
+    val ids = spark.range(0, 5000)
+      .select(col("id"), (col("id") % 37 + 1).as("v"))
+    val twoPass = PackingOps.globalCumsum(ids, "id", "v", partitions = 8)
+      .select("id", "cumsum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    val single = ids.withColumn("c", sum(col("v")).over(w))
+      .select("id", "c").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoPass == single)
+  }
+
   test("hashSplit: exhaustive, disjoint, near-nominal fractions, stable") {
     val ids = spark.range(0, 10000).select(col("id"))
     val split = ids.select(col("id"),
