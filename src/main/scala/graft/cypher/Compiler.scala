@@ -313,6 +313,10 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       throw new ParseException(
         "EXISTS{}/COUNT{} subqueries are only supported in WHERE and in " +
           "RETURN/WITH projections (they rewrite to joins)")
+    case EIndex(base, ELit(LStr(key))) if key != null =>
+      // map subscript m['key'] — try_element_at: missing key → null
+      // (Cypher), not the ANSI element_at error
+      try_element_at(compileExpr(base, frame), lit(key))
     case EIndex(base, idx) =>
       val c = compileExpr(base, frame)
       val i = compileExpr(idx, frame).try_cast("int")

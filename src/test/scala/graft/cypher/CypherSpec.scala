@@ -605,6 +605,15 @@ class CypherSpec extends SparkSpec {
     assert(row.getSeq[Long](7) == Seq(20L, 30L)) // to = -1 → size-1
   }
 
+  test("map subscript m['key'] reads map values; missing key is null") {
+    val row = q(
+      """MATCH (p:Person {id: "alice"})
+        |RETURN properties(p)['name'] AS n, p {.age}['age'] AS a,
+        |  properties(p)['nope'] AS missing""".stripMargin).collect().head
+    assert(row.getString(0) == "Alice" && row.getString(1) == "30")
+    assert(row.isNullAt(2))
+  }
+
   test("subscript after collect() in an aggregating projection") {
     val rows = q(
       """MATCH (p:Person) WHERE exists(p.age)
