@@ -110,6 +110,11 @@ object Ast {
   final case class RemoveLabel(variable: String, label: String)
       extends RemoveItem
 
+  /** `CALL { … }` subquery clause (read-only subqueries: MATCH/UNWIND/
+    * import-WITH/RETURN); expands the outer rows with the subquery's
+    * returned columns. */
+  final case class CallClause(sub: CypherQuery) extends Clause
+
   final case class CypherQuery(clauses: Seq[Clause]) {
     def isMutation: Boolean = clauses.exists {
       case _: CreateClause | _: MergeClause | _: SetClause |

@@ -522,12 +522,71 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       case m: MatchClause  => frame = compileMatch(frame, m)
       case u: UnwindClause => frame = compileUnwind(frame, u)
       case w: WithClause   => frame = compileWith(frame, w)
+      case c: CallClause   => frame = compileCall(frame, c)
       case r: ReturnClause => ret = Some(r)
       case c => throw new ParseException(
         s"mutation clause in read query: $c")
     }
     compileReturn(frame,
       ret.getOrElse(throw new ParseException("missing RETURN")))
+  }
+
+  /** `CALL { … }` subquery: the sub-clauses extend the OUTER frame
+    * (a correlated pattern joins on its shared variables; a disjoint
+    * pattern cross-products, openCypher's uncorrelated semantics), and
+    * the subquery's RETURN items become bound value columns while every
+    * outer column is kept. A leading bare-variable WITH is the standard
+    * import annotation (accepted, no-op — outer variables are already
+    * in scope). Aggregating subqueries are rejected: per-row grouping
+    * is what COUNT {} / a WITH aggregation express. */
+  def compileCall(outer: Frame, c: CallClause): Frame = {
+    var frame = outer
+    var items = Seq.empty[ReturnItem]
+    var first = true
+    c.sub.clauses.foreach { cl =>
+      cl match {
+        case w: WithClause if first && w.where.isEmpty &&
+            w.orderBy.isEmpty && !w.distinct && w.skip.isEmpty &&
+            w.limit.isEmpty &&
+            w.items.forall(i =>
+              i.alias.isEmpty && i.expr.isInstanceOf[EVar]) =>
+          w.items.foreach {
+            case ReturnItem(EVar(v), _) if !frame.vars.contains(v) =>
+              throw new ParseException(s"CALL imports unbound variable $v")
+            case _ => ()
+          }
+        case m: MatchClause  => frame = compileMatch(frame, m)
+        case u: UnwindClause => frame = compileUnwind(frame, u)
+        case r: ReturnClause =>
+          if (r.distinct || r.orderBy.nonEmpty || r.skip.isDefined ||
+              r.limit.isDefined)
+            throw new ParseException(
+              "CALL subquery RETURN supports plain projections only")
+          items = r.items
+        case other => throw new ParseException(
+          s"unsupported clause in CALL subquery: $other")
+      }
+      first = false
+    }
+    if (items.isEmpty)
+      throw new ParseException("CALL subquery needs a RETURN")
+    var df = frame.df
+    var vars = frame.vars
+    items.foreach { i =>
+      if (containsAgg(i.expr))
+        throw new ParseException(
+          "aggregating CALL subqueries are not supported " +
+            "(use COUNT {} or a WITH aggregation)")
+      i.expr match {
+        // bare variable with no alias: already bound under that name
+        case EVar(v) if i.alias.isEmpty && frame.vars.contains(v) => ()
+        case e =>
+          val alias = i.alias.getOrElse(defaultName(e))
+          df = df.withColumn(s"${alias}__val", compileExpr(e, frame))
+          vars = vars + (alias -> (ValueVar: VarKind))
+      }
+    }
+    Frame(df, vars)
   }
 
   /** Rewrites EXISTS{…}/COUNT{…} subqueries inside `e` to relational

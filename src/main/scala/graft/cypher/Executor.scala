@@ -180,6 +180,8 @@ object Cypher {
         result = Some(compiler.compileReturn(frame, r))
       case w: WithClause =>
         frame = compiler.compileWith(frame, w)
+      case c: CallClause =>
+        frame = compiler.compileCall(frame, c)
     }
     CypherResult(result, state)
   }

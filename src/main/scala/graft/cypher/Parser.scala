@@ -27,7 +27,7 @@ object Parser {
     "AND", "OR", "NOT", "XOR", "AS", "ASC", "DESC", "ASCENDING", "DESCENDING",
     "DISTINCT", "UNWIND", "WITH", "CONTAINS", "STARTS", "ENDS", "IN", "IS",
     "NULL", "TRUE", "FALSE", "MERGE", "CASE", "WHEN", "THEN", "ELSE", "END",
-    "UNION", "ALL", "ON")
+    "UNION", "ALL", "ON", "CALL")
 
   private val symbols = Seq("<=", ">=", "<>", "!=", "=~", "->", "<-", "..",
     "+=", "(", ")", "[", "]", "{", "}", ":", ",", ".", "=", "<", ">", "+",
@@ -163,9 +163,12 @@ final class Parser(toks: Vector[Parser.Tok],
     (parts.toSeq, all.getOrElse(false))
   }
 
-  def parseQuery(): CypherQuery = {
+  def parseQuery(): CypherQuery = parseQueryInner(stopAtBrace = false)
+
+  private def parseQueryInner(stopAtBrace: Boolean): CypherQuery = {
     val clauses = ArrayBuffer[Clause]()
-    while (peek != TEnd && !isKw("UNION")) {
+    while (peek != TEnd && !isKw("UNION") &&
+        !(stopAtBrace && isSym("}"))) {
       peek match {
         case TKw("MATCH")    => clauses += parseMatch(optional = false)
         case TKw("OPTIONAL") =>
@@ -218,6 +221,11 @@ final class Parser(toks: Vector[Parser.Tok],
         case TKw("RETURN") =>
           eatKw("RETURN")
           clauses += parseReturn()
+        case TKw("CALL") =>
+          eatKw("CALL"); eatSym("{")
+          val sub = parseQueryInner(stopAtBrace = true)
+          eatSym("}")
+          clauses += CallClause(sub)
         case t => fail(s"unexpected clause start: $t")
       }
     }

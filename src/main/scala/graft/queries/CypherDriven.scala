@@ -497,6 +497,21 @@ object CypherDriven {
       .stripMargin)(_, _)
   }
 
+  /** CALL { } subquery through the full stack: an uncorrelated inner
+    * MATCH cross-products with every outer row (openCypher CALL
+    * semantics), pinned against the equivalent SQL cross join. */
+  val cy21 = QueryDef.sql("cy21_call_subquery",
+    """SELECT r_name AS region, n_name AS nation
+      |FROM region, (SELECT n_name FROM nation
+      |              WHERE substr(n_name, 1, 8) = 'NATION_1')
+      |ORDER BY region, nation""".stripMargin) {
+    run("""MATCH (r:region)
+          |CALL { MATCH (n:nation) WHERE n.name STARTS WITH 'NATION_1'
+          |       RETURN n.name AS nation }
+          |RETURN r.name AS region, nation ORDER BY region, nation"""
+      .stripMargin)(_, _)
+  }
+
   /** Sliding-window aggregation through a REAL streaming query
     * (1 h windows every 15 min, Complete mode so the final open windows
     * emit on a bounded source). The oracle expands each event into its
@@ -528,6 +543,6 @@ object CypherDriven {
 
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
-      cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, st01, st02,
-      st03, st04, st05, st06, tj01, tj02)
+      cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, st01,
+      st02, st03, st04, st05, st06, tj01, tj02)
 }

@@ -605,6 +605,35 @@ class CypherSpec extends SparkSpec {
     assert(row.getSeq[Long](7) == Seq(20L, 30L)) // to = -1 → size-1
   }
 
+  test("CALL subquery: correlated expansion joins on the imported var") {
+    val rows = q(
+      """MATCH (a:Person {id: "alice"})
+        |CALL { WITH a MATCH (a)-[:KNOWS]->(b) RETURN b.id AS friend }
+        |RETURN a.id AS me, friend ORDER BY friend""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq("alice" -> "bob", "alice" -> "charlie"))
+  }
+
+  test("CALL subquery: uncorrelated pattern cross-products with outer") {
+    val rows = q(
+      """MATCH (p:Person) WHERE p.id IN ['alice', 'bob']
+        |CALL { MATCH (x:Person) WHERE x.age > 31 RETURN x.id AS older }
+        |RETURN p.id AS id, older ORDER BY id, older""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // {alice,bob} × {bob(35), diana(32)}
+    assert(rows == Seq("alice" -> "bob", "alice" -> "diana",
+      "bob" -> "bob", "bob" -> "diana"))
+  }
+
+  test("CALL subquery rejects aggregates and unbound imports clearly") {
+    val e1 = intercept[ParseException](q(
+      "MATCH (p:Person) CALL { MATCH (x) RETURN count(x) AS c } RETURN c"))
+    assert(e1.getMessage.contains("aggregating CALL"))
+    val e2 = intercept[ParseException](q(
+      "MATCH (p:Person) CALL { WITH zz MATCH (zz)--(y) RETURN y } RETURN 1"))
+    assert(e2.getMessage.contains("unbound"))
+  }
+
   test("map subscript m['key'] reads map values; missing key is null") {
     val row = q(
       """MATCH (p:Person {id: "alice"})
