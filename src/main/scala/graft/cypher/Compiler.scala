@@ -292,6 +292,7 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         case "*" => lc0.try_cast("double") * rc0.try_cast("double")
         case "/" => lc0.try_cast("double") / rc0.try_cast("double")
         case "%" => lc0.try_cast("double") % rc0.try_cast("double")
+        case "^" => pow(lc0.try_cast("double"), rc0.try_cast("double"))
         case other => throw new ParseException(s"unsupported operator $other")
       }
     case ECase(subject, whens, default) =>
@@ -430,12 +431,30 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         case _ => throw new ParseException("properties() needs a variable")
       }
       case "abs"   => abs(compileExpr(args.head, frame).try_cast("double"))
+      case "round" if args.length > 1 =>
+        val scale = args(1) match {
+          case ELit(LInt(n)) => n.toInt
+          case _ => throw new ParseException("round() scale must be literal")
+        }
+        round(compileExpr(args.head, frame).try_cast("double"), scale)
       case "round" => round(compileExpr(args.head, frame).try_cast("double"))
       case "floor" => floor(compileExpr(args.head, frame).try_cast("double"))
         .cast("double")
       case "ceil" | "ceiling" =>
         ceil(compileExpr(args.head, frame).try_cast("double")).cast("double")
       case "sqrt"  => sqrt(compileExpr(args.head, frame).try_cast("double"))
+      case "toboolean" => compileExpr(args.head, frame).try_cast("boolean")
+      case "exp"   => exp(compileExpr(args.head, frame).try_cast("double"))
+      case "log"   => log(compileExpr(args.head, frame).try_cast("double"))
+      case "log10" =>
+        log10(compileExpr(args.head, frame).try_cast("double"))
+      case "sin"   => sin(compileExpr(args.head, frame).try_cast("double"))
+      case "cos"   => cos(compileExpr(args.head, frame).try_cast("double"))
+      case "tan"   => tan(compileExpr(args.head, frame).try_cast("double"))
+      case "atan2" => atan2(compileExpr(args.head, frame)
+        .try_cast("double"), compileExpr(args(1), frame).try_cast("double"))
+      case "pi"    => lit(math.Pi)
+      case "e" if args.isEmpty => lit(math.E)
       case "sign"  =>
         signum(compileExpr(args.head, frame).try_cast("double")).cast("long")
       case "reverse" => // string or list — same builtin

@@ -31,7 +31,7 @@ object Parser {
 
   private val symbols = Seq("<=", ">=", "<>", "!=", "=~", "->", "<-", "..",
     "+=", "(", ")", "[", "]", "{", "}", ":", ",", ".", "=", "<", ">", "+",
-    "-", "*", "/", "|", "%", "&", "$")
+    "-", "*", "/", "|", "%", "&", "$", "^")
 
   def tokenize(q: String): Vector[Tok] = {
     val out = ArrayBuffer[Tok]()
@@ -556,15 +556,21 @@ final class Parser(toks: Vector[Parser.Tok],
   }
 
   private def parseMul(): Expr = {
-    var l = parseAtom()
+    var l = parseExp()
     var done = false
     while (!done) peek match {
-      case TSym("*") => pos += 1; l = EBin("*", l, parseAtom())
-      case TSym("/") => pos += 1; l = EBin("/", l, parseAtom())
-      case TSym("%") => pos += 1; l = EBin("%", l, parseAtom())
+      case TSym("*") => pos += 1; l = EBin("*", l, parseExp())
+      case TSym("/") => pos += 1; l = EBin("/", l, parseExp())
+      case TSym("%") => pos += 1; l = EBin("%", l, parseExp())
       case _         => done = true
     }
     l
+  }
+
+  // Cypher `^` exponentiation: binds tighter than * /, right-assoc
+  private def parseExp(): Expr = {
+    val base = parseAtom()
+    if (trySym("^")) EBin("^", base, parseExp()) else base
   }
 
   private def parseAtom(): Expr = {

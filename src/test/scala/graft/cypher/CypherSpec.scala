@@ -747,6 +747,22 @@ class CypherSpec extends SparkSpec {
       Seq("bob" -> "2018", "charlie" -> "2020"))
   }
 
+  test("math surface: ^ operator (right-assoc), round(x, n), log/exp/pi") {
+    val row = q(
+      """MATCH (p:Person {id: "alice"})
+        |RETURN 2 ^ 10 AS p2, 2 ^ 3 ^ 2 AS rassoc,
+        |  round(p.score, 1) AS r1, round(3.14159, 2) AS r2,
+        |  log(e()) AS ln, log10(1000) AS lg, exp(0) AS ex,
+        |  round(pi(), 4) AS pie, toBoolean('true') AS tb""".stripMargin)
+      .collect().head
+    assert(row.getDouble(0) == 1024.0)
+    assert(row.getDouble(1) == 512.0) // 2^(3^2), not (2^3)^2
+    assert(row.getDouble(2) == 95.5 && row.getDouble(3) == 3.14)
+    assert(row.getDouble(4) == 1.0 && row.getDouble(5) == 3.0)
+    assert(row.getDouble(6) == 1.0 && row.getDouble(7) == 3.1416)
+    assert(row.getBoolean(8))
+  }
+
   test("startNode()/endNode() return the relationship endpoints' ids") {
     val rows = q(
       """MATCH (a:Person {id: "alice"})-[r:KNOWS]->(b)
