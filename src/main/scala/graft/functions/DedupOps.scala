@@ -261,4 +261,41 @@ object DedupOps {
     val cc = Graph(vertRdd, edgeRdd).connectedComponents().vertices
     spark.createDataFrame(cc).toDF(idCol, "cluster_id")
   }
+
+  /** Train/eval n-gram DECONTAMINATION report: for every eval doc, how
+    * many of its distinct word n-grams also appear anywhere in the
+    * training split. The standard pre-training hygiene step (eval-set
+    * leakage detection), run the scalable way:
+    *
+    *  - both sides explode to DISTINCT shingles (map-side distinct
+    *    inside each doc, then a global distinct on the train side —
+    *    partial-aggregated, so the shuffle carries unique n-grams, not
+    *    corpus positions);
+    *  - one hash equi-join (left_semi) from eval shingles to the train
+    *    vocabulary — no row blowup: semi-join emits at most the eval
+    *    side. At 100 TB the join key would be xxhash64(shingle) (8
+    *    bytes instead of the string); the gate keeps the raw string so
+    *    the DuckDB oracle can reproduce it exactly.
+    *
+    * Returns (idCol, n_shingles, n_contaminated, contamination) — the
+    * floor4 contaminated fraction; docs above a threshold get dropped
+    * from eval (or the training docs containing them get dropped). */
+  def ngramContamination(eval: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val evalSh = eval.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), n))).as("g"))
+    val trainSh = train
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .distinct()
+    val hits = evalSh.join(trainSh, Seq("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    eval.select(col(idCol),
+        size(array_distinct(shingles(col(textCol), n))).cast("long")
+          .as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated",
+        coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination", graft.queries.Det.floor4(
+        col("n_contaminated").cast("double") / col("n_shingles")))
+  }
 }

@@ -52,4 +52,41 @@ object SamplingOps {
        |    WHEN substr(md5(CAST(($idExpr) AS VARCHAR)), 1, 8)
        |      < '${hexBound(trainFrac + valFrac)}' THEN 'validation'
        |    ELSE 'test' END""".stripMargin
+
+  /** Stratum-salted uniform key: hashing `"<stratum>:<id>"` makes the
+    * within-stratum draws independent of any other hash-of-id decision in
+    * the pipeline (split assignment, plain Bernoulli sampling), so
+    * stratified sampling composes with them without correlation. */
+  def stratifiedKey(strata: Column, id: Column): Column =
+    substring(md5(concat(strata.cast("string"), lit(":"),
+      id.cast("string"))), 1, 8)
+
+  /** Stratified deterministic sampling: each stratum keeps its own
+    * fraction (corpus re-balancing — e.g. downsample over-represented
+    * languages). Pure map-side predicate; rerun/engine/cluster-stable
+    * like [[deterministicSample]]. Strata not listed use `defaultFrac`. */
+  def stratifiedSample(strata: Column, id: Column,
+      fractions: Map[String, Double], defaultFrac: Double): Column = {
+    fractions.foreach { case (s, f) =>
+      require(f >= 0 && f <= 1, s"fraction out of range for stratum $s") }
+    val key = stratifiedKey(strata, id)
+    fractions.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (s, f)) =>
+        val arm = (strata === lit(s), key < lit(hexBound(f)))
+        Some(acc.fold(when(arm._1, arm._2))(_.when(arm._1, arm._2)))
+    }.fold(lit(true) && key < lit(hexBound(defaultFrac)))(
+      _.otherwise(key < lit(hexBound(defaultFrac))))
+  }
+
+  /** DuckDB oracle form of [[stratifiedSample]] (identical hex bounds). */
+  def stratifiedSampleSql(strataExpr: String, idExpr: String,
+      fractions: Map[String, Double], defaultFrac: Double): String = {
+    val key = s"substr(md5(($strataExpr) || ':' || " +
+      s"CAST(($idExpr) AS VARCHAR)), 1, 8)"
+    val arms = fractions.toSeq.sortBy(_._1).map { case (s, f) =>
+      s"WHEN ($strataExpr) = '$s' THEN $key < '${hexBound(f)}'"
+    }.mkString("\n    ")
+    s"""CASE $arms
+       |    ELSE $key < '${hexBound(defaultFrac)}' END""".stripMargin
+  }
 }

@@ -90,4 +90,46 @@ object TextOps {
     * deterministic, engine-portable equivalent). */
   def fingerprint64(text: Column): Column =
     conv(substring(fingerprint(text), 1, 15), 16, 10).cast("long")
+
+  // --- PII scrubbing -------------------------------------------------
+  // Regexes restricted to a family (character classes + {m,} quantifiers,
+  // no backrefs/lookaround) whose leftmost-first match semantics are
+  // identical in Java regex and RE2, so a DuckDB oracle agrees exactly.
+
+  /** Email-address pattern (the pragmatic corpus-scrubbing form). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (≥4): phone/account/SSN-ish numbers. */
+  val longNumberPattern = "[0-9]{4,}"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long")
+
+  /** Count of long digit runs OUTSIDE emails (emails are redacted first,
+    * so digits inside an address aren't double-counted). */
+  def longNumberCount(text: Column): Column =
+    size(regexp_extract_all(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      lit(longNumberPattern), lit(0))).cast("long")
+
+  /** PII-redacted text: emails → `<EMAIL>` first, then long digit runs →
+    * `<NUM>`. Pure codegen'd Columns — runs inside the scan stage. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      longNumberPattern, "<NUM>")
+
+  // --- Repetition / quality (Gopher-style) ---------------------------
+
+  /** Fraction of duplicated word n-grams: 1 − distinct/total over the
+    * normalized n-gram multiset (0 when the doc has < n words — a single
+    * whole-text shingle can't repeat). High values flag boilerplate and
+    * degenerate repetition; the standard cheap pretraining-quality gate
+    * alongside [[nChars]]/[[meanWordLen]]. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val sh = DedupOps.shingles(text, n)
+    graft.queries.Det.floor4(
+      lit(1.0) - size(array_distinct(sh)).cast("double") /
+        size(sh).cast("double"))
+  }
 }

@@ -517,7 +517,159 @@ object PipelineQueries {
         .orderBy(col("source"))
   }
 
+  // DuckDB-side distinct 3-shingle list (matches
+  // array_distinct(DedupOps.shingles(text, 3)) exactly)
+  private val shingle3Sql =
+    """CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |  ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |    FOR i IN generate_series(1, len(ws) - 2)]) END""".stripMargin
+
+  /** Train/eval n-gram DECONTAMINATION: for every doc in the (hash-split)
+    * eval set, the count and fraction of its distinct 3-grams that appear
+    * anywhere in the training split — the eval-leakage hygiene step every
+    * pretraining pipeline runs. Scalable shape: distinct shingles both
+    * sides, one semi-join on the n-gram (at 100 TB the key becomes
+    * xxhash64(shingle); the string key here keeps the oracle exact). */
+  val p04 = QueryDef.sql("p04_decontamination",
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    ${SamplingOps.hashSplitSql("doc_id", 0.8, 0.1)} AS split,
+       |    $shingle3Sql AS sh
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents)),
+       |tr AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE split = 'train'),
+       |ev AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE split = 'test'),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+       |  FROM ev WHERE g IN (SELECT g FROM tr) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles
+       |        FROM s WHERE split = 'test')
+       |SELECT t.doc_id, t.n_shingles,
+       |  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |  ${Det.floor4Sql(
+              """CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+                | / t.n_shingles""".stripMargin)} AS contamination
+       |FROM tot t LEFT JOIN hits h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+      .withColumn("split", SamplingOps.hashSplit(col("doc_id"), 0.8, 0.1))
+    DedupOps.ngramContamination(
+        eval = docs.filter(col("split") === "test"),
+        train = docs.filter(col("split") === "train"),
+        idCol = "doc_id", textCol = "text", n = 3)
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        col("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified deterministic sampling: per-language keep fractions
+    * (downsample the over-represented languages — corpus re-balancing).
+    * Membership is a pure function of md5("<lang>:<id>") so the gate pins
+    * every kept row, not just per-stratum counts. */
+  private val strataFracs = Map("en" -> 0.5, "fr" -> 0.25)
+  val p05 = QueryDef.sql("p05_stratified_sample",
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+       |FROM documents
+       |WHERE ${SamplingOps.stratifiedSampleSql("lang", "doc_id",
+              strataFracs, 0.1)}
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .filter(SamplingOps.stratifiedSample(col("lang"), col("doc_id"),
+        strataFracs, 0.1))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Vocabulary building: top-50 corpus words by occurrence count with
+    * document frequency — the tokenizer-training / TF-IDF input stage.
+    * Partial-aggregated counts + TakeOrdered top-k: the shuffle carries
+    * one row per distinct word, the driver sees 50 rows, at any scale. */
+  val t07 = QueryDef.sql("t07_vocab_topk",
+    s"""SELECT w, CAST(count(*) AS BIGINT) AS n_occ,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+       |      FROM documents)
+       |WHERE w <> '' GROUP BY w
+       |ORDER BY n_occ DESC, w LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        explode(split(TextOps.normalize(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("w"))
+      .limit(50)
+  }
+
+  /** PII scrubbing: email + long-digit-run redaction counts and the
+    * redacted-text fingerprint. The corpus has no natural PII, so a
+    * deterministic augmentation plants an email on doc_id%3=0 and a long
+    * number on doc_id%3=1 — the remaining third pins the no-false-positive
+    * path. Regexes stay in the Java/RE2-identical family. */
+  private val emailSqlRe = TextOps.emailPattern // single-backslash at runtime
+  val t08 = QueryDef.sql("t08_pii_scrub",
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user'
+       |           || CAST(doc_id AS VARCHAR) || '@example.com'
+       |         WHEN doc_id % 3 = 1 THEN text || ' call 555'
+       |           || CAST(doc_id * 37 AS VARCHAR)
+       |         ELSE text END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$emailSqlRe')) AS BIGINT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(
+       |    regexp_replace(t, '$emailSqlRe', '<EMAIL>', 'g'), '[0-9]{4,}'))
+       |    AS BIGINT) AS n_longnums,
+       |  md5(regexp_replace(regexp_replace(t, '$emailSqlRe', '<EMAIL>',
+       |    'g'), '[0-9]{4,}', '<NUM>', 'g')) AS fp_redacted
+       |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val aug = Tables(s, dir).documents.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" call 555"),
+            (col("doc_id") * 37).cast("string")))
+        .otherwise(col("text")).as("t"))
+    aug.select(col("doc_id"),
+        TextOps.emailCount(col("t")).as("n_emails"),
+        TextOps.longNumberCount(col("t")).as("n_longnums"),
+        md5(TextOps.piiRedact(col("t"))).as("fp_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition quality metrics (Gopher-style): duplicated 2-gram and
+    * 3-gram fractions per doc — the boilerplate/degenerate-repetition
+    * filter. Pure scan-stage Columns, zero shuffle. */
+  val t09 = QueryDef.sql("t09_repetition",
+    s"""SELECT doc_id,
+       |  ${Det.floor4Sql("1.0 - CAST(d2 AS DOUBLE) / t2")} AS dup2,
+       |  ${Det.floor4Sql("1.0 - CAST(d3 AS DOUBLE) / t3")} AS dup3
+       |FROM (SELECT doc_id,
+       |    CASE WHEN len(ws) < 2 THEN 1
+       |      ELSE len(list_distinct([ws[i] || ' ' || ws[i+1]
+       |        FOR i IN generate_series(1, len(ws) - 1)])) END AS d2,
+       |    CASE WHEN len(ws) < 2 THEN 1 ELSE len(ws) - 1 END AS t2,
+       |    CASE WHEN len(ws) < 3 THEN 1
+       |      ELSE len(list_distinct([ws[i] || ' ' || ws[i+1] || ' '
+       |          || ws[i+2]
+       |        FOR i IN generate_series(1, len(ws) - 2)])) END AS d3,
+       |    CASE WHEN len(ws) < 3 THEN 1 ELSE len(ws) - 2 END AS t3
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        TextOps.dupNgramFraction(col("text"), 2).as("dup2"),
+        TextOps.dupNgramFraction(col("text"), 3).as("dup3"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, s01,
-      s02, s03, s04, s05, m01, m02, p01, p02, p03, in01, t06)
+      s02, s03, s04, s05, m01, m02, p01, p02, p03, p04, p05, in01, t06,
+      t07, t08, t09)
 }

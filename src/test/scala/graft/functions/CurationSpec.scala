@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Corpus-curation operators: stratified sampling, n-gram
+  * decontamination, PII scrubbing, repetition metrics, vocabulary.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedSample keeps per-stratum fractions and is deterministic") {
+    val docs = (1 to 4000).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
+    val kept = docs.filter(SamplingOps.stratifiedSample(
+      col("lang"), col("id"), Map("en" -> 0.5, "fr" -> 0.1), 0.0))
+    val byLang = kept.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    // 2000 per stratum; binomial sd ≈ 22 (en) / 13 (fr) — 5σ bounds
+    assert(byLang("en") > 880 && byLang("en") < 1120, byLang)
+    assert(byLang("fr") > 130 && byLang("fr") < 270, byLang)
+    // rerun is identical (pure function of the id)
+    val again = docs.filter(SamplingOps.stratifiedSample(
+      col("lang"), col("id"), Map("en" -> 0.5, "fr" -> 0.1), 0.0))
+    assert(kept.select("id").except(again.select("id")).isEmpty)
+    assert(again.select("id").except(kept.select("id")).isEmpty)
+  }
+
+  test("stratifiedSample default fraction applies to unlisted strata") {
+    val docs = (1 to 1000).map(i => (i.toLong, "zh")).toDF("id", "lang")
+    val none = docs.filter(SamplingOps.stratifiedSample(
+      col("lang"), col("id"), Map("en" -> 1.0), 0.0))
+    assert(none.isEmpty)
+    val all = docs.filter(SamplingOps.stratifiedSample(
+      col("lang"), col("id"), Map("en" -> 0.0), 1.0))
+    assert(all.count() === 1000L)
+    intercept[IllegalArgumentException] {
+      SamplingOps.stratifiedSample(col("lang"), col("id"),
+        Map("en" -> 1.5), 0.1)
+    }
+  }
+
+  test("ngramContamination counts shared distinct n-grams per eval doc") {
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "a b c x y"),   // shingles: "a b c","b c x","c x y" — 1 hit
+      (11L, "p q r s"),     // no overlap
+      (12L, "b c d")        // single shingle "b c d" — full hit
+    ).toDF("doc_id", "text")
+    val out = DedupOps.ngramContamination(eval, train, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_contaminated", "contamination")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (10L, 3L, 1L, 0.3333),
+      (11L, 2L, 0L, 0.0),
+      (12L, 1L, 1L, 1.0)))
+  }
+
+  test("piiRedact replaces emails then long digit runs, counts match") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@mail.example.org or call 12345"),
+      (2L, "no pii here, just 123 and 9.99"),
+      (3L, "two mails a@b.co c@d.io and 55556666")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextOps.emailCount(col("text")).as("e"),
+        TextOps.longNumberCount(col("text")).as("n"),
+        TextOps.piiRedact(col("text")).as("r"))
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) === ((1L, 1L, 1L, "mail me at <EMAIL> or call <NUM>")))
+    assert(out(1) === ((2L, 0L, 0L, "no pii here, just 123 and 9.99")))
+    assert(out(2) === ((3L, 2L, 1L, "two mails <EMAIL> <EMAIL> and <NUM>")))
+  }
+
+  test("dupNgramFraction measures repeated n-grams") {
+    val df = Seq(
+      (1L, "x x x x"),        // 2-grams: 3 total, 1 distinct → 0.6666
+      (2L, "a b c d"),        // all distinct → 0.0
+      (3L, "w")               // < n words → 0.0
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextOps.dupNgramFraction(col("text"), 2).as("d2"))
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 0.6666), (2L, 0.0), (3L, 0.0)))
+  }
+}
