@@ -47,8 +47,18 @@ object Ast {
       distinct: Boolean = false) extends Expr
   final case class EBin(op: String, l: Expr, r: Expr) extends Expr
   final case class ENot(e: Expr) extends Expr
-  final case class EListComp(variable: String, source: Expr, proj: Expr)
-      extends Expr // [x IN xs | expr]
+  final case class EListComp(variable: String, source: Expr, proj: Expr,
+      pred: Option[Expr] = None)
+      extends Expr // [x IN xs WHERE pred | expr] (both parts optional)
+  /** Quantified list predicate: any/all/none/single(x IN xs WHERE pred). */
+  final case class EQuant(kind: String, variable: String, source: Expr,
+      pred: Expr) extends Expr
+  /** Pattern comprehension `[(a)-[r:T]->(b) WHERE pred | proj]` —
+    * correlated on the pattern's shared outer variables; yields the list
+    * of projections (sorted by value: Cypher leaves the order
+    * unspecified, a deterministic engine must pick one). */
+  final case class EPatComp(pat: PathPat, where: Option[Expr], proj: Expr)
+      extends Expr
   /** reduce(acc = init, x IN xs | expr) — list fold. */
   final case class EReduce(acc: String, init: Expr, variable: String,
       source: Expr, proj: Expr) extends Expr
@@ -115,10 +125,16 @@ object Ast {
     * returned columns. */
   final case class CallClause(sub: CypherQuery) extends Clause
 
+  /** `FOREACH (x IN list | update clauses)` — runs the update clauses
+    * once per list element; `x` is visible only inside. Elements of
+    * `nodes(p)` / `relationships(p)` bind as full node/rel variables. */
+  final case class ForeachClause(variable: String, list: Expr,
+      updates: Seq[Clause]) extends Clause
+
   final case class CypherQuery(clauses: Seq[Clause]) {
     def isMutation: Boolean = clauses.exists {
       case _: CreateClause | _: MergeClause | _: SetClause |
-          _: RemoveClause | _: DeleteClause => true
+          _: RemoveClause | _: DeleteClause | _: ForeachClause => true
       case _ => false
     }
   }

@@ -125,13 +125,20 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
           propFilters(joined, headVar, pat.head.props)), joined.vars)
       }
     var prevVar = headVar
+    var nodeSeq = List(headVar) // chain node vars, for named-path binding
+    var relSeq = List.empty[String]
+    var hasVarLength = false
     pat.tail.foreach { case (rp, np) =>
+      // unnamed nodes get a fresh binding name and the chain continues
+      // from THEM (not the previous named node)
+      val nVar = np.variable.getOrElse(freshVar())
       frame = rp.varLength match {
         case Some((min, max)) =>
-          expandVarLength(frame, prevVar, rp, np, min, max)
+          hasVarLength = true
+          expandVarLength(frame, prevVar, rp, np, min, max, nVar)
         case None =>
           val rVar = rp.variable.getOrElse(freshVar())
-          val nVar = np.variable.getOrElse(freshVar())
+          relSeq :+= rVar
           val rel = relDf(rp, rVar)
           var df = frame.df.join(rel,
             col(s"${prevVar}__id") === col(s"${rVar}__near"))
@@ -148,7 +155,26 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
           Frame(df.filter(propFilters(combined, rVar, rp.props))
             .filter(propFilters(combined, nVar, np.props)), vars)
       }
-      prevVar = np.variable.getOrElse(prevVar)
+      nodeSeq :+= nVar
+      prevVar = nVar
+    }
+    // `p = (a)-[r]->(b)…` named path over a FIXED-length chain: bind the
+    // path var to the node-id / edge-id arrays (same contract as
+    // shortestPath's binding, so nodes(p)/relationships(p)/length(p)
+    // work uniformly)
+    pat.pathVar.foreach { p =>
+      if (hasVarLength)
+        throw new ParseException(
+          "named path over a variable-length pattern is not supported — " +
+            "use shortestPath()/allShortestPaths() or a fixed-length chain")
+      frame = Frame(
+        frame.df
+          .withColumn(s"${p}__path",
+            array(nodeSeq.map(v => col(s"${v}__id")): _*))
+          .withColumn(s"${p}__epath",
+            if (relSeq.isEmpty) array().cast("array<string>")
+            else array(relSeq.map(r => col(s"${r}__id")): _*)),
+        frame.vars + (p -> PathVar))
     }
     frame
   }
@@ -157,8 +183,7 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     * joins, then joined into the frame. The path itself is not bound
     * (pattern `[*1..3]` with an unnamed rel — QE:115-118 usage). */
   private def expandVarLength(frame: Frame, prevVar: String, rp: RelPat,
-      np: NodePat, min: Int, max: Int): Frame = {
-    val nVar = np.variable.getOrElse(freshVar())
+      np: NodePat, min: Int, max: Int, nVar: String): Frame = {
     val srcs = frame.df.select(col(s"${prevVar}__id").as("id")).distinct()
     val reach = Traversals.paths(g, srcs, min, max,
         t = rp.types,
@@ -504,7 +529,7 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         try compileExpr(proj, frame)
         finally substStack = substStack.drop(2)
       })
-    case EListComp(v, src, proj) =>
+    case EListComp(v, src, proj, pred) =>
       // Inside the lambda the iteration var shadows: any scalar
       // expression of the ELEMENT compiles with x substituted for
       // EVar(v). Property/type access on path elements needs a lookup
@@ -517,12 +542,31 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
             "in RETURN items")
         case _ =>
       }
-      val srcCol = compileExpr(src, frame)
-      transform(srcCol, x => {
+      def lam(body: Expr)(x: Column): Column = {
         substStack ::= (v -> x)
-        try compileExpr(proj, frame)
+        try compileExpr(body, frame)
         finally substStack = substStack.tail
-      })
+      }
+      val srcCol0 = compileExpr(src, frame)
+      val srcCol = pred.fold(srcCol0)(p => filter(srcCol0, lam(p)(_)))
+      if (proj == EVar(v)) srcCol // filter-only comprehension
+      else transform(srcCol, lam(proj)(_))
+    case EQuant(kind, v, src, pred) =>
+      // any/all/none/single — the SQL exists/forall/filter HOFs with the
+      // iteration var bound through the substitution stack. Interpreted
+      // eval over per-row lists; keep off corpus-scale hot paths.
+      val srcCol = compileExpr(src, frame)
+      def lam(x: Column): Column = {
+        substStack ::= (v -> x)
+        try compileExpr(pred, frame)
+        finally substStack = substStack.tail
+      }
+      kind match {
+        case "any"    => exists(srcCol, lam)
+        case "all"    => forall(srcCol, lam)
+        case "none"   => !exists(srcCol, lam)
+        case "single" => size(filter(srcCol, lam(_))) === 1
+      }
     case other => throw new ParseException(s"unsupported expression $other")
   }
 
@@ -648,6 +692,38 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         boundCols ::= s"${bound}__val"
         if (s.isCount) EVar(bound)
         else EBin(">", EVar(bound), ELit(LInt(0)))
+      case pc: EPatComp =>
+        // Pattern comprehension: same decorrelation as ESub, but the
+        // aggregate is the SORTED list of per-match projections (Cypher
+        // doesn't define an order; a deterministic engine must pick one)
+        // and rows with no matches get [] not null.
+        val bound = freshVar() + "_pc"
+        var sub = emptyFrame
+        sub = compilePattern(sub, pc.pat)
+        pc.where.foreach(w =>
+          sub = Frame(sub.df.filter(compileExpr(w, sub)), sub.vars))
+        val shared = frame0.vars.keySet.intersect(sub.vars.keySet).toSeq
+          .filter { v =>
+            val k = frame0.vars(v)
+            (k == NodeVar || k == RelVar) && sub.vars(v) == k
+          }.sorted
+        if (shared.isEmpty)
+          throw new ParseException(
+            "pattern comprehension shares no bound node/rel variable " +
+              "with the outer scope")
+        val joinCols = shared.map(v => s"${v}__id")
+        val lists = sub.df
+          .groupBy(joinCols.map(col): _*)
+          .agg(array_sort(collect_list(compileExpr(pc.proj, sub)))
+            .as(s"${bound}__val"))
+        val dt = lists.schema(s"${bound}__val").dataType
+        frame = Frame(
+          frame.df.join(lists, joinCols, "left")
+            .withColumn(s"${bound}__val",
+              coalesce(col(s"${bound}__val"), array().cast(dt))),
+          frame.vars + (bound -> ValueVar))
+        boundCols ::= s"${bound}__val"
+        EVar(bound)
       case EBin(op, l, r) => EBin(op, walk(l), walk(r))
       case ENot(y)        => ENot(walk(y))
       case EFunc(n, args, d) => EFunc(n, args.map(walk), d)
@@ -701,16 +777,25 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       frame.vars + (u.variable -> ValueVar))
   }
 
-  def compileWith(frame: Frame, w: WithClause): Frame = {
+  def compileWith(frameIn: Frame, w: WithClause): Frame = {
     // `WITH *` / `WITH *, expr AS x`: the star expands to every bound
     // variable, carried under its own name (openCypher semantics)
     val wItems = w.items.flatMap {
       case ReturnItem(EVar("*"), None) =>
-        frame.vars.keys.toSeq.sorted.map(v => ReturnItem(EVar(v), None))
+        frameIn.vars.keys.toSeq.sorted.map(v => ReturnItem(EVar(v), None))
       case other => Seq(other)
     }
-    val hasAgg = wItems.exists(i => containsAgg(i.expr))
-    val named = wItems.map { i =>
+    // EXISTS{}/COUNT{} and pattern comprehensions in WITH items:
+    // decorrelate into bound columns first (same as RETURN items)
+    var frame0 = frameIn
+    val wItems1 = wItems.map { i =>
+      val (f2, e2, _) = bindSubqueries(frame0, i.expr)
+      frame0 = f2
+      ReturnItem(e2, i.alias)
+    }
+    val frame = frame0
+    val hasAgg = wItems1.exists(i => containsAgg(i.expr))
+    val named = wItems1.map { i =>
       val name = i.alias.getOrElse(i.expr match {
         case EVar(n)     => n
         case EProp(_, k) => k
@@ -900,7 +985,7 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       }
     }
     val items = items0.map {
-      case (name, EListComp(v, src, proj))
+      case (name, EListComp(v, src, proj, None))
           if elementValue(src, v, proj).isDefined =>
         fresh += 1
         val bound = s"__lc$fresh"

@@ -170,6 +170,57 @@ object Cypher {
       case s: SetClause =>
         state = applySet(state, compiler, frame, s)
         recompile()
+      case f: ForeachClause =>
+        // FOREACH (x IN list | updates): x binds once per element and is
+        // visible only inside — the outer frame is unchanged. Elements
+        // of nodes(p)/relationships(p) join back to the state so they
+        // bind as FULL node/rel variables (SET/REMOVE/DELETE and
+        // property reads on x just work); any other list binds x as a
+        // value variable. Set-oriented throughout: one explode + one
+        // equi-join, each update clause one distributed action.
+        def runForeach(outer: Compiler.Frame, f0: ForeachClause): Unit = {
+          val v = f0.variable
+          val listCol = compiler.compileExpr(f0.list, outer)
+          val exploded = outer.df.withColumn(s"${v}__elem", explode(listCol))
+          val (subDf, kind) = f0.list match {
+            case EFunc("nodes", _, _) =>
+              val verts = state.vertices.select(
+                col("id").as(s"${v}__id"), col("label").as(s"${v}__label"),
+                col("properties").as(s"${v}__props"))
+              (exploded.withColumnRenamed(s"${v}__elem", s"${v}__id")
+                 .join(verts, Seq(s"${v}__id")),
+                Compiler.NodeVar: Compiler.VarKind)
+            case EFunc("relationships", _, _) =>
+              val eds = state.edges.select(
+                col("id").as(s"${v}__id"), col("src").as(s"${v}__src"),
+                col("dst").as(s"${v}__dst"),
+                col("edge_type").as(s"${v}__type"),
+                col("properties").as(s"${v}__props"))
+              (exploded.withColumnRenamed(s"${v}__elem", s"${v}__id")
+                 .join(eds, Seq(s"${v}__id")),
+                Compiler.RelVar: Compiler.VarKind)
+            case _ =>
+              (exploded.withColumnRenamed(s"${v}__elem", s"${v}__val"),
+                Compiler.ValueVar: Compiler.VarKind)
+          }
+          var sub = Compiler.Frame(subDf, outer.vars + (v -> kind))
+          f0.updates.foreach {
+            case s: SetClause =>
+              state = applySet(state, compiler, sub, s); recompile()
+            case r: RemoveClause =>
+              state = applyRemove(state, compiler, sub, r); recompile()
+            case d: DeleteClause =>
+              state = applyDelete(state, compiler, sub, d); recompile()
+            case c: CreateClause =>
+              val (st2, fr2) = applyCreate(state, compiler, sub, c,
+                nextUnnamed)
+              state = st2; sub = fr2; recompile()
+            case f2: ForeachClause => runForeach(sub, f2)
+            case other => throw new ParseException(
+              s"unsupported clause in FOREACH: $other")
+          }
+        }
+        runForeach(frame, f)
       case r: RemoveClause =>
         state = applyRemove(state, compiler, frame, r)
         recompile()

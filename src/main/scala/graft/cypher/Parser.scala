@@ -27,7 +27,7 @@ object Parser {
     "AND", "OR", "NOT", "XOR", "AS", "ASC", "DESC", "ASCENDING", "DESCENDING",
     "DISTINCT", "UNWIND", "WITH", "CONTAINS", "STARTS", "ENDS", "IN", "IS",
     "NULL", "TRUE", "FALSE", "MERGE", "CASE", "WHEN", "THEN", "ELSE", "END",
-    "UNION", "ALL", "ON", "CALL")
+    "UNION", "ALL", "ON", "CALL", "FOREACH")
 
   private val symbols = Seq("<=", ">=", "<>", "!=", "=~", "->", "<-", "..",
     "+=", "(", ")", "[", "]", "{", "}", ":", ",", ".", "=", "<", ">", "+",
@@ -143,6 +143,15 @@ final class Parser(toks: Vector[Parser.Tok],
     if (isSym(s)) pos += 1 else fail(s"expected '$s'")
   private def trySym(s: String): Boolean =
     if (isSym(s)) { pos += 1; true } else false
+  private def tokAt(i: Int): Tok = if (i < toks.length) toks(i) else TEnd
+
+  private def quantKind(t: Tok): Option[String] = t match {
+    case TIdent(s) if Set("any", "none", "single")(s.toLowerCase) =>
+      Some(s.toLowerCase)
+    case TKw("ALL") => Some("all")
+    case _ => None
+  }
+
   private def ident(): String = next() match {
     case TIdent(s) => s
     case TKw(s)    => s.toLowerCase // allow keyword-named props
@@ -165,10 +174,11 @@ final class Parser(toks: Vector[Parser.Tok],
 
   def parseQuery(): CypherQuery = parseQueryInner(stopAtBrace = false)
 
-  private def parseQueryInner(stopAtBrace: Boolean): CypherQuery = {
+  private def parseQueryInner(stopAtBrace: Boolean,
+      stopAtParen: Boolean = false): CypherQuery = {
     val clauses = ArrayBuffer[Clause]()
     while (peek != TEnd && !isKw("UNION") &&
-        !(stopAtBrace && isSym("}"))) {
+        !(stopAtBrace && isSym("}")) && !(stopAtParen && isSym(")"))) {
       peek match {
         case TKw("MATCH")    => clauses += parseMatch(optional = false)
         case TKw("OPTIONAL") =>
@@ -226,6 +236,20 @@ final class Parser(toks: Vector[Parser.Tok],
           val sub = parseQueryInner(stopAtBrace = true)
           eatSym("}")
           clauses += CallClause(sub)
+        case TKw("FOREACH") =>
+          eatKw("FOREACH"); eatSym("(")
+          val v = ident()
+          eatKw("IN")
+          val list = parseExpr()
+          eatSym("|")
+          val sub = parseQueryInner(stopAtBrace = false, stopAtParen = true)
+          eatSym(")")
+          sub.clauses.foreach {
+            case _: CreateClause | _: SetClause | _: RemoveClause |
+                _: DeleteClause | _: ForeachClause => // update clauses only
+            case c => fail(s"FOREACH allows only update clauses, got $c")
+          }
+          clauses += ForeachClause(v, list, sub.clauses)
         case t => fail(s"unexpected clause start: $t")
       }
     }
@@ -606,17 +630,37 @@ final class Parser(toks: Vector[Parser.Tok],
       eatSym(")")
       e
     case TSym("[") =>
-      // list literal or comprehension [x IN xs | expr]
+      // list literal, comprehension [x IN xs WHERE p | expr] (either
+      // part optional), or pattern comprehension [(a)-[r]->(b) … | expr]
       val save = pos
       pos += 1
       peek match {
         case TIdent(v) if toks(pos + 1) == TKw("IN") =>
           pos += 2
           val src = parseExpr()
-          eatSym("|")
-          val proj = parseExpr()
+          val pred = if (tryKw("WHERE")) Some(parseExpr()) else None
+          val hasProj = isSym("|")
+          val proj = if (trySym("|")) parseExpr() else EVar(v)
+          if (pred.isEmpty && !hasProj)
+            fail("list comprehension needs WHERE and/or | projection")
           eatSym("]")
-          EListComp(v, src, proj)
+          EListComp(v, src, proj, pred)
+        case TSym("(") =>
+          // could be a pattern comprehension OR a list literal whose
+          // first element is parenthesized ([(1+2), 3]) — attempt the
+          // pattern parse, backtrack to the literal on failure
+          try {
+            val pat = parsePathPattern()
+            val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+            eatSym("|")
+            val proj = parseExpr()
+            eatSym("]")
+            EPatComp(pat, where, proj)
+          } catch {
+            case _: ParseException =>
+              pos = save
+              ELit(parseLit())
+          }
         case _ =>
           pos = save
           ELit(parseLit())
@@ -649,6 +693,19 @@ final class Parser(toks: Vector[Parser.Tok],
       val where = if (tryKw("WHERE")) Some(parseExpr()) else None
       eatSym("}")
       ESub(name.equalsIgnoreCase("count"), pats, where)
+    case t if quantKind(t).isDefined && toks(pos + 1) == TSym("(") &&
+        tokAt(pos + 2).isInstanceOf[TIdent] && tokAt(pos + 3) == TKw("IN") =>
+      // any/all/none/single(x IN xs WHERE pred) — quantified predicate.
+      // ALL lexes as a keyword (UNION ALL), the others as identifiers.
+      val kind = quantKind(t).get
+      pos += 2
+      val v = ident()
+      eatKw("IN")
+      val src = parseExpr()
+      eatKw("WHERE")
+      val pred = parseExpr()
+      eatSym(")")
+      EQuant(kind, v, src, pred)
     case TIdent(name)
         if name.equalsIgnoreCase("reduce") && toks(pos + 1) == TSym("(") =>
       // reduce(acc = init, x IN xs | expr)

@@ -512,6 +512,71 @@ object CypherDriven {
       .stripMargin)(_, _)
   }
 
+  /** Quantified list predicates any/all/none/single(x IN xs WHERE …)
+    * through the full stack, each summarized over the whole customer
+    * table (the DuckDB oracle states them as list_filter cardinality
+    * conditions). */
+  val cy22 = QueryDef.sql("cy22_quantifiers",
+    """SELECT
+      |  CAST(sum(CASE WHEN len(list_filter(string_split(c_name, '#'),
+      |    w -> w LIKE '%7')) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_any,
+      |  CAST(sum(CASE WHEN len(list_filter(string_split(c_name, '#'),
+      |    w -> w LIKE '%7')) = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_none,
+      |  CAST(sum(CASE WHEN len(list_filter(string_split(c_name, '#'),
+      |    w -> w LIKE '%7')) = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    AS n_single,
+      |  CAST(sum(CASE WHEN len(list_filter(string_split(c_name, '#'),
+      |      w -> NOT (w LIKE '%99'))) = len(string_split(c_name, '#'))
+      |    THEN 1 ELSE 0 END) AS DOUBLE) AS n_all
+      |FROM customer""".stripMargin) {
+    run("""MATCH (c:customer)
+          |RETURN
+          |  sum(CASE WHEN any(w IN split(c.name, '#') WHERE w ENDS WITH
+          |    '7') THEN 1 ELSE 0 END) AS n_any,
+          |  sum(CASE WHEN none(w IN split(c.name, '#') WHERE w ENDS WITH
+          |    '7') THEN 1 ELSE 0 END) AS n_none,
+          |  sum(CASE WHEN single(w IN split(c.name, '#') WHERE w ENDS
+          |    WITH '7') THEN 1 ELSE 0 END) AS n_single,
+          |  sum(CASE WHEN all(w IN split(c.name, '#') WHERE NOT w ENDS
+          |    WITH '99') THEN 1 ELSE 0 END) AS n_all"""
+      .stripMargin)(_, _)
+  }
+
+  /** Pattern comprehension `[(n)-[:T]->(r) | n.name]` through the full
+    * stack: decorrelated to one grouped collect + left join (never a
+    * per-row probe), then UNWOUND so the oracle pins every element as a
+    * plain string column. */
+  val cy23 = QueryDef.sql("cy23_pattern_comprehension",
+    """SELECT r_name AS region, n_name AS nation
+      |FROM region JOIN nation ON n_regionkey = r_regionkey
+      |ORDER BY region, nation""".stripMargin) {
+    run("""MATCH (r:region)
+          |WITH r.name AS region, [(n)-[:IN_REGION]->(r) | n.name]
+          |  AS nations
+          |UNWIND nations AS nation
+          |RETURN region, nation ORDER BY region, nation"""
+      .stripMargin)(_, _)
+  }
+
+  /** FOREACH through the full stack: every node on the matched paths
+    * into EUROPE gets tagged — one explode + one equi-join + one
+    * set-oriented property upsert, never per-element statements. */
+  val cy24 = QueryDef.sql("cy24_foreach",
+    """SELECT 'n:' || n_nationkey AS id,
+      |  CASE WHEN r_name = 'EUROPE' THEN 'yes' END AS tagged
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
+    val g0 = TpchGraph(Tables(s, dir))
+    val g1 = Cypher.execute(g0,
+      """MATCH p = (n:nation)-[:IN_REGION]->(r:region {name: 'EUROPE'})
+        |FOREACH (x IN nodes(p) | SET x.tagged = 'yes')""".stripMargin)
+      .state
+    Cypher.query(g1,
+      """MATCH (n:nation) RETURN id(n) AS id, n.tagged AS tagged
+        |ORDER BY id""".stripMargin)
+  }
+
   /** Sliding-window aggregation through a REAL streaming query
     * (1 h windows every 15 min, Complete mode so the final open windows
     * emit on a bounded source). The oracle expands each event into its
@@ -543,6 +608,6 @@ object CypherDriven {
 
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
-      cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, st01,
-      st02, st03, st04, st05, st06, tj01, tj02)
+      cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
+      cy23, cy24, st01, st02, st03, st04, st05, st06, tj01, tj02)
 }

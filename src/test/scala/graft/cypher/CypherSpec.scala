@@ -833,6 +833,120 @@ class CypherSpec extends SparkSpec {
     assert(tagged == "Alice!")
   }
 
+  test("quantified predicates: any/all/none/single(x IN xs WHERE …)") {
+    // Alice knows Bob(2018)+Charlie(2020); Bob knows Alice(2018)
+    val anyRows = q(
+      """MATCH (p:Person)
+        |WITH p, [(p)-[k:KNOWS]->(x) | k.since] AS years
+        |WHERE any(y IN years WHERE y = '2020')
+        |RETURN p.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(anyRows == Seq("Alice"))
+    val allRows = q(
+      """MATCH (p:Person)
+        |WITH p, [(p)-[k:KNOWS]->(x) | k.since] AS years
+        |WHERE size(years) > 0 AND all(y IN years WHERE y = '2018')
+        |RETURN p.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(allRows == Seq("Bob"))
+    val noneSingle = q(
+      """MATCH (p:Person {id: "alice"})
+        |RETURN none(x IN [1, 2] WHERE x > 5) AS n,
+        |  single(x IN [1, 2, 3] WHERE x % 2 = 0) AS s1,
+        |  single(x IN [1, 2, 4] WHERE x % 2 = 0) AS s2""".stripMargin)
+      .collect().head
+    assert(noneSingle.getBoolean(0) && noneSingle.getBoolean(1) &&
+      !noneSingle.getBoolean(2))
+  }
+
+  test("list comprehension WHERE filter (with and without projection)") {
+    val r = q(
+      """MATCH (p:Person)
+        |WITH collect(p.age) AS ages
+        |RETURN [a IN ages WHERE toInteger(a) >= 32] AS olds,
+        |  [a IN ages WHERE toInteger(a) >= 32 | toInteger(a) * 2]
+        |    AS doubled""".stripMargin).collect().head
+    assert(r.getSeq[String](0).sorted == Seq("32", "35"))
+    // property arithmetic coerces numerically via double (design stance)
+    assert(r.getSeq[Double](1).sorted == Seq(64.0, 70.0))
+    intercept[ParseException] { q("RETURN [x IN [1,2]] AS xs") }
+  }
+
+  test("pattern comprehensions decorrelate to grouped collects") {
+    val rows = q(
+      """MATCH (p:Person)
+        |RETURN p.name AS name,
+        |  [(p)-[:KNOWS]->(f) | f.name] AS friends
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList))
+    assert(rows.toSeq == Seq(
+      ("Alice", List("Bob", "Charlie")),  // sorted by value
+      ("Bob", List("Alice")),
+      ("Charlie", Nil),                   // no matches → [] not null
+      ("Diana", Nil)))
+    // WHERE inside the pattern comprehension filters matches
+    val since18 = q(
+      """MATCH (p:Person {id: "alice"})
+        |RETURN [(p)-[k:KNOWS]->(f) WHERE k.since = '2018' | f.name]
+        |  AS friends""".stripMargin).collect().head.getSeq[String](0)
+    assert(since18.toList == List("Bob"))
+    // plain list literals are untouched by the pattern-comp lookahead
+    assert(q("RETURN [1, 4] AS xs").collect().head
+      .getSeq[Long](0).toList == List(1L, 4L))
+  }
+
+  test("FOREACH runs update clauses per list element") {
+    // nodes(p): every node on Alice's KNOWS paths binds as a FULL node
+    // variable inside the FOREACH
+    val g = runScript(people,
+      """MATCH p = (a:Person {id: "alice"})-[:KNOWS]->(b)
+        |FOREACH (n IN nodes(p) | SET n.seen = 'yes')""".stripMargin)
+    val seen = Cypher.query(g,
+      """MATCH (q:Person) WHERE q.seen = 'yes'
+        |RETURN q.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(seen == Seq("Alice", "Bob", "Charlie"))
+    // scalar list: CREATE per element, element readable as a value
+    val g2 = runScript(people,
+      "FOREACH (x IN ['red', 'green'] | CREATE (:Tag {name: x}))")
+    val tags = Cypher.query(g2,
+      "MATCH (t:Tag) RETURN t.name AS name ORDER BY name")
+      .collect().map(_.getString(0)).toSeq
+    assert(tags == Seq("green", "red"))
+    // relationships(p) bind as rel variables
+    val g3 = runScript(people,
+      """MATCH p = (a:Person {id: "alice"})-[:KNOWS]->(b)
+        |FOREACH (r IN relationships(p) | SET r.walked = '1')""".stripMargin)
+    assert(Cypher.query(g3,
+      "MATCH ()-[r:KNOWS]->() WHERE r.walked = '1' RETURN r").count() == 2)
+    // only update clauses are allowed inside
+    intercept[ParseException] {
+      runScript(people, "FOREACH (x IN [1] | RETURN x)")
+    }
+  }
+
+  test("unnamed intermediate nodes chain; plain named paths bind") {
+    // alice-KNOWS->bob-KNOWS->alice is the only 2-hop KNOWS chain: an
+    // unnamed middle node must continue the chain from ITSELF (the old
+    // code re-joined from the previous named node)
+    val twoHop = q(
+      """MATCH (a:Person {id: "alice"})-[:KNOWS]->()-[:KNOWS]->(b)
+        |RETURN b.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(twoHop == Seq("Alice"))
+    // p = fixed-length chain binds nodes()/relationships()/length()
+    val pl = q(
+      """MATCH p = (a:Person {id: "alice"})-[:KNOWS]->(b)
+        |RETURN b.name AS name, length(p) AS len,
+        |  [x IN nodes(p) | x] AS ids ORDER BY name""".stripMargin)
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getSeq[String](2).length)).toSeq
+    assert(pl == Seq(("Bob", 1, 2), ("Charlie", 1, 2)))
+    intercept[ParseException] {
+      q("MATCH p = (a)-[:KNOWS*1..2]->(b) RETURN length(p)")
+    }
+  }
+
   test("full CRUD cycle (QE test1 script, D8)") {
     var g = runScript(people,
       """CREATE (:Person {id: "test1", name: "Test User 1", age: 42})""")
