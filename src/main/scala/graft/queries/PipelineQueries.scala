@@ -668,8 +668,89 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Composite curation pipeline v2 — the NEW operators composed the way
+    * a re-balancing job runs them, in ONE plan: stratified sample (per-
+    * language keep fractions) → exact-dedup keepers WITHIN the sample →
+    * per-language token rollup. Pins that sampling happens before the
+    * dedup window (canonical ids are minima of the sampled set) and that
+    * all three stages fuse into a single scan + one window shuffle. */
+  val p06 = QueryDef.sql("p06_rebalance_pipeline",
+    s"""WITH sampled AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents
+       |  WHERE ${SamplingOps.stratifiedSampleSql("lang", "doc_id",
+              strataFracs, 0.1)}),
+       |keepers AS (
+       |  SELECT * FROM (SELECT *,
+       |      min(doc_id) OVER (PARTITION BY md5($normSql)) AS canon
+       |    FROM sampled)
+       |  WHERE canon = doc_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM keepers GROUP BY lang ORDER BY lang""".stripMargin) {
+    (s, dir) =>
+      val sampled = Tables(s, dir).documents
+        .filter(SamplingOps.stratifiedSample(col("lang"), col("doc_id"),
+          strataFracs, 0.1))
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+      val keepers = DedupOps.exactCanonical(sampled, "doc_id", "text")
+        .filter(col("canonical_id") === col("doc_id"))
+      keepers.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("lang"))
+  }
+
+  /** TF-IDF feature extraction: top-3 terms per document by
+    * tf · ln(N/df), ties broken by term. The document-frequency side is
+    * one partial-aggregated word count (broadcast at gate SF, shuffle
+    * hash join at scale); ranking is a per-doc window (WindowGroupLimit
+    * pushes the top-k partial). ln() of an exact integer ratio is the
+    * same double in both engines; floor4 absorbs any ulp drift. */
+  val t10 = QueryDef.sql("t10_tfidf_topk",
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+       |  FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+       |       WHERE w <> '' GROUP BY doc_id, w),
+       |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words
+       |       WHERE w <> '' GROUP BY w),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, w,
+       |    ${Det.floor4Sql(
+              "tf * ln(CAST(n AS DOUBLE) / df)")} AS tfidf
+       |  FROM tf JOIN df USING (w), n)
+       |SELECT doc_id, w, tfidf, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, w) AS BIGINT) AS rank FROM scored)
+       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val words = docs.select(col("doc_id"),
+        explode(split(TextOps.normalize(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = words.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, Seq("w")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"), Det.floor4(
+        col("tf") * log(col("n").cast("double") / col("df"))).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("w"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, s01,
-      s02, s03, s04, s05, m01, m02, p01, p02, p03, p04, p05, in01, t06,
-      t07, t08, t09)
+      s02, s03, s04, s05, m01, m02, p01, p02, p03, p04, p05, p06, in01,
+      t06, t07, t08, t09, t10)
 }
