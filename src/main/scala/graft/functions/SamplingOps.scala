@@ -78,6 +78,21 @@ object SamplingOps {
       _.otherwise(key < lit(hexBound(defaultFrac))))
   }
 
+  /** Deterministic per-stratum top-k sample: rows rank inside their
+    * stratum by the salted hash key (id tie-break) and the first k
+    * survive — "exactly k docs per language", reproducibly, on any
+    * engine or cluster size. The rank≤k filter is a WindowGroupLimit:
+    * each map task keeps only its local top-k before the shuffle, so
+    * the exchange carries O(k·partitions) rows per stratum at scale. */
+  def stratifiedTopK(df: org.apache.spark.sql.DataFrame, strataCol: String,
+      idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(stratifiedKey(col(strataCol), col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** DuckDB oracle form of [[stratifiedSample]] (identical hex bounds). */
   def stratifiedSampleSql(strataExpr: String, idExpr: String,
       fractions: Map[String, Double], defaultFrac: Double): String = {

@@ -119,6 +119,16 @@ object TextOps {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       longNumberPattern, "<NUM>")
 
+  /** Token-budget truncation (context-length cap): the first `n`
+    * whitespace tokens of the trimmed text, original inter-token
+    * whitespace preserved. Pure regexp_extract in the scan stage — the
+    * bounded-repetition regex family behaves identically in Java regex
+    * and RE2. No-token input yields the empty string. */
+  def truncateTokens(text: Column, n: Int): Column = {
+    require(n >= 1, "token budget must be >= 1")
+    regexp_extract(trim(text), s"^\\S+(?:\\s+\\S+){0,${n - 1}}", 0)
+  }
+
   // --- Repetition / quality (Gopher-style) ---------------------------
 
   /** Fraction of duplicated word n-grams: 1 − distinct/total over the

@@ -749,8 +749,47 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Token-budget truncation (context-length cap at 64 tokens): the
+    * truncated text's fingerprint and post-cap token count, pinned
+    * byte-exact — inter-token whitespace preserved, docs at/under the
+    * budget pass through identical. */
+  val t11 = QueryDef.sql("t11_token_truncate",
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(t, '\s+')) AS BIGINT) AS n_trunc,
+      |  md5(t) AS fp_trunc
+      |FROM (SELECT doc_id,
+      |        regexp_extract(trim(text), '^\S+(?:\s+\S+){0,63}') AS t
+      |      FROM documents WHERE length(trim(text)) > 0)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        TextOps.truncateTokens(col("text"), 64).as("t"))
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("t")).as("n_trunc"),
+        md5(col("t")).as("fp_trunc"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-stratum deterministic top-k: exactly 20 docs per language,
+    * ranked by the salted hash (id tie-break) — every surviving row is
+    * pinned, not just the counts. WindowGroupLimit keeps the exchange
+    * at O(k·partitions) rows per stratum at any scale. */
+  val p07 = QueryDef.sql("p07_stratified_topk",
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |    ORDER BY substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)),
+      |      1, 8), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 20 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    SamplingOps.stratifiedTopK(
+        Tables(s, dir).documents, "lang", "doc_id", k = 20)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, s01,
-      s02, s03, s04, s05, m01, m02, p01, p02, p03, p04, p05, p06, in01,
-      t06, t07, t08, t09, t10)
+      s02, s03, s04, s05, m01, m02, p01, p02, p03, p04, p05, p06, p07,
+      in01, t06, t07, t08, t09, t10, t11)
 }

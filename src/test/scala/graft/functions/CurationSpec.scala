@@ -74,6 +74,31 @@ class CurationSpec extends SparkSpec {
     assert(out(2) === ((3L, 2L, 1L, "two mails <EMAIL> <EMAIL> and <NUM>")))
   }
 
+  test("truncateTokens caps at n tokens, preserving whitespace") {
+    val df = Seq(
+      (1L, "a b  c d e"), (2L, "  one two  "), (3L, "solo")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextOps.truncateTokens(col("text"), 3).as("t"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out === Seq((1L, "a b  c"), (2L, "one two"), (3L, "solo")))
+    intercept[IllegalArgumentException] {
+      TextOps.truncateTokens(col("text"), 0)
+    }
+  }
+
+  test("stratifiedTopK keeps exactly k per stratum, deterministically") {
+    val docs = (1 to 500).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
+    val kept = SamplingOps.stratifiedTopK(docs, "lang", "id", 7)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(byLang === Map("en" -> 7L, "fr" -> 7L))
+    val again = SamplingOps.stratifiedTopK(docs, "lang", "id", 7)
+      .select("id").as[Long].collect().toSet
+    assert(again === kept.select("id").as[Long].collect().toSet)
+  }
+
   test("dupNgramFraction measures repeated n-grams") {
     val df = Seq(
       (1L, "x x x x"),        // 2-grams: 3 total, 1 distinct → 0.6666
