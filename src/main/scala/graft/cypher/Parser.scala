@@ -625,10 +625,25 @@ final class Parser(toks: Vector[Parser.Tok],
 
   private def parseAtomPrimary(): Expr = peek match {
     case TSym("(") =>
-      pos += 1
-      val e = parseExpr()
-      eatSym(")")
-      e
+      // Either a parenthesized expression or a PATTERN PREDICATE —
+      // `WHERE (a)-[:T]->(b)` / `WHERE NOT (a)-->()` (openCypher sugar
+      // for EXISTS). Attempt the path-pattern parse; accept it only if
+      // it has at least one relationship (a bare `(x)` is the
+      // parenthesized variable), else backtrack.
+      val save = pos
+      val patOpt =
+        try {
+          val pat = parsePathPattern()
+          if (pat.tail.nonEmpty) Some(pat) else { pos = save; None }
+        } catch { case _: ParseException => pos = save; None }
+      patOpt match {
+        case Some(pat) => ESub(isCount = false, Seq(pat), None)
+        case None =>
+          pos += 1
+          val e = parseExpr()
+          eatSym(")")
+          e
+      }
     case TSym("[") =>
       // list literal, comprehension [x IN xs WHERE p | expr] (either
       // part optional), or pattern comprehension [(a)-[r]->(b) … | expr]

@@ -464,6 +464,28 @@ object CypherDriven {
     s.table(name).orderBy(col("fp"))
   }
 
+  /** Watermark-BOUNDED streaming dedup: dropDuplicatesWithinWatermark
+    * keeps state only for keys younger than the watermark — the 100 TB
+    * streaming-dedup plan (st04's plain dropDuplicates state grows
+    * forever). Emitting just the key columns makes which-row-survives
+    * irrelevant, so the surviving key set must equal batch DISTINCT. */
+  val st07 = QueryDef.sql("st07_stream_dedup_watermark",
+    """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+      |FROM events ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    val stage = java.nio.file.Files.createTempDirectory("st07_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      stage.resolve("events.parquet"))
+    val name = s"st07_dedup_${memSink.incrementAndGet()}"
+    graft.streaming.EventStreams.runToMemory(s, stage.toString, name,
+        ev => ev.withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type")),
+        statePartitions = Some(8))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Stream-stream interval join through a REAL Structured Streaming
     * query (two watermarked sides, equi-key + event-time-range state
     * join): clicks matched to the same user's views in the preceding
@@ -577,6 +599,18 @@ object CypherDriven {
         |ORDER BY id""".stripMargin)
   }
 
+  /** Pattern predicate `WHERE NOT (c)-[:PLACED]->()` (openCypher
+    * EXISTS sugar) through the full stack — decorrelates to the same
+    * grouped-count left join as EXISTS{}, pinned against SQL NOT
+    * EXISTS. */
+  val cy25 = QueryDef.sql("cy25_pattern_predicate",
+    """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey)""".stripMargin) {
+    run("""MATCH (c:customer) WHERE NOT (c)-[:PLACED]->()
+          |RETURN count(*) AS n""".stripMargin)(_, _)
+  }
+
   /** Sliding-window aggregation through a REAL streaming query
     * (1 h windows every 15 min, Complete mode so the final open windows
     * emit on a bounded source). The oracle expands each event into its
@@ -609,5 +643,6 @@ object CypherDriven {
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
-      cy23, cy24, st01, st02, st03, st04, st05, st06, tj01, tj02)
+      cy23, cy24, cy25, st01, st02, st03, st04, st05, st06, st07, tj01,
+      tj02)
 }

@@ -947,6 +947,21 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("pattern predicates in WHERE (EXISTS sugar)") {
+    val knowsSomeone = q(
+      """MATCH (p:Person) WHERE (p)-[:KNOWS]->()
+        |RETURN p.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(knowsSomeone == Seq("Alice", "Bob"))
+    val knowsNobody = q(
+      """MATCH (p:Person) WHERE NOT (p)-[:KNOWS]->()
+        |RETURN p.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(knowsNobody == Seq("Charlie", "Diana"))
+    // arithmetic with parenthesized operands is NOT a pattern
+    assert(q("RETURN (1 + 2) - 2 AS x").collect().head.getDouble(0) == 1.0)
+  }
+
   test("full CRUD cycle (QE test1 script, D8)") {
     var g = runScript(people,
       """CREATE (:Person {id: "test1", name: "Test User 1", age: 42})""")
