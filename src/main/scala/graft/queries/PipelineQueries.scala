@@ -357,6 +357,47 @@ object PipelineQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** Per-modality batch packing: running byte offsets and 64 KiB batch
+    * bins WITHIN each media type — the batch-builder stage in front of
+    * GPU inference (images batch with images, audio with audio). The
+    * window partitions by modality, so it distributes across the
+    * cluster — contrast with p03's GLOBAL cumsum, which needs the
+    * two-pass range-partition scheme. */
+  val m03 = QueryDef.sql("m03_batch_packing",
+    """SELECT asset_id, media_type,
+      |  CAST(sum(n_bytes) OVER (PARTITION BY media_type ORDER BY asset_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes
+      |    AS BIGINT) AS start_offset,
+      |  CAST(floor((sum(n_bytes) OVER (PARTITION BY media_type
+      |      ORDER BY asset_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes)
+      |    / 65536.0) AS BIGINT) AS batch
+      |FROM (SELECT doc_id AS asset_id,
+      |        CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |             WHEN doc_id % 3 = 1 THEN 'audio'
+      |             ELSE 'video' END AS media_type,
+      |        strlen(text) AS n_bytes
+      |      FROM documents)
+      |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+    implicit val sp = s
+    val media = graft.multimodal.Multimodal.syntheticMedia(
+      Tables(s, dir).documents)
+    val sized = media.select(col("asset_id"), col("media_type"),
+      length(col("content")).cast("long").as("n_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_type")).orderBy(col("asset_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    sized
+      .withColumn("start_offset", (sum(col("n_bytes")).over(w) -
+        col("n_bytes")).cast("long"))
+      .withColumn("batch",
+        floor(col("start_offset") / 65536.0).cast("long"))
+      .select(col("asset_id"), col("media_type"), col("start_offset"),
+        col("batch"))
+      .orderBy(col("asset_id"))
+  }
+
   /** Int8-quantized top-k — the cheap candidate stage of quantized
     * retrieval (4–8× scan-bytes reduction at 100 TB), oracle-exact
     * because quantization TRUNCATES (pure function of the double bits;
@@ -790,6 +831,6 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, s01,
-      s02, s03, s04, s05, m01, m02, p01, p02, p03, p04, p05, p06, p07,
-      in01, t06, t07, t08, t09, t10, t11)
+      s02, s03, s04, s05, m01, m02, m03, p01, p02, p03, p04, p05, p06,
+      p07, in01, t06, t07, t08, t09, t10, t11)
 }

@@ -443,7 +443,37 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Approximate percentiles (t-digest-style mergeable sketch state, no
+    * per-group sort — the 100 TB quantile plan t06 documents): certified
+    * INSIDE the hashed result to land within 5% of the exact
+    * interpolated percentile. The oracle states the exact value and the
+    * certification bit; if the sketch ever drifts past the tolerance
+    * the hash match fails. */
+  val q28 = QueryDef.sql("q28_approx_percentile",
+    s"""SELECT event_type,
+       |  ${graft.queries.Det.floor2Sql("quantile_cont(value, 0.5)")}
+       |    AS p50_exact,
+       |  ${graft.queries.Det.floor2Sql("quantile_cont(value, 0.95)")}
+       |    AS p95_exact,
+       |  CAST(1 AS BIGINT) AS within_5pct
+       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          Det.floor2(expr("percentile(value, 0.5)")).as("p50_exact"),
+          Det.floor2(expr("percentile(value, 0.95)")).as("p95_exact"),
+          expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
+          expr("approx_percentile(value, 0.95, 10000)").as("p95_approx"))
+        .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            abs(col("p50_exact")) * 0.05 &&
+           abs(col("p95_approx") - col("p95_exact")) <=
+            abs(col("p95_exact")) * 0.05).cast("long").as("within_5pct"))
+        .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27)
+    q24, q25, q26, q27, q28)
 }
