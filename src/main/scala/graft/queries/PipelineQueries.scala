@@ -319,6 +319,45 @@ object PipelineQueries {
         (col("ann_hits").cast("double") / col("exact_pairs")).as("recall"))
   }
 
+  /** IVF ANN quality at PARTIAL probe (nprobe=2 of nlist=8 — the
+    * configuration that actually saves work at scale, s03 gates the
+    * exhaustive case): recall@5 against the exact top-5 is computed and
+    * certified ≥ 0.6 INSIDE the hashed result. Deterministic centroids
+    * (hash-ordered sample + exact-decimal Lloyd means) make the
+    * partial-probe output reproducible, so the gate also pins
+    * exact_pairs and the certification bit. */
+  val s06 = QueryDef.sql("s06_ivf_partial_probe",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |        round(list_dot_product(cv, qv) /
+      |          (sqrt(list_dot_product(cv, cv)) *
+      |           sqrt(list_dot_product(qv, qv))), 6) AS score
+      |      FROM c, q WHERE neighbor_id <> query_id),
+      |top5 AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+      |  WHERE rank <= 5)
+      |SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+      |       CAST(1 AS BIGINT) AS recall_ge_06
+      |FROM top5""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir).embeddings
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = SimilarityOps.ivfTopK(emb, q, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+    exact.agg(count(lit(1)).as("exact_pairs"))
+      .crossJoin(hits.agg(count(lit(1)).as("ivf_hits")))
+      .select(col("exact_pairs"),
+        (col("ivf_hits").cast("double") / col("exact_pairs") >= 0.6)
+          .cast("long").as("recall_ge_06"))
+  }
+
   /** Multimodal plumbing in the gate: the mapPartitions feature-extract
     * pipeline's schema/byte-length outputs vs SQL (the stub codec's hash
     * and feature vector are rows-only, covered in ScalaTest). */
@@ -831,6 +870,6 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, s01,
-      s02, s03, s04, s05, m01, m02, m03, p01, p02, p03, p04, p05, p06,
-      p07, in01, t06, t07, t08, t09, t10, t11)
+      s02, s03, s04, s05, s06, m01, m02, m03, p01, p02, p03, p04, p05,
+      p06, p07, in01, t06, t07, t08, t09, t10, t11)
 }

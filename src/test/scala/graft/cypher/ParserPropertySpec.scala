@@ -156,4 +156,67 @@ object ParserPropertySpec extends Properties("CypherParser") {
         case _ => false
       }
     }
+
+  property("quantifiers parse to EQuant with the declared kind") =
+    forAll(Gen.oneOf("any", "all", "none", "single"), ident, ident) {
+      (kind, v, xs) =>
+        val ast = Parser.parse(
+          s"MATCH (n) WHERE $kind($v IN n.$xs WHERE $v > 1) RETURN n")
+        val w = ast.clauses.head.asInstanceOf[Ast.MatchClause].where.get
+        w match {
+          case Ast.EQuant(k, pv, _, _) => k == kind && pv == v
+          case _ => false
+        }
+    }
+
+  property("list comprehension WHERE/| combinations parse") =
+    forAll(ident, Gen.oneOf(0, 1, 2)) { (v, form) =>
+      val body = form match {
+        case 0 => s"[$v IN [1,2] WHERE $v > 1]"
+        case 1 => s"[$v IN [1,2] | $v]"
+        case _ => s"[$v IN [1,2] WHERE $v > 1 | $v]"
+      }
+      val ast = Parser.parse(s"RETURN $body AS xs")
+      ast.clauses.head.asInstanceOf[Ast.ReturnClause].items.head.expr match {
+        case Ast.EListComp(pv, _, _, pred) =>
+          pv == v && (pred.isDefined == (form != 1))
+        case _ => false
+      }
+    }
+
+  property("pattern comprehensions parse; literal lists still parse") =
+    forAll(ident, ident, ident) { (a, t, b) =>
+      val pc = Parser.parse(
+        s"MATCH ($a) RETURN [($a)-[:$t]->($b) | $b.x] AS xs")
+        .clauses.last.asInstanceOf[Ast.ReturnClause].items.head.expr
+      val lit = Parser.parse("RETURN [1, 2] AS xs")
+        .clauses.head.asInstanceOf[Ast.ReturnClause].items.head.expr
+      pc.isInstanceOf[Ast.EPatComp] && (lit match {
+        case Ast.ELit(Ast.LList(vs)) => vs.length == 2
+        case _ => false
+      })
+    }
+
+  property("FOREACH parses nested update clauses only") =
+    forAll(ident, ident) { (v, k) =>
+      val ok = Parser.parse(
+        s"MATCH (n) FOREACH ($v IN [1] | SET n.$k = $v)")
+        .clauses.last match {
+        case Ast.ForeachClause(pv, _, Seq(_: Ast.SetClause)) => pv == v
+        case _ => false
+      }
+      val rejected =
+        try { Parser.parse(s"FOREACH ($v IN [1] | RETURN $v)"); false }
+        catch { case _: ParseException => true }
+      ok && rejected
+    }
+
+  property("pattern predicates need a relationship; (expr) stays expr") =
+    forAll(ident, ident) { (a, t) =>
+      val pat = Parser.parse(s"MATCH ($a) WHERE ($a)-[:$t]->() RETURN $a")
+        .clauses.head.asInstanceOf[Ast.MatchClause].where.get
+      val arith = Parser.parse(s"RETURN ($a.x + 1) - 2 AS y")
+        .clauses.head.asInstanceOf[Ast.ReturnClause].items.head.expr
+      pat.isInstanceOf[Ast.ESub] && !arith.isInstanceOf[Ast.ESub]
+    }
 }
