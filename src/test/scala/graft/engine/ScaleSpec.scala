@@ -133,4 +133,25 @@ class ScaleSpec extends SparkSpec {
     assert(spark.sql("SELECT hamming64(7, 1) AS d")
       .collect().head.getLong(0) == 2L)
   }
+
+  test("parquet scans prune columns and push filters down") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def formatted(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val t = graft.sources.Tables(spark, sf("sf0.001"))
+    // filter reaches the scan as a pushed predicate
+    val filtered = formatted(
+      t.documents.filter(col("lang") === "en").select(col("doc_id")))
+    assert(filtered.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      filtered)
+    // a 2-column projection over the 5-column table reads ONLY those
+    // columns (the "scan that reads everything is wrong" check)
+    val readSchema = "ReadSchema: struct<doc_id:bigint,lang:string>"
+    assert(filtered.contains(readSchema), filtered)
+    // same discipline through a catalog query: t01 reads doc_id + text
+    val t01 = formatted(
+      graft.SparkEntry.queries("t01_token_count")(spark, sf("sf0.001")))
+    assert(t01.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      t01)
+  }
 }
