@@ -101,8 +101,13 @@ object Cypher {
           frame.df.withColumn("__merge_row", monotonically_increasing_id())
             .localCheckpoint(),
           frame.vars)
-        val matched = compiler.compileMatch(tagged,
+        val matched0 = compiler.compileMatch(tagged,
           MatchClause(optional = false, Seq(m.pattern), None))
+        // the matched side feeds the anti-join, an isEmpty probe, and
+        // both output projections — checkpoint it ONCE instead of
+        // re-running the pattern join per consumer
+        val matched = Compiler.Frame(matched0.df.localCheckpoint(),
+          matched0.vars)
         val unmatched = tagged.df.join(
           matched.df.select(col("__merge_row")).distinct(),
           Seq("__merge_row"), "left_anti")

@@ -3,6 +3,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.sources.Tables
 
@@ -473,7 +474,23 @@ object Relational {
         .orderBy(col("event_type"))
   }
 
+  /** Schema-typed JSON parsing (`from_json` — the production path for a
+    * JSON props column at scale: one parse per row inside the scan
+    * stage, typed output, no regexp; q21 gates the regexp dialect). */
+  val q29 = QueryDef.sql("q29_json_schema_parse",
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .select(col("user_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("k")).as("sum_k"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28)
+    q24, q25, q26, q27, q28, q29)
 }
