@@ -132,6 +132,48 @@ object DedupOps {
       .select(col("id1"), col("id2"))
   }
 
+  /** Persistable near-dup INDEX of a corpus: one row per doc with its
+    * MinHash signature plus the exploded (band, band_hash) rows — the
+    * train-once/serve-many artifact for INCREMENTAL dedup (same role the
+    * IVF centroid catalog plays for ANN). Write both to parquet
+    * (bucketed by band_hash at scale) and daily ingest never touches
+    * corpus text again. */
+  def buildDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16)
+      : (DataFrame, DataFrame) = {
+    val sig = minhashSignature(docs, idCol, textCol, n, k)
+    (sig, lshBands(sig, idCol, bands))
+  }
+
+  /** Incremental near-dup lookup: a NEW batch probed against a stored
+    * index. Signatures/bands are computed for the batch ONLY; the probe
+    * is one equi-join on (band, band_hash) against the stored band
+    * table; the signature-estimate pre-filter uses stored signatures
+    * for the index side. Only surviving candidates' texts are re-read
+    * for the exact verify. Returns (new_id id1, indexed_id id2,
+    * jaccard ≥ threshold). */
+  def incrementalNearDups(batch: DataFrame, idxSig: DataFrame,
+      idxBands: DataFrame, allDocs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, minEstimate: Double = 0.5): DataFrame = {
+    val batchSig = minhashSignature(batch, idCol, textCol, n, k)
+    val batchBands = lshBands(batchSig, idCol, bands)
+    val cands = batchBands.select(col("band"), col("band_hash"),
+        col(idCol).as("id1"))
+      .join(idxBands.select(col("band"), col("band_hash"),
+        col(idCol).as("id2")), Seq("band", "band_hash"))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val estimated = cands
+      .join(batchSig.select(col(idCol).as("id1"),
+        col("signature").as("sig1")), Seq("id1"))
+      .join(idxSig.select(col(idCol).as("id2"),
+        col("signature").as("sig2")), Seq("id2"))
+      .filter(sigEstimate(col("sig1"), col("sig2")) >= minEstimate)
+      .select(col("id1"), col("id2"))
+    jaccardVerify(estimated, allDocs, idCol, textCol, n, threshold)
+  }
+
   /** Exact Jaccard similarity over word-shingle sets for candidate pairs
     * (the verification step after LSH). `docs` must have (id, text).
     * Shingle sets are computed AFTER the pair joins — only candidate

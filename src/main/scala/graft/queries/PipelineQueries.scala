@@ -215,6 +215,44 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** INCREMENTAL near-dedup against a PERSISTED index: docs with
+    * doc_id%10==0 play the "daily batch", the rest the already-indexed
+    * corpus. The corpus index (signatures + LSH bands) is written to
+    * parquet and reloaded; the batch computes signatures for ITSELF
+    * only and probes the stored band table — corpus text is re-read
+    * only for estimate-surviving candidates. The oracle is the EXACT
+    * all-pairs batch×corpus Jaccard, so the hash match proves the
+    * incremental path loses nothing vs a full recompute. */
+  val d08 = QueryDef.sql("d08_incremental_dedup",
+    s"""WITH s AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |    ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |      FOR i IN generate_series(1, len(ws) - 2)]) END AS sh
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents))
+       |SELECT id1, id2, jaccard FROM (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    ${graft.queries.Det.floor4Sql(
+                """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  | / (len(a.sh) + len(b.sh)
+                  |    - len(list_intersect(a.sh, b.sh)))""".stripMargin)}
+       |      AS jaccard
+       |  FROM s a JOIN s b
+       |    ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+       |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("d08_idx")
+    val (sig, bands) = DedupOps.buildDedupIndex(corpus, "doc_id", "text")
+    sig.write.mode("overwrite").parquet(s"$tmp/sig")
+    bands.write.mode("overwrite").parquet(s"$tmp/bands")
+    DedupOps.incrementalNearDups(batch,
+        s.read.parquet(s"$tmp/sig"), s.read.parquet(s"$tmp/bands"),
+        docs, "doc_id", "text")
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Exact brute-force cosine top-5 for the first 10 vectors — the ANN
     * baseline, oracle-checked against DuckDB's list_dot_product. */
   val s01 = QueryDef.sql("s01_cosine_topk",
@@ -869,7 +907,7 @@ object PipelineQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, s01,
-      s02, s03, s04, s05, s06, m01, m02, m03, p01, p02, p03, p04, p05,
-      p06, p07, in01, t06, t07, t08, t09, t10, t11)
+    Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
+      s01, s02, s03, s04, s05, s06, m01, m02, m03, p01, p02, p03, p04,
+      p05, p06, p07, in01, t06, t07, t08, t09, t10, t11)
 }

@@ -140,4 +140,26 @@ class DedupSpec extends SparkSpec {
     assert(ham(out(1L), out(2L)) <= 16) // near-dup
     assert(ham(out(1L), out(3L)) > 16)  // unrelated
   }
+
+  test("incremental near-dups vs a stored index equal the direct pairs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different words in this other document body"),
+      (3L, base + " tail")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                                  // dup of 1 (and near 3)
+      (11L, "nothing like anything indexed here at all")
+    ).toDF("doc_id", "text")
+    val all = corpus.unionByName(batch)
+    val (sig, bands) = DedupOps.buildDedupIndex(corpus, "doc_id", "text")
+    val out = DedupOps.incrementalNearDups(batch, sig, bands, all,
+        "doc_id", "text")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(out.contains((10L, 1L)))
+    assert(out.forall(_._1 == 10L)) // 11 matches nothing
+    // the batch never contributes index-side pairs
+    assert(out.forall(p => Set(1L, 2L, 3L).contains(p._2)))
+  }
 }
