@@ -475,6 +475,25 @@ object PipelineQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** Binary boundary serialization (the reference's bincode/base64
+    * wire-format seam, SURVEY §2 scalar-functions row): text bytes →
+    * base64 → decoded back, both the encoded form and the round-trip
+    * fingerprint pinned cross-engine. */
+  val m04 = QueryDef.sql("m04_base64_roundtrip",
+    """SELECT doc_id, base64(CAST(text AS BLOB)) AS b64,
+      |  md5(CAST(from_base64(base64(CAST(text AS BLOB))) AS VARCHAR))
+      |    AS fp_rt
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        // Spark's base64 is MIME-chunked (CRLF every 76 chars); strip
+        // to the standard unwrapped form every other engine emits
+        replace(base64(col("text").cast("binary")), lit("\r\n"), lit(""))
+          .as("b64"))
+      .withColumn("fp_rt", md5(unbase64(col("b64")).cast("string")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Int8-quantized top-k — the cheap candidate stage of quantized
     * retrieval (4–8× scan-bytes reduction at 100 TB), oracle-exact
     * because quantization TRUNCATES (pure function of the double bits;
@@ -908,6 +927,6 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
-      s01, s02, s03, s04, s05, s06, m01, m02, m03, p01, p02, p03, p04,
-      p05, p06, p07, in01, t06, t07, t08, t09, t10, t11)
+      s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, p01, p02, p03,
+      p04, p05, p06, p07, in01, t06, t07, t08, t09, t10, t11)
 }
