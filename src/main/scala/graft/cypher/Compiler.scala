@@ -52,7 +52,7 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
   private var substStack: List[(String, Column)] = Nil
 
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect",
-    "stdev", "percentilecont")
+    "stdev", "stdevp", "percentilecont")
 
   def emptyFrame: Frame =
     Frame(spark.range(1).select(lit(1).as("__dummy")), Map.empty)
@@ -386,6 +386,21 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         if (distinct) count_distinct(c) else count(c)
       case "sum"     => sum(compileExpr(args.head, frame).try_cast("double"))
       case "avg"     => avg(compileExpr(args.head, frame).try_cast("double"))
+      case "stdev"   =>
+        stddev_samp(compileExpr(args.head, frame).try_cast("double"))
+      case "stdevp"  =>
+        stddev_pop(compileExpr(args.head, frame).try_cast("double"))
+      case "percentilecont" =>
+        val p = args(1) match {
+          case ELit(LFloat(v)) => v
+          case ELit(LInt(v))   => v.toDouble
+          case _ => throw new ParseException(
+            "percentileCont() needs a literal percentile")
+        }
+        // exact interpolated percentile (Neo4j percentileCont contract);
+        // swap for approx_percentile's t-digest at corpus scale
+        call_function("percentile",
+          compileExpr(args.head, frame).try_cast("double"), lit(p))
       case "min"     => min(compileExpr(args.head, frame))
       case "max"     => max(compileExpr(args.head, frame))
       case "collect" =>
@@ -417,6 +432,12 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
           case EVar(v) if frame.vars.get(v).contains(PathVar) =>
             size(c) - 1 // path length = edge count
           case _ => size(c)
+        }
+      case "isempty" =>
+        val c = compileExpr(args.head, frame)
+        args.head match {
+          case _: EProp => length(c) === 0 // string property
+          case _        => size(c) === 0   // list
         }
       case "substring" =>
         val s0 = compileExpr(args.head, frame)

@@ -16,7 +16,23 @@ object Parser {
   // ---------- lexer ----------
   sealed trait Tok
   final case class TIdent(s: String) extends Tok    // bare identifier
-  final case class TKw(s: String) extends Tok       // uppercased keyword form
+  /** Keyword token: equality/matching use the CANONICAL uppercase form
+    * `s`; `raw` preserves the source spelling so keyword-shaped
+    * identifiers (a `:CONTAINS` relationship type, an `end` property)
+    * keep their case when used as names. */
+  final class TKw(val s: String, val raw: String) extends Tok {
+    override def equals(o: Any): Boolean = o match {
+      case k: TKw => k.s == s
+      case _      => false
+    }
+    override def hashCode: Int = s.hashCode
+    override def toString: String = s"TKw($s)"
+  }
+  object TKw {
+    def apply(s: String): TKw = new TKw(s, s)
+    def apply(s: String, raw: String): TKw = new TKw(s, raw)
+    def unapply(t: TKw): Option[String] = Some(t.s)
+  }
   final case class TStr(s: String) extends Tok
   final case class TNum(s: String) extends Tok
   final case class TSym(s: String) extends Tok
@@ -67,7 +83,8 @@ object Parser {
           val start = i
           while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
           val word = q.substring(start, i)
-          if (keywords.contains(word.toUpperCase)) out += TKw(word.toUpperCase)
+          if (keywords.contains(word.toUpperCase))
+            out += TKw(word.toUpperCase, word)
           else out += TIdent(word)
         }
       } else {
@@ -154,7 +171,7 @@ final class Parser(toks: Vector[Parser.Tok],
 
   private def ident(): String = next() match {
     case TIdent(s) => s
-    case TKw(s)    => s.toLowerCase // allow keyword-named props
+    case k: TKw    => k.raw // keyword-shaped name: keep the source case
     case t         => fail(s"expected identifier, got $t")
   }
 

@@ -611,6 +611,29 @@ object CypherDriven {
           |RETURN count(*) AS n""".stripMargin)(_, _)
   }
 
+  /** Statistical aggregates through the full Cypher stack: stDev /
+    * stDevP / percentileCont over the CONTAINS edges' linenumber per
+    * part brand (floor-truncation in BOTH dialects absorbs ulp drift
+    * of the merged-variance forms). */
+  val cy26 = QueryDef.sql("cy26_stat_aggregates",
+    s"""SELECT p_brand AS brand,
+       |  ${graft.queries.Det.floor4Sql(
+            "stddev_samp(CAST(l_linenumber AS DOUBLE))")} AS sd,
+       |  ${graft.queries.Det.floor4Sql(
+            "stddev_pop(CAST(l_linenumber AS DOUBLE))")} AS sdp,
+       |  ${graft.queries.Det.floor4Sql(
+            "quantile_cont(CAST(l_linenumber AS DOUBLE), 0.5)")} AS med
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |GROUP BY 1 ORDER BY brand""".stripMargin) {
+    run("""MATCH (o:order)-[c:CONTAINS]->(p:part)
+          |RETURN p.brand AS brand,
+          |  floor(stDev(c.linenumber) * 10000) / 10000.0 AS sd,
+          |  floor(stDevP(c.linenumber) * 10000) / 10000.0 AS sdp,
+          |  floor(percentileCont(c.linenumber, 0.5) * 10000) / 10000.0
+          |    AS med
+          |ORDER BY brand""".stripMargin)(_, _)
+  }
+
   /** Sliding-window aggregation through a REAL streaming query
     * (1 h windows every 15 min, Complete mode so the final open windows
     * emit on a bounded source). The oracle expands each event into its
@@ -643,6 +666,6 @@ object CypherDriven {
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
-      cy23, cy24, cy25, st01, st02, st03, st04, st05, st06, st07, tj01,
-      tj02)
+      cy23, cy24, cy25, cy26, st01, st02, st03, st04, st05, st06, st07,
+      tj01, tj02)
 }

@@ -962,6 +962,40 @@ class CypherSpec extends SparkSpec {
     assert(q("RETURN (1 + 2) - 2 AS x").collect().head.getDouble(0) == 1.0)
   }
 
+  test("stDev/stDevP/percentileCont aggregates and isEmpty()") {
+    val r = q(
+      """MATCH (p:Person)
+        |RETURN stDev(p.age) AS sd, stDevP(p.age) AS sdp,
+        |  percentileCont(p.age, 0.5) AS med""".stripMargin).collect().head
+    // ages 30, 35, 28, 32: mean 31.25
+    assert(math.abs(r.getDouble(0) - 2.98607881) < 1e-6)  // sample
+    assert(math.abs(r.getDouble(1) - 2.58602011) < 1e-6)  // population
+    assert(r.getDouble(2) == 31.0) // interpolated median
+    val e = q(
+      """MATCH (p:Person {id: "alice"})
+        |RETURN isEmpty([]) AS a, isEmpty([1]) AS b,
+        |  isEmpty(p.name) AS c""".stripMargin).collect().head
+    assert(e.getBoolean(0) && !e.getBoolean(1) && !e.getBoolean(2))
+  }
+
+  test("keyword-shaped names keep their case (rel types, labels, props)") {
+    // CONTAINS/IN/END are keywords; as relationship types / property
+    // names they must keep the source spelling (the lexer canonicalizes
+    // keywords for matching but preserves the raw word)
+    val g = runScript(people,
+      """MATCH (a:Person {id: "alice"}), (b:Person {id: "bob"})
+        |CREATE (a)-[:CONTAINS {end: "x"}]->(b)""".stripMargin)
+    assert(Cypher.query(g,
+      "MATCH ()-[r:CONTAINS]->() RETURN r.end AS e")
+      .collect().map(_.getString(0)).toSeq == Seq("x"))
+    // lowercase keyword-shaped property name round-trips too
+    val g2 = runScript(people,
+      """MATCH (p:Person {id: "alice"}) SET p.order = '7'""")
+    assert(Cypher.query(g2,
+      """MATCH (p:Person {id: "alice"}) RETURN p.order AS o""")
+      .collect().head.getString(0) == "7")
+  }
+
   test("full CRUD cycle (QE test1 script, D8)") {
     var g = runScript(people,
       """CREATE (:Person {id: "test1", name: "Test User 1", age: 42})""")
