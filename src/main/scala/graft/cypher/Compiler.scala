@@ -339,6 +339,13 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       throw new ParseException(
         "EXISTS{}/COUNT{} subqueries are only supported in WHERE and in " +
           "RETURN/WITH projections (they rewrite to joins)")
+    case EIndex(EVar(v), idx)
+        if frame.vars.get(v).exists(k => k == NodeVar || k == RelVar) &&
+          !substStack.exists(_._1 == v) =>
+      // dynamic property access n[expr] on a node/rel — subscript the
+      // PROPERTY map (n['k'] ≡ n.k with a computed key), missing → null
+      try_element_at(col(s"${v}__props"),
+        compileExpr(idx, frame).cast(StringType))
     case EIndex(base, ELit(LStr(key))) if key != null =>
       // map subscript m['key'] — try_element_at: missing key → null
       // (Cypher), not the ANSI element_at error

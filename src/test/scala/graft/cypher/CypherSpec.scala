@@ -996,6 +996,19 @@ class CypherSpec extends SparkSpec {
       .collect().head.getString(0) == "7")
   }
 
+  test("dynamic property access n[expr] reads the property map") {
+    val r = q(
+      """MATCH (p:Person {id: "alice"})
+        |RETURN p['name'] AS a, p['na' + 'me'] AS b, p['nope'] AS c"""
+        .stripMargin).collect().head
+    assert(r.getString(0) == "Alice" && r.getString(1) == "Alice" &&
+      r.isNullAt(2))
+    val rel = q(
+      """MATCH (:Person {id: "alice"})-[k:KNOWS]->(:Person {id: "bob"})
+        |RETURN k['since'] AS s""".stripMargin).collect().head
+    assert(rel.getString(0) == "2018")
+  }
+
   test("full CRUD cycle (QE test1 script, D8)") {
     var g = runScript(people,
       """CREATE (:Person {id: "test1", name: "Test User 1", age: 42})""")
