@@ -228,8 +228,9 @@ object GraphQueries {
     * canonical (x<y<z) edge triples with a three-way self-join. The
     * projection itself is the interesting scale step — C(k,2) pairs per
     * order stay bounded because order sizes are; the count then runs on
-    * the edge-partitioned GraphX formulation instead of a three-way
-    * shuffle join of the full edge list. */
+    * the degree-oriented DataFrame formulation (wedge fan-out bounded by
+    * the orientation, whole-stage codegen; the GraphX edge-partitioned
+    * variant stays available as triangleTotal). */
   val gx03 = QueryDef.sql("gx03_triangle_count",
     """WITH e AS (
       |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
@@ -250,7 +251,7 @@ object GraphQueries {
         .select(col("l_partkey").cast("long").as("src"),
           col("p2").cast("long").as("dst"))
         .distinct()
-      graft.engine.GraphXBridge.triangleTotal(edges)
+      graft.engine.GraphXBridge.triangleTotalDF(edges)
   }
 
   /** Weighted SSSP (custom GraphX Pregel relaxation) over the purchase

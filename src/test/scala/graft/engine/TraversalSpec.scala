@@ -185,4 +185,33 @@ class TraversalSpec extends SparkSpec {
         s"$id: $rank vs ${pre(id) * scale}")
     }
   }
+
+  test("triangleTotalDF counts a known fixture and agrees with GraphX") {
+    implicit val s = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val eSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    // K4 on {1..4} (4 triangles) + pendant 4-5 + disjoint triangle {6,7,8}
+    val fixture = df(eSchema,
+      Row(1L, 2L), Row(1L, 3L), Row(1L, 4L), Row(2L, 3L), Row(2L, 4L),
+      Row(3L, 4L), Row(4L, 5L), Row(6L, 7L), Row(6L, 8L), Row(7L, 8L))
+    assert(GraphXBridge.triangleTotalDF(fixture)
+      .collect().head.getLong(0) == 5L)
+    // cross-check the two formulations on a real projection (sf0.001)
+    val l = graft.sources.Tables(spark, sf("sf0.001")).lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = l
+      .join(l.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").cast("long").as("src"),
+        col("p2").cast("long").as("dst"))
+      .distinct()
+    val dfCount = GraphXBridge.triangleTotalDF(edges)
+      .collect().head.getLong(0)
+    val gxCount = GraphXBridge.triangleTotal(edges)
+      .collect().head.getLong(0)
+    assert(dfCount == gxCount)
+  }
 }
