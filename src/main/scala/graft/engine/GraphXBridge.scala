@@ -174,4 +174,33 @@ object GraphXBridge {
       .select(size(array_intersect(col("un"), col("vn"))).as("c"))
       .agg(sum(col("c")).cast("long").as("n_triangles"))
   }
+
+  /** k-core: the maximal subgraph where every vertex keeps degree ≥ k,
+    * by iterative peeling — each round drops vertices whose CURRENT
+    * degree is below k and the edges touching them, until a fixpoint.
+    * Rounds are whole-graph semi-joins (no per-vertex state on the
+    * driver); localCheckpoint cuts lineage like the BFS loop, so the
+    * plan stays flat however many rounds the peel takes. Input contract
+    * matches [[triangleTotalDF]]: canonical (src < dst, distinct) edges.
+    * Returns surviving vertices with their within-core degree. */
+  def kCore(edges: DataFrame, k: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    // symmetric doubled representation: degree(v) = row count at id=v
+    var cur = edges.select(col("src").as("id"), col("dst").as("other"))
+      .unionAll(edges.select(col("dst").as("id"), col("src").as("other")))
+      .localCheckpoint()
+    var prev = -1L
+    var n = cur.count()
+    while (n != prev && n > 0) {
+      prev = n
+      val keep = cur.groupBy(col("id")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("id"))
+      cur = cur.join(keep, Seq("id"))
+        .join(keep.select(col("id").as("other")), Seq("other"))
+        .select(col("id"), col("other")).localCheckpoint()
+      n = cur.count()
+    }
+    cur.groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("core_degree"))
+  }
 }

@@ -242,16 +242,52 @@ object GraphQueries {
       |JOIN e c ON c.src = a.dst AND c.dst = b.dst""".stripMargin) {
     (s, dir) =>
       implicit val sp: org.apache.spark.sql.SparkSession = s
-      val l = Tables(s, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = l
-        .join(l.select(col("l_orderkey"), col("l_partkey").as("p2")),
-          Seq("l_orderkey"))
-        .filter(col("l_partkey") < col("p2"))
-        .select(col("l_partkey").cast("long").as("src"),
-          col("p2").cast("long").as("dst"))
-        .distinct()
-      graft.engine.GraphXBridge.triangleTotalDF(edges)
+      graft.engine.GraphXBridge.triangleTotalDF(coPurchaseEdges(s, dir))
+  }
+
+  /** Canonical (src < dst, distinct) co-purchase projection: parts are
+    * linked when they appear in the same order. */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val l = Tables(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+    l.join(l.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").cast("long").as("src"),
+        col("p2").cast("long").as("dst"))
+      .distinct()
+  }
+
+  /** k-core of the co-purchase graph (iterative peeling to a fixpoint).
+    * The oracle replays the same synchronous peel as a capped recursive
+    * CTE over the doubled symmetric edge list — window-function degrees
+    * keep the recursive term referencing the working table once. The
+    * peel converges in ~2 rounds on this graph (cap 16 is 8× margin);
+    * Spark iterates to the true fixpoint, so the two agree exactly. */
+  val gx05 = QueryDef.sql("gx05_kcore",
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey),
+      |surv(round, id, other) AS (
+      |  SELECT 0, src, dst FROM e
+      |  UNION ALL
+      |  SELECT 0, dst, src FROM e
+      |  UNION ALL
+      |  SELECT round + 1, id, other FROM (
+      |    SELECT round, id, other,
+      |      count(*) OVER (PARTITION BY id) AS d1,
+      |      count(*) OVER (PARTITION BY other) AS d2
+      |    FROM surv WHERE round < 16) t
+      |  WHERE d1 >= 130 AND d2 >= 130)
+      |SELECT id, CAST(count(*) AS BIGINT) AS core_degree
+      |FROM surv WHERE round = 16
+      |GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    graft.engine.GraphXBridge.kCore(coPurchaseEdges(s, dir), 130)
+      .orderBy(col("id"))
   }
 
   /** Weighted SSSP (custom GraphX Pregel relaxation) over the purchase
@@ -312,5 +348,5 @@ object GraphQueries {
 
   val all: Seq[QueryDef] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
-      gx03, gx04, gst01)
+      gx03, gx04, gx05, gst01)
 }

@@ -214,4 +214,24 @@ class TraversalSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(dfCount == gxCount)
   }
+
+  test("kCore peels a pendant chain over multiple rounds") {
+    implicit val s = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val eSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    // triangle {1,2,3} + chain 3-4-5-6-7: the chain peels one vertex
+    // per round (4 rounds), the triangle is the 2-core
+    val fixture = df(eSchema,
+      Row(1L, 2L), Row(1L, 3L), Row(2L, 3L),
+      Row(3L, 4L), Row(4L, 5L), Row(5L, 6L), Row(6L, 7L))
+    val core2 = GraphXBridge.kCore(fixture, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree empties the graph
+    assert(GraphXBridge.kCore(fixture, 4).collect().isEmpty)
+    // k=1 keeps everything (no isolated vertices in an edge list)
+    assert(GraphXBridge.kCore(fixture, 1).count() == 7)
+  }
 }
