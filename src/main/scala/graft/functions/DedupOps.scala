@@ -105,6 +105,46 @@ object DedupOps {
     shims.column(ShingleSetExpr(shims.expression(text), n))
   }
 
+  /** C4-style line/paragraph-level exact dedup, generalized to
+    * fixed-width word segments (this corpus is single-line, so the
+    * "line" unit is a non-overlapping `segWords`-word chunk of the
+    * normalized text): a segment SURVIVES iff it is the globally first
+    * occurrence of its content — ordered by (doc id, segment index) —
+    * and every document is reassembled from its surviving segments in
+    * order. Returns (id, text_dedup), one row per input document
+    * (documents whose every segment was seen before reassemble to '').
+    *
+    * Scale shape: segmentation is map-side (one `transform` over the
+    * word array); the only shuffle is the keep-first window, keyed by
+    * the segment content — at 100 TB swap the raw string key for its
+    * 16-byte `TextOps.fingerprint` and carry the text, which bounds
+    * shuffle rows at |corpus segments| of (16 B + segment) instead of
+    * 2× text. The final reassembly aggregates by document id —
+    * partial-agg friendly, no skew (segment count per doc is bounded).
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10): DataFrame = {
+    val words = split(TextOps.normalize(col(textCol)), " ")
+    val nSegs = ceil(size(words) / lit(segWords.toDouble)).cast("int")
+    val segs = transform(sequence(lit(0), nSegs - 1),
+      i => array_join(slice(words, i * segWords + 1, lit(segWords)), " "))
+    val exploded = df
+      .select(col(idCol), posexplode(segs).as(Seq("seg_idx", "seg")))
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col(idCol), col("seg_idx"))
+    val kept = exploded
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val reassembled = kept
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+        s => s.getField("seg"))).as("text_dedup"))
+    df.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .withColumn("text_dedup", coalesce(col("text_dedup"), lit("")))
+  }
+
   /** Jaccard estimate from two MinHash signatures: fraction of equal
     * minima (unbiased, σ ≈ √(J(1−J)/k)). Native codegen'd expression. */
   def sigEstimate(sig1: Column, sig2: Column): Column = {

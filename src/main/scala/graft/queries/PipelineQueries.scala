@@ -925,8 +925,40 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C4-style segment-level exact dedup (line dedup generalized to
+    * 10-word segments — the corpus is single-line): keep only each
+    * segment's globally first occurrence, reassemble every document.
+    * Every output TEXT is pinned by the oracle, so the gate proves the
+    * keep-first choice, the ordering, and the reassembly byte-for-byte. */
+  val p08 = QueryDef.sql("p08_segment_dedup",
+    s"""WITH segs0 AS (
+       |  SELECT doc_id, [array_to_string(ws[((i-1)*10+1):(i*10)], ' ')
+       |    FOR i IN generate_series(1, CAST(ceil(len(ws)/10.0) AS BIGINT))]
+       |    AS segs
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents)),
+       |segs AS (
+       |  SELECT doc_id, u.i AS seg_idx, u.seg
+       |  FROM segs0, unnest([{'i': i, 'seg': segs[i]}
+       |    FOR i IN generate_series(1, len(segs))]) AS t(u)),
+       |keep AS (
+       |  SELECT doc_id, seg_idx, seg, row_number()
+       |    OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+       |  FROM segs),
+       |agg AS (
+       |  SELECT doc_id, array_to_string(list(seg ORDER BY seg_idx), ' ')
+       |    AS text_dedup
+       |  FROM keep WHERE rn = 1 GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.text_dedup, '') AS text_dedup
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    DedupOps.segmentDedup(Tables(s, dir).documents, "doc_id", "text",
+        segWords = 10)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, p01, p02, p03,
-      p04, p05, p06, p07, in01, t06, t07, t08, t09, t10, t11)
+      p04, p05, p06, p07, p08, in01, t06, t07, t08, t09, t10, t11)
 }

@@ -162,4 +162,24 @@ class DedupSpec extends SparkSpec {
     // the batch never contributes index-side pairs
     assert(out.forall(p => Set(1L, 2L, 3L).contains(p._2)))
   }
+
+  test("segmentDedup keeps first occurrence, reassembles in order") {
+    import spark.implicits._
+    val segA = "a b c d"        // 4-word segments
+    val segB = "e f g h"
+    val segC = "i j k l"
+    val corpus = Seq(
+      (1L, s"$segA $segB"),     // doc 1: both segments first
+      (2L, s"$segB $segC"),     // doc 2: segB duplicate → only segC kept
+      (3L, s"$segA $segB"),     // doc 3: everything seen → empty
+      (4L, "m n")               // short doc: one ragged segment
+    ).toDF("doc_id", "text")
+    val out = DedupOps.segmentDedup(corpus, "doc_id", "text", segWords = 4)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == s"$segA $segB")
+    assert(out(2L) == segC)
+    assert(out(3L) == "")
+    assert(out(4L) == "m n")
+    assert(out.size == 4) // every input doc present
+  }
 }
