@@ -93,6 +93,23 @@ object SamplingOps {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** Deterministic shard assignment for training-data export: shard =
+    * (32-bit md5 prefix of the id) mod nShards — a pure map-side column,
+    * uniform across shards, stable across reruns/engines/cluster sizes
+    * (unlike `spark_partition_id` or round-robin repartition, which
+    * change with parallelism). The numeric detour through conv() is
+    * engine-agreeable: both sides parse the SAME 8 lowercase hex chars
+    * into the same 32-bit integer before the mod. */
+  def shardKey(id: Column, nShards: Int): Column = {
+    require(nShards > 0, "nShards must be positive")
+    (conv(hashKey(id), 16, 10).cast("long") % nShards).cast("int")
+  }
+
+  /** DuckDB oracle form of [[shardKey]] (same hex prefix, same mod). */
+  def shardKeySql(idExpr: String, nShards: Int): String =
+    s"CAST((('0x' || substr(md5(CAST(($idExpr) AS VARCHAR)), 1, 8))" +
+      s"::BIGINT % $nShards) AS INTEGER)"
+
   /** DuckDB oracle form of [[stratifiedSample]] (identical hex bounds). */
   def stratifiedSampleSql(strataExpr: String, idExpr: String,
       fractions: Map[String, Double], defaultFrac: Double): String = {

@@ -957,8 +957,71 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic shard assignment for training-data export: shard =
+    * md5-prefix(doc_id) mod 8, a pure map-side column that survives
+    * rerun/engine/cluster-size changes (unlike round-robin repartition).
+    * Every doc's shard is pinned by the oracle; `sources.ShardedExport`
+    * (spec-tested) is the write path that materializes these shards. */
+  val p09 = QueryDef.sql("p09_shard_assign",
+    s"""SELECT doc_id, ${SamplingOps.shardKeySql("doc_id", 8)} AS shard
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        SamplingOps.shardKey(col("doc_id"), 8).as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Count-min-sketch heavy hitters, certified INSIDE the hashed result
+    * (the q27/q28 discipline): the 50 most frequent words by EXACT count
+    * (total-order tie-break), each certified that the CMS estimate obeys
+    * the sketch's one-sided guarantee — exact ≤ estimate ≤ exact + ε·N
+    * with ε = 0.001 (seed fixed, so the check is deterministic). At
+    * 100 TB the sketch is the point: fixed-size mergeable state gives
+    * frequency estimates for ANY word in one map-side pass + one tiny
+    * merge, where an exact count shuffles every distinct word. The
+    * driver only ever holds the sketch (KB) and the top-50 rows. */
+  val t12 = QueryDef.sql("t12_heavy_hitters",
+    s"""WITH w AS (
+       |  SELECT u.word AS word
+       |  FROM (SELECT string_split($normSql, ' ') AS ws FROM documents) d,
+       |       unnest(d.ws) AS u(word)),
+       |c AS (SELECT word, CAST(count(*) AS BIGINT) AS n_exact
+       |      FROM w GROUP BY word)
+       |SELECT word, n_exact, CAST(1 AS BIGINT) AS certified
+       |FROM c ORDER BY n_exact DESC, word LIMIT 50""".stripMargin) {
+    (s, dir) =>
+    import org.apache.spark.sql.types._
+    val words = Tables(s, dir).documents
+      .select(explode(split(TextOps.normalize(col("text")), " "))
+        .as("word"))
+    val exact = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_exact"))
+    val top = exact.orderBy(col("n_exact").desc, col("word").asc)
+      .limit(50).collect() // bounded: exactly 50 rows
+    val sketchBytes = words
+      .agg(count_min_sketch(col("word"), lit(0.001d), lit(0.9999d),
+        lit(42)).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val bound = math.ceil(cms.totalCount() * 0.001).toLong
+    val rows = top.map { r =>
+      val w = r.getString(0); val n = r.getLong(1)
+      val est = cms.estimateCount(w)
+      org.apache.spark.sql.Row(w, n,
+        if (est >= n && est <= n + bound) 1L else 0L)
+    }
+    s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+        StructType(Seq(StructField("word", StringType),
+          StructField("n_exact", LongType),
+          StructField("certified", LongType))))
+      .orderBy(col("n_exact").desc, col("word").asc)
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, p01, p02, p03,
-      p04, p05, p06, p07, p08, in01, t06, t07, t08, t09, t10, t11)
+      p04, p05, p06, p07, p08, p09, in01, t06, t07, t08, t09, t10, t11,
+      t12)
 }

@@ -1,0 +1,44 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.SamplingOps
+
+class ExportSpec extends SparkSpec {
+
+  test("sharded export: deterministic membership, complete manifest") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i", i % 7 + 1))
+      .toDF("doc_id", "text", "n_tokens")
+    val dir = Files.createTempDirectory("graft_shards").toString
+    val manifest = ShardedExport.write(docs, "doc_id", nShards = 4,
+      dir, countCols = Seq("n_tokens")).collect()
+
+    // manifest covers every row and every token, across all 4 shards
+    assert(manifest.map(_.getLong(1)).sum == 200L)
+    assert(manifest.map(_.getLong(2)).sum ==
+      (0L until 200L).map(_ % 7 + 1).sum)
+    assert(manifest.map(_.getInt(0)).toSet == Set(0, 1, 2, 3))
+    // no empty shard at this size (uniformity smoke)
+    assert(manifest.forall(_.getLong(1) > 0))
+
+    // read-back shard column equals the pure shardKey function of the id:
+    // membership is a property of the DATA, not of the write parallelism
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("shard").cast("int").as("shard"))
+    val expected = docs.select(col("doc_id"),
+      SamplingOps.shardKey(col("doc_id"), 4).as("shard"))
+    assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
+
+    // re-writing after an unrelated repartition changes nothing
+    val dir2 = Files.createTempDirectory("graft_shards2").toString
+    ShardedExport.write(docs.repartition(13), "doc_id", 4, dir2,
+      Seq("n_tokens"))
+    val back2 = spark.read.parquet(dir2)
+      .select(col("doc_id"), col("shard").cast("int").as("shard"))
+    assert(back.exceptAll(back2).isEmpty && back2.exceptAll(back).isEmpty)
+  }
+}
