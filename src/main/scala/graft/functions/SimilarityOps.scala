@@ -343,4 +343,26 @@ object SimilarityOps {
         round(cosine(col("v1"), col("v2")), 6).as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): documents whose EMBEDDINGS are near-identical are
+    * collapsed to one representative, catching paraphrases that lexical
+    * MinHash/SimHash dedup cannot see. Pipeline: embedding-cosine
+    * near-dup pairs (banded hyperplane LSH + exact re-score — the
+    * cartesian-free d05 path with proven recall), closed into connected
+    * components (GraphX min-id propagation), keeper = each component's
+    * minimum id. Returns (id, cluster_id, keep 0/1) for every input row.
+    *
+    * Scale shape: pair generation never leaves LSH buckets (the paper
+    * uses k-means cells for the same purpose — both bound the candidate
+    * set; banding additionally guarantees recall at a chosen threshold),
+    * and the closure is one GraphX CC over |pairs| edges. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, dim, threshold)
+      .select(col("id1"), col("id2"))
+    DedupOps.dupClusters(pairs, df.select(col(idCol)), idCol)
+      .withColumn("keep", (col(idCol) === col("cluster_id")).cast("long"))
+  }
 }

@@ -957,6 +957,38 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** SemDeDup semantic dedup end-to-end: embedding-cosine pair graph
+    * (threshold 0.45, the d05 setting whose LSH recall the exact oracle
+    * already proves) closed into min-id components; keeper = component
+    * minimum. The oracle recomputes the EXACT all-pairs cosine graph and
+    * closes it with a recursive-CTE min-label propagation — one hash
+    * match proves pair recall AND the clustering/keeper choice. */
+  val d09 = QueryDef.sql("d09_semantic_dedup",
+    """WITH RECURSIVE p AS (
+      |  SELECT id1, id2 FROM (
+      |    SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |      round(list_dot_product(a.v, b.v) /
+      |        (sqrt(list_dot_product(a.v, a.v)) *
+      |         sqrt(list_dot_product(b.v, b.v))), 6) AS score
+      |    FROM (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings) a
+      |    JOIN (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings) b
+      |      ON a.vec_id < b.vec_id)
+      |  WHERE score >= 0.45),
+      |und AS (SELECT id1 AS a, id2 AS b FROM p
+      |        UNION ALL SELECT id2, id1 FROM p),
+      |reach(id, m) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT u.a, r.m FROM reach r JOIN und u ON u.b = r.id)
+      |SELECT CAST(id AS BIGINT) AS vec_id,
+      |  CAST(min(m) AS BIGINT) AS cluster_id,
+      |  CAST(CASE WHEN id = min(m) THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    SimilarityOps.semanticDedup(Tables(s, dir).embeddings,
+        "vec_id", "embedding", dim = 64, threshold = 0.45)
+      .orderBy(col("vec_id"))
+  }
+
   /** Deterministic shard assignment for training-data export: shard =
     * md5-prefix(doc_id) mod 8, a pure map-side column that survives
     * rerun/engine/cluster-size changes (unlike round-robin repartition).
@@ -1021,7 +1053,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
-      s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, p01, p02, p03,
-      p04, p05, p06, p07, p08, p09, in01, t06, t07, t08, t09, t10, t11,
-      t12)
+      d09, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, p01, p02,
+      p03, p04, p05, p06, p07, p08, p09, in01, t06, t07, t08, t09, t10,
+      t11, t12)
 }
