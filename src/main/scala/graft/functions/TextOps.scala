@@ -142,4 +142,58 @@ object TextOps {
       lit(1.0) - size(array_distinct(sh)).cast("double") /
         size(sh).cast("double"))
   }
+
+  /** CCNet-style language-model quality scoring: per-document
+    * cross-entropy under an add-α-smoothed bigram model TRAINED ON THE
+    * CORPUS ITSELF (the standard "perplexity filter" — documents whose
+    * word sequences the corpus LM finds surprising are boilerplate,
+    * garbled text, or off-domain; CCNet uses a pretrained KenLM, same
+    * math, externally trained weights).
+    *
+    * ce(doc) = mean over its bigrams (w1,w2) of
+    *           −ln[(c(w1,w2) + α) / (c(w1·) + α·V)]
+    * with c(w1·) the corpus count of bigrams starting w1 and V the
+    * corpus vocabulary size. Documents with fewer than 2 words have no
+    * bigram and are dropped.
+    *
+    * Determinism discipline: each bigram's nll is floor4-truncated (a
+    * pure function of the double bits), per-doc totals are EXACT
+    * DECIMAL sums (order-independent), and the mean is floor4 — so any
+    * engine computing the same doubles agrees bit-for-bit.
+    *
+    * Scale shape: two corpus-wide partial-agg counts (bigrams,
+    * contexts — shuffles carry DISTINCT n-grams, not tokens), one
+    * scalar vocab count broadcast, then a map-heavy join of the doc
+    * bigram stream against the two count tables (both dwarfed by the
+    * corpus; broadcast- or shuffle-joined by AQE on actual sizes).
+    * Returns (idCol, n_bigrams, ce). */
+  def bigramCrossEntropy(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.5)
+      : org.apache.spark.sql.DataFrame = {
+    val words = df.select(col(idCol), col(textCol),
+        split(normalize(col(textCol)), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = words.select(col(idCol),
+        explode(DedupOps.shingles(col(textCol), 2)).as("bg"))
+    val c12 = bigrams.groupBy(col("bg"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = c12
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = words.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val nll = bigrams
+      .join(c12, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), graft.queries.Det.floor4(
+        -log((col("c12") + alpha) /
+          (col("c1") + col("v") * alpha))).as("nll"))
+    nll.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.queries.Det.floor4(
+          graft.queries.Det.moneySum(col("nll")) / count(lit(1)))
+          .as("ce"))
+  }
 }

@@ -1051,9 +1051,45 @@ object PipelineQueries {
       .orderBy(col("n_exact").desc, col("word").asc)
   }
 
+  /** CCNet-style LM perplexity filter: per-doc cross-entropy under the
+    * corpus's own add-0.5-smoothed bigram model. Per-bigram nll is
+    * floor4-truncated, per-doc totals are exact DECIMAL sums, the mean
+    * is floor4 — deterministic across engines (the t10 ln-parity family
+    * plus the Det aggregate discipline). */
+  val t13 = QueryDef.sql("t13_lm_perplexity",
+    s"""WITH d2 AS (
+       |  SELECT doc_id, ws FROM (
+       |    SELECT doc_id, string_split($normSql, ' ') AS ws
+       |    FROM documents)
+       |  WHERE len(ws) >= 2),
+       |bg AS (
+       |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+       |    FOR i IN generate_series(1, len(ws) - 1)]) AS bg
+       |  FROM d2),
+       |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+       |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c12) AS c1
+       |       FROM c12 GROUP BY 1),
+       |v AS (SELECT count(DISTINCT t.w) AS v
+       |      FROM (SELECT unnest(ws) AS w FROM d2) t),
+       |nll AS (
+       |  SELECT doc_id, ${graft.queries.Det.floor4Sql(
+              "-ln((c12 + 0.5) / (c1 + 0.5 * v))")} AS nll
+       |  FROM bg
+       |  JOIN c12 USING (bg)
+       |  JOIN c1 ON string_split(bg.bg, ' ')[1] = c1.w1, v)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  ${graft.queries.Det.floor4Sql(
+            graft.queries.Det.moneySumSql("nll") + " / count(*)")} AS ce
+       |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+    TextOps.bigramCrossEntropy(Tables(s, dir).documents,
+        "doc_id", "text", alpha = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, p01, p02,
       p03, p04, p05, p06, p07, p08, p09, in01, t06, t07, t08, t09, t10,
-      t11, t12)
+      t11, t12, t13)
 }
