@@ -119,8 +119,15 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
           start.vars)
       } else {
         val nd = nodeDf(pat.head, headVar)
-        val joined = Frame(start.df.crossJoin(nd),
-          start.vars + (headVar -> NodeVar))
+        // The initial unit frame ({__dummy} × nodes) would plan a
+        // BroadcastNestedLoopJoin wrapper around EVERY query's first
+        // pattern — harmless at scale (1-row broadcast) but it splits
+        // whole-stage codegen; start from the node table directly.
+        val base =
+          if (start.vars.isEmpty &&
+              start.df.columns.sameElements(Array("__dummy"))) nd
+          else start.df.crossJoin(nd)
+        val joined = Frame(base, start.vars + (headVar -> NodeVar))
         Frame(joined.df.filter(
           propFilters(joined, headVar, pat.head.props)), joined.vars)
       }

@@ -110,6 +110,69 @@ object SamplingOps {
     s"CAST((('0x' || substr(md5(CAST(($idExpr) AS VARCHAR)), 1, 8))" +
       s"::BIGINT % $nShards) AS INTEGER)"
 
+  /** Target-mixture rebalancing (the Pile/Dolma "mixture weights" step):
+    * sample each stratum at the fraction that makes the OUTPUT approach
+    * the target proportions `weights` while emitting ~`budgetFrac` of
+    * the corpus. desired_s = budgetFrac · N_total · (w_s / Σw);
+    * frac_s = min(1, desired_s / n_s) — a stratum too small to fill its
+    * share contributes everything it has (no redistribution; the
+    * achieved mix is then budget-infeasible and visibly short, which is
+    * the honest behavior). Strata absent from `weights` get weight 0
+    * (dropped).
+    *
+    * Everything stays IN-PLAN: per-stratum counts partial-aggregate,
+    * the windowed totals run over #strata rows (bounded — that single
+    * partition holds one row per stratum, not per doc), the per-stratum
+    * hex bound broadcasts back, and membership is the deterministic
+    * salted-hash compare — rerun/engine/cluster-stable, composing with
+    * split/sample/shard decisions without correlation. */
+  def mixToTarget(df: org.apache.spark.sql.DataFrame, strataCol: String,
+      idCol: String, weights: Map[String, Double], budgetFrac: Double)
+      : org.apache.spark.sql.DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1, "budgetFrac in (0,1]")
+    require(weights.values.forall(_ >= 0) && weights.values.sum > 0,
+      "weights must be non-negative, not all zero")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF(strataCol, "__w")
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val bounds = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .join(wdf, Seq(strataCol))
+      .withColumn("__ntot", sum(col("__n")).over(whole))
+      .withColumn("__wsum", sum(col("__w")).over(whole))
+      .withColumn("__frac", least(lit(1.0),
+        lit(budgetFrac) * col("__ntot") *
+          (col("__w") / col("__wsum")) / col("__n")))
+      .withColumn("__bound", lower(lpad(hex(least(
+        floor(col("__frac") * 4294967296.0).cast("long"),
+        lit(4294967295L))), 8, "0")))
+      .select(col(strataCol), col("__bound"))
+    df.join(broadcast(bounds), Seq(strataCol))
+      .filter(stratifiedKey(col(strataCol), col(idCol)) < col("__bound"))
+      .drop("__bound")
+  }
+
+  /** DuckDB oracle form of [[mixToTarget]]: identical count/weight
+    * arithmetic (same association order, so the doubles agree
+    * bit-for-bit) and the same lowercase-hex bound compare. */
+  def mixToTargetSql(table: String, strataExpr: String, idExpr: String,
+      weights: Map[String, Double], budgetFrac: Double): String = {
+    val values = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"('$s', CAST($w AS DOUBLE))" }
+      .mkString(", ")
+    s"""w(__s, __w) AS (VALUES $values),
+       |__c AS (SELECT $strataExpr AS __s, CAST(count(*) AS DOUBLE) AS __n
+       |        FROM $table GROUP BY 1),
+       |__b AS (
+       |  SELECT __s, lower(lpad(to_hex(least(CAST(floor(least(1.0,
+       |      $budgetFrac * (sum(__n) OVER ()) * (__w / (sum(__w) OVER ()))
+       |      / __n) * 4294967296.0) AS BIGINT), 4294967295)), 8, '0'))
+       |    AS __bound
+       |  FROM __c JOIN w USING (__s))""".stripMargin
+  }
+
   /** DuckDB oracle form of [[stratifiedSample]] (identical hex bounds). */
   def stratifiedSampleSql(strataExpr: String, idExpr: String,
       fractions: Map[String, Double], defaultFrac: Double): String = {

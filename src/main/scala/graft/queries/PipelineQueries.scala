@@ -1087,9 +1087,31 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Target-mixture rebalancing: 3× weight on sources src0-src4, 1× on
+    * the rest, 40% row budget — per-source fractions derived IN-PLAN
+    * from counts, membership by the salted-hash compare. Every kept
+    * (doc, source) is pinned, so the gate proves the fraction
+    * arithmetic, the hex-bound encoding, and the membership draw. */
+  val p10 = QueryDef.sql("p10_mixture_rebalance", {
+    val weights = (0 until 20).map(i =>
+      s"src$i" -> (if (i < 5) 3.0 else 1.0)).toMap
+    s"""WITH ${SamplingOps.mixToTargetSql(
+          "documents", "source", "doc_id", weights, 0.4)}
+       |SELECT doc_id, source FROM documents JOIN __b ON source = __s
+       |WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |  < __bound
+       |ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+    val weights = (0 until 20).map(i =>
+      s"src$i" -> (if (i < 5) 3.0 else 1.0)).toMap
+    SamplingOps.mixToTarget(Tables(s, dir).documents,
+        "source", "doc_id", weights, budgetFrac = 0.4)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, p01, p02,
-      p03, p04, p05, p06, p07, p08, p09, in01, t06, t07, t08, t09, t10,
-      t11, t12, t13)
+      p03, p04, p05, p06, p07, p08, p09, p10, in01, t06, t07, t08, t09,
+      t10, t11, t12, t13)
 }

@@ -134,6 +134,34 @@ class ScaleSpec extends SparkSpec {
       .collect().head.getLong(0) == 2L)
   }
 
+  test("no gate query plans an unjustified cartesian/nested-loop join") {
+    // Repo-wide plan discipline: CartesianProduct and
+    // BroadcastNestedLoopJoin are the two join strategies that do NOT
+    // survive a 100× scale-up (no equi-key to shuffle or broadcast on).
+    // Every appearance must be on this allowlist, with the reason the
+    // plan is still scale-safe (a deliberately-bounded broadcast side).
+    val allowed = Map(
+      "cy21_call_subquery" -> ("uncorrelated CALL {} IS a cross-product " +
+        "by Cypher semantics; the subquery side is a bounded aggregate"),
+      "s01_cosine_topk" -> ("brute-force ANN baseline: the bounded " +
+        "10-query side broadcasts against one corpus scan (by design)"),
+      "s04_ann_recall" -> "joins s01's exact baseline (same shape)",
+      "s05_quantized_topk" -> "same broadcast-bounded-queries shape",
+      "s06_ivf_partial_probe" -> "same broadcast-bounded-queries shape",
+      "t10_tfidf_topk" -> "1-row corpus-size scalar broadcast",
+      "t13_lm_perplexity" -> "1-row vocab-size scalar broadcast")
+    val dir = sf("sf0.001")
+    val offenders = graft.SparkEntry.allQueries.flatMap { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(plan.contains)
+      if (bad.nonEmpty) Some(q.name -> bad) else None
+    }
+    val unexpected = offenders.filterNot(o => allowed.contains(o._1))
+    assert(unexpected.isEmpty,
+      s"scale-hostile joins outside the allowlist: $unexpected")
+  }
+
   test("parquet scans prune columns and push filters down") {
     import org.apache.spark.sql.execution.ExplainMode
     def formatted(df: org.apache.spark.sql.DataFrame): String =

@@ -99,6 +99,27 @@ class CurationSpec extends SparkSpec {
     assert(again === kept.select("id").as[Long].collect().toSet)
   }
 
+  test("mixToTarget shifts the output mix toward the weights") {
+    import spark.implicits._
+    // 800 "web" rows vs 200 "books": weighting books 4× at a 50% budget
+    // must raise books' share well above its 20% input share
+    val docs = (1 to 1000).map(i =>
+      (i.toLong, if (i <= 800) "web" else "books")).toDF("id", "src")
+    val out = SamplingOps.mixToTarget(docs, "src", "id",
+      Map("web" -> 1.0, "books" -> 4.0), budgetFrac = 0.5)
+    val byS = out.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    // desired: books 0.5*1000*0.8=400 > 200 available → frac 1 (all 200)
+    assert(byS("books") == 200L)
+    // web desired 0.5*1000*0.2=100 of 800 → ~12.5% Bernoulli draw
+    assert(byS("web") > 50L && byS("web") < 160L)
+    // deterministic: the same call keeps the same ids
+    val again = SamplingOps.mixToTarget(docs, "src", "id",
+      Map("web" -> 1.0, "books" -> 4.0), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
   test("dupNgramFraction measures repeated n-grams") {
     val df = Seq(
       (1L, "x x x x"),        // 2-grams: 3 total, 1 distinct → 0.6666
