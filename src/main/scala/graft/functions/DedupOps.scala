@@ -105,6 +105,14 @@ object DedupOps {
     shims.column(ShingleSetExpr(shims.expression(text), n))
   }
 
+  /** Ordered multiset of word n-gram shingles — native, value-identical
+    * to [[shingles]]; use on corpus-wide explode paths where the
+    * interpreted `transform` lambda dominates. */
+  def shingleList(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.{shims, ShingleListExpr}
+    shims.column(ShingleListExpr(shims.expression(text), n))
+  }
+
   /** C4-style line/paragraph-level exact dedup, generalized to
     * fixed-width word segments (this corpus is single-line, so the
     * "line" unit is a non-overlapping `segWords`-word chunk of the

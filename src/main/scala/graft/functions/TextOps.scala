@@ -173,14 +173,22 @@ object TextOps {
     val words = df.select(col(idCol), col(textCol),
         split(normalize(col(textCol)), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
+    // The doc→bigram explode feeds THREE consumers (bigram counts, the
+    // nll join stream, and transitively the context counts); pin it once
+    // so the corpus is tokenized in one pass, not three (the explode's
+    // transform lambda runs interpreted — per-pass cost is real).
     val bigrams = words.select(col(idCol),
-        explode(DedupOps.shingles(col(textCol), 2)).as("bg"))
+        explode(DedupOps.shingleList(col(textCol), 2)).as("bg"))
+      .localCheckpoint()
     val c12 = bigrams.groupBy(col("bg"))
       .agg(count(lit(1)).as("c12"))
     val c1 = c12
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c12")).as("c1"))
-    val vocab = words.select(explode(col("ws")).as("w"))
+    // V from the bigram TYPE table, not a second corpus tokenization:
+    // every scored doc has ≥ 2 words, so each of its words occurs in
+    // some bigram — distinct words of the bigram types ARE the vocab.
+    val vocab = c12.select(explode(split(col("bg"), " ")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     val nll = bigrams
       .join(c12, Seq("bg"))

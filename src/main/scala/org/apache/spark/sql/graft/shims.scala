@@ -354,6 +354,52 @@ case class ShingleSetExpr(child: Expression, n: Int)
       : ShingleSetExpr = copy(child = newChild)
 }
 
+/** The MULTISET sibling of [[ShingleSetExpr]]: every word n-gram of the
+  * normalized text in order, duplicates preserved — value-identical to
+  * `DedupOps.shingles(text, n)` (whose `transform` lambda runs
+  * INTERPRETED per element; this is one tight per-row loop). Hot path
+  * for n-gram counting pipelines (LM cross-entropy), where the corpus
+  * explode dominates wall-time. */
+case class ShingleListExpr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_list"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val norm = input.asInstanceOf[UTF8String].toString
+      .replaceAll("\\s+", " ").trim.toLowerCase
+    val words = norm.split(" ", -1)
+    if (words.length < n)
+      return new GenericArrayData(
+        Array[AnyRef](UTF8String.fromString(words.mkString(" "))))
+    val out = new Array[AnyRef](words.length - n + 1)
+    var j = 0
+    val sb = new java.lang.StringBuilder
+    while (j + n <= words.length) {
+      sb.setLength(0)
+      var w = 0
+      while (w < n) {
+        if (w > 0) sb.append(' ')
+        sb.append(words(j + w))
+        w += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShingleListExpr = copy(child = newChild)
+}
+
 /** Fraction of positions at which two ARRAY<LONG> MinHash signatures
   * agree — an unbiased estimator of the Jaccard similarity of the
   * underlying shingle sets (P[minima equal] = J per permutation; with

@@ -36,6 +36,18 @@ class DedupSpec extends SparkSpec {
     assert(sh2.head == "the quick brown" && sh2.forall(_.split(" ").length == 3))
   }
 
+  test("native shingleList == shingles on real documents") {
+    val real = graft.sources.Tables(spark, sf("sf0.001")).documents
+      .limit(200)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val mismatches = real.select(
+          DedupOps.shingleList(col("text"), n).as("fused"),
+          DedupOps.shingles(col("text"), n).as("compositional"))
+        .filter(col("fused") =!= col("compositional")).count()
+      assert(mismatches == 0, s"n=$n")
+    }
+  }
+
   test("minhash LSH surfaces the near-dup pair, not unrelated docs") {
     val sig = DedupOps.minhashSignature(docs, "id", "text", n = 3, k = 32)
     assert(sig.count() == 5)
