@@ -28,6 +28,23 @@ object Cypher {
     // Cypher SET overwrites existing property keys: map_concat must take
     // the last value rather than throw on duplicates.
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    // EXPLAIN <read-query> (Neo4j-style): return the Spark physical plan
+    // as rows instead of executing. Mutations are excluded — their plan
+    // is a sequence of snapshot rewrites, not one DataFrame.
+    val trimmed = query.trim
+    if (trimmed.length >= 8 &&
+        trimmed.substring(0, 8).equalsIgnoreCase("EXPLAIN ")) {
+      val innerQ = trimmed.substring(8)
+      // a mutation must not run as a side effect of being explained
+      if (Parser.parseMulti(innerQ, params)._1.exists(_.isMutation))
+        throw new ParseException(
+          "EXPLAIN supports read-only queries (mutations execute as a " +
+            "sequence of snapshot rewrites, not one plan)")
+      val df = execute(g, innerQ, params).df.get // read-only: lazy, no jobs
+      import spark.implicits._
+      return CypherResult(Some(df.queryExecution.executedPlan
+        .toString.linesIterator.toSeq.toDF("plan")), g)
+    }
     val (parts, unionAll) = Parser.parseMulti(query, params)
     if (parts.size > 1) {
       // UNION chain: read-only parts, matching output columns; UNION

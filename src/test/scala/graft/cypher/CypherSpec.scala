@@ -1009,6 +1009,20 @@ class CypherSpec extends SparkSpec {
     assert(rel.getString(0) == "2018")
   }
 
+  test("EXPLAIN returns the physical plan without executing") {
+    val plan = q("EXPLAIN MATCH (p:Person) RETURN p.name")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Project") || plan.contains("Scan"), plan)
+    // the unit-frame fix: no nested-loop wrapper on a first-pattern scan
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // a mutation refuses to be explained (it would have to execute)
+    val before = people.vertices.count()
+    assertThrows[ParseException] {
+      Cypher.execute(people, "EXPLAIN CREATE (:Person {name: 'X'})")
+    }
+    assert(people.vertices.count() == before)
+  }
+
   test("full CRUD cycle (QE test1 script, D8)") {
     var g = runScript(people,
       """CREATE (:Person {id: "test1", name: "Test User 1", age: 42})""")
