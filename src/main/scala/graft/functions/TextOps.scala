@@ -143,6 +143,46 @@ object TextOps {
         size(sh).cast("double"))
   }
 
+  /** SymSpell-style fuzzy self-join for entity resolution / typo
+    * clustering: all pairs of rows whose strings are within edit
+    * distance 1, WITHOUT an all-pairs comparison. Blocking key = the
+    * deletion neighborhood (the string plus every single-character
+    * deletion): two strings within levenshtein distance 1 provably
+    * share a key (equal → the string itself; substitution at i → both
+    * delete i; insert/delete → the shorter string IS a deletion of the
+    * longer), so bucket-join recall is 1.0 by construction and the
+    * exact levenshtein verify only ever scores bucket collisions.
+    *
+    * Scale shape: |keys| = (len+1)·|rows| exploded map-side, one
+    * equi-join on the key (the LSH-bucket discipline, exact-guarantee
+    * edition), distinct pair dedup, then the O(len²) levenshtein on
+    * candidates only. Returns (id1, id2, dist ≤ 1) with id1 < id2. */
+  def fuzzyPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      strCol: String): org.apache.spark.sql.DataFrame = {
+    val s = col(strCol)
+    val keys = df.select(col(idCol).as("__fid"), s.as("__fs"),
+        explode(array_union(
+          array(s),
+          transform(sequence(lit(0), length(s) - 1),
+            i => concat(s.substr(lit(1), i),
+              s.substr(i + 2, length(s)))))).as("__key"))
+    val a = keys.select(col("__key"), col("__fid").as("id1"))
+    val b = keys.select(col("__key"), col("__fid").as("id2"))
+    val cands = a.join(b, Seq("__key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val strs = df.select(col(idCol).as("__jid"), s.as("__js"))
+    cands
+      .join(strs.withColumnRenamed("__jid", "id1")
+        .withColumnRenamed("__js", "s1"), Seq("id1"))
+      .join(strs.withColumnRenamed("__jid", "id2")
+        .withColumnRenamed("__js", "s2"), Seq("id2"))
+      .withColumn("dist",
+        levenshtein(col("s1"), col("s2")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+
   /** CCNet-style language-model quality scoring: per-document
     * cross-entropy under an add-α-smoothed bigram model TRAINED ON THE
     * CORPUS ITSELF (the standard "perplexity filter" — documents whose

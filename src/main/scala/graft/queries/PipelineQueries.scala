@@ -989,6 +989,23 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** SymSpell fuzzy name join: every customer-name pair within edit
+    * distance 1, found via deletion-neighborhood blocking (recall 1.0
+    * is a THEOREM, not a tuning outcome) and exact-verified only on
+    * bucket collisions. The oracle brute-forces all-pairs levenshtein,
+    * so the hash match proves the blocking loses nothing. */
+  val d10 = QueryDef.sql("d10_fuzzy_name_pairs",
+    """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+    TextOps.fuzzyPairs(
+        Tables(s, dir).customer.select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name")
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Deterministic shard assignment for training-data export: shard =
     * md5-prefix(doc_id) mod 8, a pure map-side column that survives
     * rerun/engine/cluster-size changes (unlike round-robin repartition).
@@ -1111,7 +1128,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
-      d09, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, p01, p02,
-      p03, p04, p05, p06, p07, p08, p09, p10, in01, t06, t07, t08, t09,
-      t10, t11, t12, t13)
+      d09, d10, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, p01,
+      p02, p03, p04, p05, p06, p07, p08, p09, p10, in01, t06, t07, t08,
+      t09, t10, t11, t12, t13)
 }

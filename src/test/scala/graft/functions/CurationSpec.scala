@@ -120,6 +120,38 @@ class CurationSpec extends SparkSpec {
     assert(again == out.select("id").as[Long].collect().toSet)
   }
 
+  test("fuzzyPairs finds exactly the distance<=1 pairs (pigeonhole)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "market"), (2L, "markets"),  // insert at end → 1
+      (3L, "marker"),                   // substitution vs 1 → 1
+      (4L, "narket"),                   // substitution at pos 0 → 1
+      (5L, "arket"),                    // deletion at pos 0 → 1 vs market
+      (6L, "garden"),                   // unrelated
+      (7L, "market")                    // exact dup → 0
+    ).toDF("id", "s")
+    val got = TextOps.fuzzyPairs(rows, "id", "s")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute-force truth
+    val data = Seq(1L -> "market", 2L -> "markets", 3L -> "marker",
+      4L -> "narket", 5L -> "arket", 6L -> "garden", 7L -> "market")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (i1, s1) <- data; (i2, s2) <- data
+      if i1 < i2 && lev(s1, s2) <= 1
+    } yield (i1, i2, lev(s1, s2).toLong)).toSet
+    assert(got == want)
+    assert(got.contains((1L, 7L, 0L)) && got.contains((1L, 5L, 1L)))
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
   test("dupNgramFraction measures repeated n-grams") {
     val df = Seq(
       (1L, "x x x x"),        // 2-grams: 3 total, 1 distinct → 0.6666
