@@ -253,6 +253,52 @@ object PipelineQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** STREAMING near-dedup against the persisted index — d08's semantics
+    * through a REAL Structured Streaming query: the "daily batch" docs
+    * arrive via a file-source stream, and each micro-batch probes the
+    * stored signature/band tables inside foreachBatch (the production
+    * pattern for stream-vs-index joins — the probe is a full
+    * join+agg pipeline, which append-mode streaming can't express
+    * directly, and foreachBatch gives it exactly-once batch semantics).
+    * Shares d08's EXACT all-pairs oracle: arrival through the stream
+    * loses nothing vs the batch path. */
+  val st08 = QueryDef.sql("st08_stream_near_dedup", d08.oracle.get) {
+    (s, dir) =>
+    import org.apache.spark.sql.types._
+    val docs = Tables(s, dir).documents
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("st08")
+    val (sig, bands) = DedupOps.buildDedupIndex(corpus, "doc_id", "text")
+    sig.write.mode("overwrite").parquet(s"$tmp/sig")
+    bands.write.mode("overwrite").parquet(s"$tmp/bands")
+    docs.filter(col("doc_id") % 10 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/stream")
+    val idxSig = s.read.parquet(s"$tmp/sig")
+    val idxBands = s.read.parquet(s"$tmp/bands")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    var acc = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id1", LongType),
+        StructField("id2", LongType),
+        StructField("jaccard", DoubleType))))
+    val q = s.readStream.schema(docSchema).parquet(s"$tmp/stream")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the batch frame is only valid inside this call — pin results
+        acc = acc.unionByName(DedupOps.incrementalNearDups(
+          batch, idxSig, idxBands, docs, "doc_id", "text")
+          .localCheckpoint())
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    acc.orderBy(col("id1"), col("id2"))
+  }
+
   /** Exact brute-force cosine top-5 for the first 10 vectors — the ANN
     * baseline, oracle-checked against DuckDB's list_dot_product. */
   val s01 = QueryDef.sql("s01_cosine_topk",
@@ -1128,7 +1174,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
-      d09, d10, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, p01,
-      p02, p03, p04, p05, p06, p07, p08, p09, p10, in01, t06, t07, t08,
-      t09, t10, t11, t12, t13)
+      d09, d10, st08, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, in01, t06, t07,
+      t08, t09, t10, t11, t12, t13)
 }
