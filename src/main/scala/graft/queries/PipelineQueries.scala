@@ -1172,9 +1172,62 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** END-TO-END corpus build — six pipeline stages in ONE plan, every
+    * output row pinned: token-count gate → language gate → exact-dedup
+    * keepers → target-mixture rebalance (2× weight on even sources,
+    * 60% budget) → train/val/test split → shard assignment. Each stage
+    * is individually gated elsewhere (t01/t04/d01/p10/p02/p09); this
+    * gate proves they COMPOSE — the salted keys are mutually
+    * independent by construction, so no stage's draw biases another's.
+    */
+  val p11 = QueryDef.sql("p11_full_curation", {
+    val weights = (0 until 20).map(i =>
+      s"src$i" -> (if (i % 2 == 0) 2.0 else 1.0)).toMap
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+       |      AS n_tokens,
+       |    ${enWords.map(occSql).mkString(" + ")} AS en_score,
+       |    ${frWords.map(occSql).mkString(" + ")} AS fr_score,
+       |    md5($normSql) AS fp
+       |  FROM (SELECT *, ' ' || $normSql || ' ' AS p FROM documents)),
+       |filtered AS (
+       |  SELECT * FROM base WHERE n_tokens >= 40 AND en_score > fr_score),
+       |keepers AS (
+       |  SELECT * FROM (SELECT *,
+       |      min(doc_id) OVER (PARTITION BY fp) AS canon FROM filtered)
+       |  WHERE canon = doc_id),
+       |${SamplingOps.mixToTargetSql("keepers", "source", "doc_id",
+          weights, 0.6)}
+       |SELECT doc_id, source,
+       |  ${SamplingOps.hashSplitSql("doc_id", 0.8, 0.1)} AS split,
+       |  ${SamplingOps.shardKeySql("doc_id", 4)} AS shard
+       |FROM keepers JOIN __b ON source = __s
+       |WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |  < __bound
+       |ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+    val weights = (0 until 20).map(i =>
+      s"src$i" -> (if (i % 2 == 0) 2.0 else 1.0)).toMap
+    val enriched = Tables(s, dir).documents.select(
+      col("doc_id"), col("source"), col("text"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.stopwordCount(col("text"), enWords).as("en_score"),
+      TextOps.stopwordCount(col("text"), frWords).as("fr_score"))
+    val filtered = enriched.filter(
+      col("n_tokens") >= 40 && col("en_score") > col("fr_score"))
+    val keepers = DedupOps.exactCanonical(filtered, "doc_id", "text")
+      .filter(col("canonical_id") === col("doc_id"))
+    SamplingOps.mixToTarget(keepers, "source", "doc_id", weights, 0.6)
+      .select(col("doc_id"), col("source"),
+        SamplingOps.hashSplit(col("doc_id"), 0.8, 0.1).as("split"),
+        SamplingOps.shardKey(col("doc_id"), 4).as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, d10, st08, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, in01, t06, t07,
-      t08, t09, t10, t11, t12, t13)
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, in01, t06,
+      t07, t08, t09, t10, t11, t12, t13)
 }
