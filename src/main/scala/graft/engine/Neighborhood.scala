@@ -1,0 +1,71 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Neighborhood-function computation — |{u : dist(v,u) ≤ k}| per vertex —
+  * exactly (bounded multi-source expansion) and approximately via
+  * HyperBall (Boldi & Vigna 2013, "In-Core Computation of Geometric
+  * Centralities with HyperBall"): every vertex carries a mergeable HLL
+  * sketch of its reach set, and one hop is one "union the neighbors'
+  * sketches" aggregation.
+  *
+  * Why both: the exact form materializes a (source, vertex) pair per
+  * reached vertex — Θ(Σ|ball|) rows, fine for certification at test SF,
+  * quadratic-ish on dense 100 TB graphs. HyperBall's state is ONE
+  * fixed-size sketch per vertex per round (datasketches HLL, exact in
+  * sparse mode until ~2^lgK entries, ~1.6% rsd after), so the 100 TB
+  * plan is k self-join-free aggregation rounds over |V| sketches —
+  * the neighborhood analogue of q27's count-distinct argument.
+  */
+object Neighborhood {
+
+  private def undirected(edges: DataFrame): DataFrame = {
+    val fwd = edges.select(col("src"), col("dst"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Exact k-hop neighborhood sizes (self included), one row per vertex:
+    * (id, n_reach). */
+  def exactSizes(g: GraphState, hops: Int): DataFrame = {
+    require(hops >= 0)
+    val e = undirected(g.edges)
+    var reach = g.vertices.select(col("id").as("source"), col("id"))
+    var k = 0
+    while (k < hops) {
+      k += 1
+      reach = reach.union(
+          reach.join(e, reach("id") === e("src"))
+            .select(col("source"), col("dst").as("id")))
+        .distinct()
+        .localCheckpoint() // lineage doubles per hop otherwise
+    }
+    reach.groupBy(col("source").as("id"))
+      .agg(count(lit(1)).as("n_reach"))
+  }
+
+  /** HyperBall: per-vertex HLL sketch of the ≤k-hop reach set.
+    * Returns (id, estimate LONG). One aggregation + one join per hop;
+    * sketch size is fixed, so shuffle volume is |E| sketches per round
+    * independent of ball sizes. */
+  def hyperBall(g: GraphState, hops: Int): DataFrame = {
+    require(hops >= 0)
+    val e = undirected(g.edges)
+    var sk = g.vertices.groupBy(col("id"))
+      .agg(hll_sketch_agg(col("id")).as("sk"))
+      .localCheckpoint()
+    var k = 0
+    while (k < hops) {
+      k += 1
+      val nbr = sk.join(e, sk("id") === e("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(hll_union_agg(col("sk")).as("nsk"))
+      sk = sk.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          when(col("nsk").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
+        .localCheckpoint()
+    }
+    sk.select(col("id"), hll_sketch_estimate(col("sk")).as("estimate"))
+  }
+}

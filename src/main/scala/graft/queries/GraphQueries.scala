@@ -346,7 +346,45 @@ object GraphQueries {
     QueryCompiler(stored).compile(q).select(col("id")).orderBy(col("id"))
   }
 
+  /** HyperBall neighborhood function (Boldi & Vigna), certified: the
+    * 2-hop reach size of every customer over the undirected membership
+    * subgraph (customer/supplier —IN_NATION→ nation —IN_REGION→
+    * region), where the closed form is c_n + s_n + 2 (same-nation
+    * customers incl. self, same-nation suppliers, the nation, its
+    * region). Spark emits the EXACT size (distributed 2-hop expansion)
+    * plus a bit certifying the HLL-sketch estimate within 5% — on these
+    * ball sizes the datasketches HLL is still in its exact sparse
+    * regime, so the bit is deterministically 1. The sketch path is the
+    * 100 TB plan: per-round state is one fixed-size sketch per vertex,
+    * never the (source, vertex) pair explosion the exact path pays. */
+  val gx06 = QueryDef.sql("gx06_hyperball",
+    """WITH cn AS (SELECT c_nationkey AS nk, count(*) AS c_n
+      |           FROM customer GROUP BY 1),
+      |sn AS (SELECT s_nationkey AS nk, count(*) AS s_n
+      |       FROM supplier GROUP BY 1)
+      |SELECT 'c:' || c_custkey AS id,
+      |  CAST(c_n + coalesce(s_n, 0) + 2 AS BIGINT) AS n_reach,
+      |  CAST(1 AS BIGINT) AS certified
+      |FROM customer
+      |JOIN cn ON c_nationkey = cn.nk
+      |LEFT JOIN sn ON c_nationkey = sn.nk
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val full = TpchGraph(Tables(s, dir))
+    val g = graft.engine.GraphState(
+      full.vertices.filter(
+        col("label").isin("customer", "supplier", "nation", "region")),
+      full.edges.filter(col("edge_type").isin("IN_NATION", "IN_REGION")))
+    val exact = graft.engine.Neighborhood.exactSizes(g, hops = 2)
+    val est = graft.engine.Neighborhood.hyperBall(g, hops = 2)
+    exact.join(est, Seq("id"))
+      .filter(col("id").startsWith("c:"))
+      .select(col("id"), col("n_reach"),
+        (abs(col("estimate") - col("n_reach")) <=
+          col("n_reach") * 0.05).cast("long").as("certified"))
+      .orderBy(col("id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
-      gx03, gx04, gx05, gst01)
+      gx03, gx04, gx05, gx06, gst01)
 }

@@ -234,4 +234,25 @@ class TraversalSpec extends SparkSpec {
     // k=1 keeps everything (no isolated vertices in an edge list)
     assert(GraphXBridge.kCore(fixture, 1).count() == 7)
   }
+
+  test("Neighborhood: exact sizes on a path graph; HyperBall agrees") {
+    // path a-b-c-d (undirected): 1-hop sizes 2,3,3,2; 2-hop 3,4,4,3
+    val g = GraphState(
+      vertexDf(("a", "n", Map[String, String]()),
+        ("b", "n", Map[String, String]()),
+        ("c", "n", Map[String, String]()),
+        ("d", "n", Map[String, String]())),
+      edgeDf(("e1", "a", "b", "E"), ("e2", "b", "c", "E"),
+        ("e3", "c", "d", "E")))
+    def sizes(h: Int): Map[String, Long] =
+      Neighborhood.exactSizes(g, h).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes(0) == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
+    assert(sizes(1) == Map("a" -> 2L, "b" -> 3L, "c" -> 3L, "d" -> 2L))
+    assert(sizes(2) == Map("a" -> 3L, "b" -> 4L, "c" -> 4L, "d" -> 3L))
+    // tiny sets sit in the HLL sparse regime: estimates are exact
+    val est = Neighborhood.hyperBall(g, 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("a" -> 3L, "b" -> 4L, "c" -> 4L, "d" -> 3L))
+  }
 }
