@@ -173,6 +173,91 @@ object SamplingOps {
        |  FROM __c JOIN w USING (__s))""".stripMargin
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis), made
+    * deterministic and cross-engine-exact. E-S draws u_i ~ U(0,1] per
+    * item and keeps the k largest u_i^(1/w_i); here u_i is the dyadic
+    * rational (h_i + 1)/2³² from the 32-bit md5 prefix (pure function
+    * of the id — rerun/engine/cluster-stable), and weights are INTEGER
+    * CLASSES from `classes` so the key never touches a transcendental:
+    * u^(1/w) ranks identically to u^(L/w) with L = lcm(classes) — an
+    * integer exponent — and x^e is evaluated as the explicit
+    * left-associated multiply chain ((x·x)·x)…, which IEEE-754 makes
+    * bit-identical on every engine that parses the same expression.
+    * (`pow()`/`ln()` are libm calls with no cross-engine bit contract —
+    * the usual E-S key `ln(u)/w` cannot anchor a hash-matched gate.)
+    *
+    * P(item kept) is monotone in its weight class; classes are what a
+    * mixture config actually specifies (small rationals), so integer
+    * classes are not a loss of generality in a curation pipeline.
+    * Rows whose weight is not in `classes` get a NULL key (never
+    * sampled) — surfaced, not silently defaulted. */
+  def weightedKey(id: Column, weightClass: Column,
+      classes: Seq[Int]): Column = {
+    require(classes.nonEmpty && classes.forall(_ > 0),
+      "weight classes must be positive integers")
+    val l = lcm(classes)
+    require(l / classes.min <= 64, s"lcm($classes)=$l: exponent too large")
+    val u = uniformU(id)
+    classes.distinct.sorted.map { c =>
+      (weightClass === lit(c.toLong), chainPow(u, l / c))
+    }.foldLeft(Option.empty[Column]) { case (acc, (cond, arm)) =>
+      Some(acc.fold(when(cond, arm))(_.when(cond, arm)))
+    }.get.otherwise(lit(null).cast("double"))
+  }
+
+  /** Top-k rows by [[weightedKey]] (key DESC, id tie-break) — the E-S
+    * sample itself. The global sort+limit plans as TakeOrderedAndProject:
+    * each task keeps a local top-k heap and only k rows per partition
+    * reach the driver-side merge — no full sort, no full shuffle, at any
+    * corpus size. Keeps the key as `__wkey` for auditability. */
+  def weightedTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      weightCol: String, k: Int, classes: Seq[Int])
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("__wkey",
+        weightedKey(col(idCol), col(weightCol), classes))
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** u ~ U(0,1] as an EXACT dyadic rational of the id's 32-bit md5
+    * prefix: (h+1) ≤ 2³² is exactly representable and the division by
+    * 2³² is exact, so the double is a pure function of the md5 bytes. */
+  private def uniformU(id: Column): Column =
+    (conv(hashKey(id), 16, 10).cast("double") + 1) / 4294967296.0
+
+  /** x^e as the left-associated multiply chain — the only
+    * cross-engine-deterministic power. */
+  private def chainPow(x: Column, e: Int): Column =
+    (2 to e).foldLeft(x)((acc, _) => acc * x)
+
+  private def lcm(xs: Seq[Int]): Int = {
+    @annotation.tailrec
+    def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+    xs.distinct.foldLeft(1)((l, c) => l / gcd(l, c) * c)
+  }
+
+  /** DuckDB oracle CTEs for [[weightedTopK]]: `__k` holds every input
+    * row plus `w` (the weight class, from `wCaseSql` — cast it to
+    * BIGINT) and `__wkey` — the SAME dyadic u and the SAME
+    * left-associated multiply chains, so the key doubles agree
+    * bit-for-bit with the Spark plan. */
+  def weightedTopKSqlCtes(table: String, idExpr: String,
+      wCaseSql: String, classes: Seq[Int]): String = {
+    val l = lcm(classes)
+    def chain(e: Int): String =
+      (2 to e).foldLeft("__uv")((acc, _) => s"($acc * __uv)")
+    val arms = classes.distinct.sorted.map { c =>
+      s"WHEN w = $c THEN ${chain(l / c)}"
+    }.mkString("\n      ")
+    s"""__u AS (SELECT *, $wCaseSql AS w,
+       |    (CAST(('0x' || substr(md5(CAST(($idExpr) AS VARCHAR)), 1, 8))
+       |      ::BIGINT AS DOUBLE) + 1) / 4294967296.0 AS __uv
+       |  FROM $table),
+       |__k AS (SELECT *, CASE $arms
+       |    ELSE NULL END AS __wkey FROM __u)""".stripMargin
+  }
+
   /** DuckDB oracle form of [[stratifiedSample]] (identical hex bounds). */
   def stratifiedSampleSql(strataExpr: String, idExpr: String,
       fractions: Map[String, Double], defaultFrac: Double): String = {

@@ -1225,9 +1225,33 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis, the
+    * quality-weighted corpus subselection step): keep the 100 docs with
+    * the largest u^(1/w) where w is a per-language weight class. Every
+    * sampled (doc, w, key) is pinned against DuckDB computing the SAME
+    * dyadic-rational u and the SAME left-associated multiply-chain
+    * powers — the keys agree bit-for-bit, so the gate proves the E-S
+    * draw itself, not just set membership. The Spark plan is a
+    * TakeOrderedAndProject (per-task top-k heaps; no full sort). */
+  val p12 = QueryDef.sql("p12_weighted_sample", {
+    val wCase = "CAST(CASE WHEN lang = 'en' THEN 4 WHEN lang = 'de' " +
+      "THEN 3 WHEN lang IN ('es', 'fr') THEN 2 ELSE 1 END AS BIGINT)"
+    s"""WITH ${SamplingOps.weightedTopKSqlCtes(
+          "documents", "doc_id", wCase, Seq(1, 2, 3, 4))}
+       |SELECT doc_id, w, __wkey AS sample_key FROM __k
+       |ORDER BY __wkey DESC, doc_id LIMIT 100""".stripMargin }) {
+      (s, dir) =>
+    val docs = Tables(s, dir).documents.withColumn("w",
+      when(col("lang") === "en", 4L).when(col("lang") === "de", 3L)
+        .when(col("lang").isin("es", "fr"), 2L).otherwise(1L))
+    SamplingOps.weightedTopK(docs, "doc_id", "w", k = 100,
+        classes = Seq(1, 2, 3, 4))
+      .select(col("doc_id"), col("w"), col("__wkey").as("sample_key"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, d10, st08, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, in01, t06,
-      t07, t08, t09, t10, t11, t12, t13)
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, in01,
+      t06, t07, t08, t09, t10, t11, t12, t13)
 }

@@ -99,6 +99,42 @@ class CurationSpec extends SparkSpec {
     assert(again === kept.select("id").as[Long].collect().toSet)
   }
 
+  test("weightedTopK matches a local E-S recomputation exactly") {
+    val docs = (1L to 2000L).map(i => (i, ((i % 4) + 1)))
+      .toDF("id", "w")
+    val got = SamplingOps.weightedTopK(docs, "id", "w", k = 50,
+        classes = Seq(1, 2, 3, 4))
+      .select("id").as[Long].collect().toSeq
+    // local recomputation with the same md5-prefix u and multiply chains
+    def key(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1) /
+        4294967296.0
+      val e = 12 / w.toInt // lcm(1,2,3,4)=12
+      (2 to e).foldLeft(u)((acc, _) => acc * u)
+    }
+    val expect = (1L to 2000L).map(i => (i, ((i % 4) + 1)))
+      .map { case (i, w) => (i, key(i, w)) }
+      .sortBy { case (i, k) => (-k, i) }.take(50).map(_._1)
+    assert(got === expect)
+  }
+
+  test("weightedTopK inclusion rate is monotone in the weight class") {
+    val docs = (1L to 8000L).map(i => (i, ((i % 4) + 1))).toDF("id", "w")
+    val rates = SamplingOps.weightedTopK(docs, "id", "w", k = 2000,
+        classes = Seq(1, 2, 3, 4))
+      .groupBy("w").count().as[(Long, Long)].collect().toMap
+    // 2000 ids per class; E-S keeps higher-weight items more often
+    assert(rates(4L) > rates(3L) && rates(3L) > rates(2L) &&
+      rates(2L) > rates(1L), rates)
+    // rows with a weight outside the classes never sample
+    val bad = (1L to 100L).map(i => (i, 7L)).toDF("id", "w")
+    assert(SamplingOps.weightedTopK(bad, "id", "w", 10,
+      Seq(1, 2, 3, 4)).filter(col("__wkey").isNotNull).isEmpty)
+  }
+
   test("mixToTarget shifts the output mix toward the weights") {
     import spark.implicits._
     // 800 "web" rows vs 200 "books": weighting books 4× at a 50% budget
