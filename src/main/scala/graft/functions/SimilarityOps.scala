@@ -241,6 +241,171 @@ object SimilarityOps {
     cents
   }
 
+  /** Train PRODUCT-QUANTIZATION codebooks: the vector splits into `m`
+    * contiguous subspaces of dim/m dims; each subspace gets its own
+    * `ksub`-centroid codebook. Returns the catalog as a DataFrame
+    * (sub INT, code INT, centroid ARRAY<DOUBLE>) — parquet-
+    * round-trippable like the IVF catalog, so a 100 TB corpus trains
+    * once and encode/serve jobs load the catalog. Training is
+    * deterministic end-to-end: seeds are the sub-slices of the first
+    * `ksub` vectors by id; Lloyd iterations (on a bounded hash-ordered
+    * sample) recompute means with exact DECIMAL sums. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, kmeansIters: Int = 0,
+      trainSample: Int = 4096): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    import corpus.sparkSession.implicits._
+    val dsub = dim / m
+    val seedVecs: Array[Seq[Double]] = corpus
+      .orderBy(col(idCol)).limit(ksub)
+      .select(asDouble(col(vecCol))).collect().map(_.getSeq[Double](0))
+    var books: Array[Array[(Int, Seq[Double])]] = Array.tabulate(m) { s =>
+      seedVecs.zipWithIndex
+        .map { case (v, i) => (i, v.slice(s * dsub, (s + 1) * dsub)) }
+    }
+    if (kmeansIters > 0) {
+      val train = corpus
+        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSample)
+        .select(asDouble(col(vecCol)).as("__v")).localCheckpoint()
+      (0 until kmeansIters).foreach { _ =>
+        // ONE job refines every subspace: the native encoder assigns all
+        // m codes per row; the (sub, code, dim)-keyed exact-DECIMAL
+        // means are bounded by m·ksub·dsub rows.
+        import org.apache.spark.sql.graft.{shims, PqEncodeExpr}
+        val codes = shims.column(PqEncodeExpr(
+          shims.expression(col("__v")), books.map(_.map(_._2.toArray))))
+        val means = corpusMeans(train
+          .select(col("__v"), posexplode(codes).as(Seq("sub", "code")))
+          .select(col("sub"), col("code"),
+            posexplode(slice(col("__v"),
+              col("sub") * dsub + 1, lit(dsub))).as(Seq("dim", "x"))))
+        books = books.zipWithIndex.map { case (book, s) =>
+          book.map { case (i, old) => (i, means.getOrElse((s, i), old)) }
+        }
+      }
+    }
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.map { case (code, c) => (s, code, c) }
+    }.toSeq.toDF("sub", "code", "centroid")
+  }
+
+  /** (sub, code, dim, x) rows → per-(sub, code) mean vectors with exact
+    * DECIMAL sums (shuffle-order independent), collected as a bounded
+    * map (≤ m·ksub entries). */
+  private def corpusMeans(rows: DataFrame)
+      : Map[(Int, Int), Seq[Double]] =
+    rows.groupBy(col("sub"), col("code"), col("dim"))
+      .agg((sum(col("x").cast(org.apache.spark.sql.types
+        .DecimalType(28, 14))) / count(lit(1)))
+        .cast("double").as("m"))
+      .groupBy(col("sub"), col("code"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("dim"), col("m")))), s => s.getField("m")).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
+      .toMap
+
+  /** PQ-encode a corpus against a trained codebook catalog: each vector
+    * becomes `m` small integer codes (the compressed artifact a 100 TB
+    * serving index stores — m bytes instead of dim floats, a 32× cut at
+    * dim=64/m=8). Assignment is the same deterministic
+    * ‖v−c‖² = ‖c‖² − 2⟨v,c⟩ (+‖v‖²) rule as IVF, ties on code id; one
+    * native dot product per (subspace, code) inside whole-stage codegen
+    * — no interpreted lambdas. Output: (idCol, codes ARRAY<INT>). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{shims, PqEncodeExpr}
+    val cb = collectCodebooks(codebooks)
+    val books = cb.map(_.map(_._2.toArray))
+    corpus.select(col(idCol),
+      shims.column(PqEncodeExpr(
+        shims.expression(asDouble(col(vecCol))), books)).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
+    * candidate's decoded reconstruction ⟨concat of its subspace
+    * centroids⟩ scores against the FULL-precision query —
+    * ⟨q, recon(x)⟩ equals the textbook per-subspace LUT sum, expressed
+    * here as decode-then-dot so the whole path is native codegen
+    * (element_at into the literal codebook + flatten + one dot; no
+    * lambdas, no per-row LUT allocation). The scan reads only the m
+    * codes per row. `codes` is (idCol, codes) from [[pqEncode]]. */
+  def pqTopKWith(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, codebooks: DataFrame): DataFrame = {
+    val cb = collectCodebooks(codebooks)
+    val recon = flatten(array(cb.indices.map { s =>
+      element_at(typedlit(cb(s).map(_._2.toSeq).toSeq),
+        col("codes").getItem(s) + 1)
+    }: _*))
+    val c = codes.select(col(idCol).as("neighbor_id"),
+      recon.as("rvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("rvec"), col("qvec")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Train + encode + search in one call (the gate/test convenience;
+    * production splits these at the catalog and code table). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 8, ksub: Int = 32,
+      kmeansIters: Int = 0, trainSample: Int = 4096): DataFrame = {
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub,
+      kmeansIters, trainSample)
+    pqTopKWith(pqEncode(corpus, idCol, vecCol, cb), queries, idCol,
+      vecCol, k, cb)
+  }
+
+  /** PQ candidate generation + EXACT re-rank — the production shape:
+    * ADC over the compressed codes shortlists `shortlist` candidates
+    * per query (cheap: the scan reads m codes/row), then ONLY the
+    * shortlist's full-precision vectors are fetched (an equi-join on
+    * id, |queries|×shortlist rows) and re-scored exactly. Quantization
+    * error then costs recall only when a true neighbor falls outside
+    * the whole shortlist, not whenever it is mis-ranked within it —
+    * recall@k of rerank(shortlist) ≫ recall@k of raw ADC at the same
+    * scan cost. Output matches [[cosineTopK]]'s shape/ordering rule. */
+  def pqTopKRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 8, ksub: Int = 32,
+      shortlist: Int = 50, kmeansIters: Int = 0,
+      trainSample: Int = 4096): DataFrame = {
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub,
+      kmeansIters, trainSample)
+    val cands = pqTopKWith(pqEncode(corpus, idCol, vecCol, cb), queries,
+        idCol, vecCol, shortlist, cb)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"))
+    val scored = cands.join(full, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("cvec"), col("qvec")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Collect a codebook catalog to per-subspace (code, centroid) arrays
+    * — bounded by m×ksub×dsub doubles, a constant like the IVF catalog,
+    * never a corpus scan. */
+  private def collectCodebooks(codebooks: DataFrame)
+      : Array[Array[(Int, Seq[Double])]] =
+    codebooks.select(col("sub").cast("int"), col("code").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getInt(1), r.getSeq[Double](2))))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.map(_._2).sortBy(_._1))
+
   /** Symmetric int8 quantization of an embedding column: each vector is
     * scaled by 127/‖v‖∞ and TRUNCATED toward zero (truncation — unlike
     * round-half — is a pure function of the double bits, so any engine

@@ -442,6 +442,45 @@ object PipelineQueries {
           .cast("long").as("recall_ge_06"))
   }
 
+  /** PRODUCT-QUANTIZATION retrieval quality (the compressed-index scale
+    * path: m=8 byte codes per vector instead of 64 floats — a 32× scan
+    * cut): ADC over the codes shortlists 60 candidates, full-precision
+    * vectors re-rank, and recall@5 against the exact top-5 is computed
+    * and certified ≥ 0.6 INSIDE the hashed result. Codebooks are
+    * deterministic (id-ordered seeds + exact-decimal Lloyd means), so
+    * exact_pairs and the certification bit are pinned. */
+  val s07 = QueryDef.sql("s07_pq_rerank",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |        round(list_dot_product(cv, qv) /
+      |          (sqrt(list_dot_product(cv, cv)) *
+      |           sqrt(list_dot_product(qv, qv))), 6) AS score
+      |      FROM c, q WHERE neighbor_id <> query_id),
+      |top5 AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+      |  WHERE rank <= 5)
+      |SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+      |       CAST(1 AS BIGINT) AS recall_ge_06
+      |FROM top5""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir).embeddings
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = SimilarityOps.pqTopKRerank(emb, q, "vec_id", "embedding", 5,
+        dim = 64, m = 8, ksub = 32, shortlist = 60, kmeansIters = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+    exact.agg(count(lit(1)).as("exact_pairs"))
+      .crossJoin(hits.agg(count(lit(1)).as("pq_hits")))
+      .select(col("exact_pairs"),
+        (col("pq_hits").cast("double") / col("exact_pairs") >= 0.6)
+          .cast("long").as("recall_ge_06"))
+  }
+
   /** Multimodal plumbing in the gate: the mapPartitions feature-extract
     * pipeline's schema/byte-length outputs vs SQL (the stub codec's hash
     * and feature vector are rows-only, covered in ScalaTest). */
@@ -1251,7 +1290,8 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
-      d09, d10, st08, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04,
+      d09, d10, st08, s01, s02, s03, s04, s05, s06, s07, m01, m02, m03,
+      m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, in01,
       t06, t07, t08, t09, t10, t11, t12, t13)
 }

@@ -455,6 +455,69 @@ case class SigEqFracExpr(left: Expression, right: Expression)
 /** Native codegen'd popcount(a ^ b) — see graft.functions.HammingDistance
   * for the public API and rationale. Lives here because ImplicitCastInputTypes
   * / AbstractDataType are private[sql]. */
+/** Product-quantization encoder: ARRAY<DOUBLE> vector → ARRAY<INT> of m
+  * subspace code assignments against a fixed codebook (m × ksub × dsub).
+  * Same assignment rule as the composed Column form it replaces —
+  * d = ‖c‖² − 2⟨v_sub,c⟩ per code, ties to the lower code id, with the
+  * same left-to-right summation — but in tight primitive loops: the
+  * composed form expands to m·ksub struct builds + an array_sort per
+  * row, whose generated code dwarfs the JIT budget at ksub ≥ 32.
+  * Interpreted eval (CodegenFallback): one virtual call per row, all
+  * m·ksub·dsub multiply-adds primitive. */
+case class PqEncodeExpr(child: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+
+  private val m = codebooks.length
+  private val dsub = codebooks(0)(0).length
+  // ‖c‖² per (sub, code), precomputed once per operator instance with
+  // the same ascending-index summation as the Column form's
+  // cvec.map(x*x).sum
+  private val c2: Array[Array[Double]] = codebooks.map(_.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    acc
+  })
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      val book = codebooks(s)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var code = 0
+      while (code < book.length) {
+        val cvec = book(code)
+        var dotAcc = 0.0
+        var i = 0
+        val n = math.min(dsub, math.max(v.length - off, 0))
+        while (i < n) { dotAcc += v(off + i) * cvec(i); i += 1 }
+        val d = c2(s)(code) - 2.0d * dotAcc
+        if (d < bestD) { bestD = d; best = code }
+        code += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PqEncodeExpr = copy(child = newChild)
+}
+
 case class HammingDistanceExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 

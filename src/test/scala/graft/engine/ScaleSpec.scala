@@ -148,6 +148,8 @@ class ScaleSpec extends SparkSpec {
       "s04_ann_recall" -> "joins s01's exact baseline (same shape)",
       "s05_quantized_topk" -> "same broadcast-bounded-queries shape",
       "s06_ivf_partial_probe" -> "same broadcast-bounded-queries shape",
+      "s07_pq_rerank" -> ("ADC scan joins the broadcast bounded query " +
+        "set; rerank side is |queries|×shortlist rows"),
       "t10_tfidf_topk" -> "1-row corpus-size scalar broadcast",
       "t13_lm_perplexity" -> "1-row vocab-size scalar broadcast")
     val dir = sf("sf0.001")

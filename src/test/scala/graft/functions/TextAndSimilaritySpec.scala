@@ -188,6 +188,66 @@ class TextAndSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ with one code per corpus vector equals brute force exactly") {
+    // every vector is its own (sub)centroid → reconstruction is exact →
+    // ADC scores equal true cosines: a theorem about the decode path,
+    // independent of codebook quality
+    val rnd = new scala.util.Random(7)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val data = (1L to 20L).map(i =>
+      Row(i, Seq.fill(4)(rnd.nextGaussian())))
+    val emb = df(schema, data: _*)
+    val q = emb.filter(col("vec_id") <= 3)
+    val exact = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val pq = SimilarityOps.pqTopK(emb, q, "vec_id", "embedding", 5,
+        dim = 4, m = 2, ksub = 20)
+      .select("query_id", "neighbor_id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(pq == exact)
+  }
+
+  test("pqEncode: codes in range, stable under repartition, catalog round-trips") {
+    val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
+    val cb = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16)
+    assert(cb.count() === 8L * 16L)
+    val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size === 500)
+    assert(codes.values.forall(cs => cs.length == 8 &&
+      cs.forall(c => c >= 0 && c < 16)))
+    val again = SimilarityOps.pqEncode(emb.repartition(7), "vec_id",
+        "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(again === codes)
+  }
+
+  test("PQ ADC recall@5 vs brute force is usable on the test corpus") {
+    val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = SimilarityOps.pqTopK(emb, q, "vec_id", "embedding", 5,
+        dim = 64, m = 8, ksub = 32, kmeansIters = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = (exact intersect raw).size.toDouble / exact.size
+    val rr = SimilarityOps.pqTopKRerank(emb, q, "vec_id", "embedding", 5,
+        dim = 64, m = 8, ksub = 32, shortlist = 50, kmeansIters = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect rr).size.toDouble / exact.size
+    info(f"PQ raw ADC recall@5 = $rawRecall%.3f; rerank(50) = $recall%.3f")
+    assert(recall >= 0.7, f"PQ rerank recall@5 $recall%.3f below 0.7")
+    assert(recall >= rawRecall, "rerank must not lose recall")
+  }
+
   test("int8 quantization: zero-safe, bounded, and top-k mostly agrees with exact") {
     val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
       .localCheckpoint()
