@@ -119,6 +119,67 @@ object TextOps {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       longNumberPattern, "<NUM>")
 
+  // --- HTML/boilerplate stripping (the web-corpus extraction step) ---
+  // Same engine-portable regex family as the PII patterns: character
+  // classes, bounded alternation, no backrefs/lookaround — Java regex
+  // and RE2 agree on every match. This is a cleaner, not a parser:
+  // comments must not contain '>', script/style bodies must not contain
+  // '<' (true of minified boilerplate; a full HTML5 tokenizer is a
+  // different tool).
+
+  /** `<!-- ... -->` comments (no '>' inside). */
+  val htmlCommentPattern = "<!--[^>]*-->"
+
+  /** `<script>…</script>` / `<style>…</style>` blocks whose body has no
+    * '<'. */
+  val htmlScriptPattern =
+    "<(script|style)[^>]*>[^<]*</(script|style)[ ]*>"
+
+  /** Any remaining open/close/void tag. */
+  val htmlTagPattern = "</?[A-Za-z][^>]*>"
+
+  /** The finite entity set decoded after tag removal; `&amp;` is decoded
+    * LAST so `&amp;lt;` yields the literal `&lt;`, never `<`. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Visible text of an HTML fragment: comments, script/style blocks,
+    * and tags are replaced by spaces (so adjacent words never merge),
+    * entities decode, and whitespace collapses. Pure codegen'd Columns
+    * — runs inside the scan stage, zero shuffle at any scale. */
+  def htmlStrip(html: Column): Column = {
+    val noMarkup = regexp_replace(regexp_replace(regexp_replace(html,
+      htmlCommentPattern, " "), htmlScriptPattern, " "),
+      htmlTagPattern, " ")
+    val decoded = htmlEntities.foldLeft(noMarkup) { case (c, (e, v)) =>
+      replace(c, lit(e), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Visible-text ratio of raw HTML (a boilerplate-density quality
+    * signal: low ratio = mostly markup). floor-truncated to 4dp (Det
+    * convention); empty input → 0.0. */
+  def visibleTextRatio(html: Column): Column =
+    when(length(html) === 0, lit(0.0d))
+      .otherwise(graft.queries.Det.floor4(
+        length(htmlStrip(html)).cast("double") /
+          length(html).cast("double")))
+
+  /** DuckDB oracle form of [[htmlStrip]] — same regex chain ('g' flag),
+    * same entity order. */
+  def htmlStripSql(expr: String): String = {
+    val noMarkup = s"regexp_replace(regexp_replace(regexp_replace($expr," +
+      s" '$htmlCommentPattern', ' ', 'g'), '$htmlScriptPattern', ' '," +
+      s" 'g'), '$htmlTagPattern', ' ', 'g')"
+    val decoded = htmlEntities.foldLeft(noMarkup) { case (c, (e, v)) =>
+      val vq = if (v == "'") "''" else v
+      s"replace($c, '$e', '$vq')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   /** Token-budget truncation (context-length cap): the first `n`
     * whitespace tokens of the trimmed text, original inter-token
     * whitespace preserved. Pure regexp_extract in the scan stage — the

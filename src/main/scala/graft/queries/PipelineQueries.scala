@@ -1264,6 +1264,39 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML/boilerplate extraction (the web-corpus cleaning step): every
+    * document is wrapped in deterministic markup — title/style/comment
+    * head, heading, attributed paragraph, entities, trailing script —
+    * and the strip must recover the visible text byte-exactly
+    * (md5-pinned per doc), plus the visible-text-ratio quality signal.
+    * Both engines run the SAME portable regex chain and entity order. */
+  val t14 = QueryDef.sql("t14_html_strip", {
+    val aug = "'<html><head><title>D' || CAST(doc_id AS VARCHAR) || " +
+      "'</title><style>body{color:red}</style><!-- nav --></head>" +
+      "<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
+      "'</h1><p class=\"main\">' || text || " +
+      "' &amp; more &lt;tags&gt;</p>" +
+      "<script type=\"text/javascript\">var x=1;</script></body></html>'"
+    s"""WITH aug AS (SELECT doc_id, $aug AS h FROM documents)
+       |SELECT doc_id, md5(${TextOps.htmlStripSql("h")}) AS fp_clean,
+       |  ${Det.floor4Sql(
+            "CAST(length(" + TextOps.htmlStripSql("h") +
+              ") AS DOUBLE) / length(h)")} AS visible_ratio
+       |FROM aug ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+    val aug = Tables(s, dir).documents.select(col("doc_id"), concat(
+      lit("<html><head><title>D"), col("doc_id").cast("string"),
+      lit("</title><style>body{color:red}</style><!-- nav --></head>" +
+        "<body><h1>Doc "), col("doc_id").cast("string"),
+      lit("</h1><p class=\"main\">"), col("text"),
+      lit(" &amp; more &lt;tags&gt;</p>" +
+        "<script type=\"text/javascript\">var x=1;</script>" +
+        "</body></html>")).as("h"))
+    aug.select(col("doc_id"),
+        md5(TextOps.htmlStrip(col("h"))).as("fp_clean"),
+        TextOps.visibleTextRatio(col("h")).as("visible_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis, the
     * quality-weighted corpus subselection step): keep the 100 docs with
     * the largest u^(1/w) where w is a per-language weight class. Every
@@ -1293,5 +1326,5 @@ object PipelineQueries {
       d09, d10, st08, s01, s02, s03, s04, s05, s06, s07, m01, m02, m03,
       m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, in01,
-      t06, t07, t08, t09, t10, t11, t12, t13)
+      t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }

@@ -50,6 +50,28 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(all.count() == 10000L && none.count() == 0L)
   }
 
+  test("htmlStrip removes markup, decodes entities in safe order") {
+    val d = df(schema,
+      Row(1L, "<html><body><h1>Hi</h1><p>a &amp; b</p></body></html>"),
+      Row(2L, "<style>p{x:1}</style>text<!-- c --><script>var y=2;" +
+        "</script>"),
+      Row(3L, "&amp;lt; stays; &lt;b&gt; decodes"),
+      Row(4L, "no   markup\t at all"))
+    val out = d.select(col("id"),
+        TextOps.htmlStrip(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "Hi a & b")
+    assert(out(2L) === "text")
+    // &amp;lt; → literal "&lt;" (amp decoded last), while &lt;b&gt; → <b>
+    assert(out(3L) === "&lt; stays; <b> decodes")
+    assert(out(4L) === "no markup at all")
+    val ratios = d.select(col("id"),
+        TextOps.visibleTextRatio(col("text")).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ratios.values.forall(r => r >= 0.0 && r <= 1.0))
+    assert(ratios(4L) > ratios(1L)) // plain text is denser than markup
+  }
+
   test("fingerprint is whitespace/case-insensitive and stable") {
     val d = df(schema, Row(1L, "Hello  World"), Row(2L, " hello world "))
     val fps = d.select(TextOps.fingerprint(col("text")))
