@@ -34,14 +34,20 @@ object Neighborhood {
     var k = 0
     while (k < hops) {
       k += 1
-      reach = reach.union(
-          reach.join(e, reach("id") === e("src"))
-            .select(col("source"), col("dst").as("id")))
-        .distinct()
-        .localCheckpoint() // lineage doubles per hop otherwise
+      val expanded = reach.union(
+        reach.join(e, reach("id") === e("src"))
+          .select(col("source"), col("dst").as("id")))
+      // Intermediate hops dedup (bounds the next expansion's input) and
+      // cut lineage; the LAST hop folds its dedup into the final
+      // count_distinct — one two-stage aggregation instead of
+      // distinct-shuffle + checkpoint-materialize + count-shuffle over
+      // the largest pair set of the whole expansion.
+      reach =
+        if (k < hops) expanded.distinct().localCheckpoint()
+        else expanded
     }
     reach.groupBy(col("source").as("id"))
-      .agg(count(lit(1)).as("n_reach"))
+      .agg(count_distinct(col("id")).as("n_reach"))
   }
 
   /** HyperBall: per-vertex HLL sketch of the ≤k-hop reach set.

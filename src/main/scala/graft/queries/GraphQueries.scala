@@ -370,10 +370,18 @@ object GraphQueries {
       |LEFT JOIN sn ON c_nationkey = sn.nk
       |ORDER BY id""".stripMargin) { (s, dir) =>
     val full = TpchGraph(Tables(s, dir))
+    // Pin the filtered subgraph ONCE: both expansions reference the
+    // vertex/edge frames in every hop's join AND across the exact/est
+    // plans — unpinned, each of those jobs re-scans and re-codegens the
+    // whole TpchGraph union-of-tables DAG (the dominant cost here). At
+    // cluster scale this is persist()-to-memory; localCheckpoint is the
+    // local[n] equivalent with lineage cut.
     val g = graft.engine.GraphState(
       full.vertices.filter(
-        col("label").isin("customer", "supplier", "nation", "region")),
-      full.edges.filter(col("edge_type").isin("IN_NATION", "IN_REGION")))
+        col("label").isin("customer", "supplier", "nation", "region"))
+        .localCheckpoint(),
+      full.edges.filter(col("edge_type").isin("IN_NATION", "IN_REGION"))
+        .localCheckpoint())
     val exact = graft.engine.Neighborhood.exactSizes(g, hops = 2)
     val est = graft.engine.Neighborhood.hyperBall(g, hops = 2)
     exact.join(est, Seq("id"))
