@@ -58,6 +58,28 @@ object GraphXBridge {
     cc.join(mapping, Seq("vid")).select(col("id"), col("component"))
   }
 
+  /** Strongly connected components (GraphX Pregel-based SCC on the
+    * DIRECTED edge orientation), back as (id, component_id) where the
+    * component label is its minimum member id — the same
+    * engine-independent relabeling as [[connectedComponents]], so an
+    * oracle computing SCCs any other way agrees on the labels.
+    * `numIter` bounds the color-propagation rounds; it must be ≥ the
+    * longest cycle-free path between SCCs (diameter-ish), after which
+    * the result is exact, not approximate. */
+  def stronglyConnected(g: GraphState, numIter: Int = 20)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (graph, mapping) = toGraphX(g)
+    val scc = graph.stronglyConnectedComponents(numIter)
+      .vertices.toDF("vid", "comp")
+    val labeled = scc.join(mapping, Seq("vid"))
+      .select(col("comp"), col("id"))
+    val labels = labeled.groupBy(col("comp"))
+      .agg(min(col("id")).as("component_id"))
+    labeled.join(labels, Seq("comp"))
+      .select(col("id"), col("component_id"))
+  }
+
   /** Fixed-iteration PageRank (GraphX `staticPageRank`), back as
     * (id, rank). Deterministic for a given graph and iteration count —
     * unlike the tolerance-converged variant there is no run-to-run

@@ -392,7 +392,60 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** Strongly connected components of the event-type TRANSITION digraph
+    * (user-journey condensation): per-user event sequences (window lag,
+    * scalable construction — the only wide op over the raw events) are
+    * reduced to distinct above-average transitions, and GraphX SCC
+    * labels each type with its component's minimum member. The oracle
+    * recomputes SCCs from first principles: a recursive-CTE reachability
+    * closure intersected with its transpose (mutual reachability),
+    * min-labeled — engine-independent by the min-member relabeling. */
+  val gx07 = QueryDef.sql("gx07_scc_transitions",
+    """WITH RECURSIVE seq AS (
+      |  SELECT event_type, lag(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |t AS (SELECT prev, event_type, count(*) AS c FROM seq
+      |      WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |e AS (SELECT 't:' || prev AS src, 't:' || event_type AS dst
+      |      FROM t WHERE c * (SELECT count(*) FROM t)
+      |                   > (SELECT sum(c) FROM t)),
+      |v AS (SELECT DISTINCT 't:' || event_type AS id FROM events),
+      |reach AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst),
+      |mutual AS (
+      |  SELECT r1.src AS id, r1.dst AS peer FROM reach r1
+      |  JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src)
+      |SELECT v.id, least(coalesce(min(m.peer), v.id), v.id)
+      |    AS component_id
+      |FROM v LEFT JOIN mutual m ON m.id = v.id
+      |GROUP BY v.id ORDER BY v.id""".stripMargin) { (s, dir) =>
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val ev = Tables(s, dir).events
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq = ev.select(col("event_type"),
+      lag(col("event_type"), 1).over(w).as("prev"))
+    val t = seq.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val tot = t.agg(sum(col("c")).as("tot"), count(lit(1)).as("n"))
+    val e = t.crossJoin(broadcast(tot))
+      .filter(col("c") * col("n") > col("tot"))
+      .select(concat(lit("t:"), col("prev")).as("src"),
+        concat(lit("t:"), col("event_type")).as("dst"),
+        lit("NEXT").as("edge_type"))
+    val vtx = ev
+      .select(concat(lit("t:"), col("event_type")).as("id")).distinct()
+      .withColumn("label", lit("etype"))
+    val scc = graft.engine.GraphXBridge.stronglyConnected(
+      graft.engine.GraphState(vtx, e))
+    scc.orderBy(col("id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
-      gx03, gx04, gx05, gx06, gst01)
+      gx03, gx04, gx05, gx06, gx07, gst01)
 }

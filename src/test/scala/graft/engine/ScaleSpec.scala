@@ -151,6 +151,7 @@ class ScaleSpec extends SparkSpec {
       "s07_pq_rerank" -> ("ADC scan joins the broadcast bounded query " +
         "set; rerank side is |queries|×shortlist rows"),
       "t10_tfidf_topk" -> "1-row corpus-size scalar broadcast",
+      "gx07_scc_transitions" -> "1-row transition-total scalar broadcast",
       "t13_lm_perplexity" -> "1-row vocab-size scalar broadcast")
     val dir = sf("sf0.001")
     val offenders = graft.SparkEntry.allQueries.flatMap { q =>

@@ -235,6 +235,25 @@ class TraversalSpec extends SparkSpec {
     assert(GraphXBridge.kCore(fixture, 1).count() == 7)
   }
 
+  test("stronglyConnected finds SCCs on a two-component digraph") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // 1→2→3→1 is a cycle; 3→4 bridges to the 4⇄5 cycle: SCCs are
+    // {1,2,3} (label "1") and {4,5} (label "4")
+    val g = GraphState(
+      vertexDf(("1", "n", Map[String, String]()),
+        ("2", "n", Map[String, String]()),
+        ("3", "n", Map[String, String]()),
+        ("4", "n", Map[String, String]()),
+        ("5", "n", Map[String, String]())),
+      edgeDf(("e1", "1", "2", "E"), ("e2", "2", "3", "E"),
+        ("e3", "3", "1", "E"), ("e4", "3", "4", "E"),
+        ("e5", "4", "5", "E"), ("e6", "5", "4", "E")))
+    val scc = GraphXBridge.stronglyConnected(g).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(scc == Map("1" -> "1", "2" -> "1", "3" -> "1",
+      "4" -> "4", "5" -> "4"))
+  }
+
   test("Neighborhood: exact sizes on a path graph; HyperBall agrees") {
     // path a-b-c-d (undirected): 1-hop sizes 2,3,3,2; 2-hop 3,4,4,3
     val g = GraphState(
