@@ -153,6 +153,68 @@ object DedupOps {
       .withColumn("text_dedup", coalesce(col("text_dedup"), lit("")))
   }
 
+  /** CONTENT-DEFINED chunking at word granularity (the CDC/rolling-hash
+    * idea of LBFS/restic, portable to SQL): a new chunk starts at word i
+    * when the 32-bit md5 prefix of the trigram ending at i is ≡ 0 mod
+    * `divisor` (expected chunk length = `divisor` words). Boundaries
+    * depend only on a 3-word window, so an insertion reflows AT MOST the
+    * chunks overlapping that window — unlike fixed-width segmentation
+    * ([[segmentDedup]]), where one inserted word shifts every later
+    * segment and defeats chunk-level dedup. Returns
+    * (id, chunk_idx LONG 1-based, chunk_start LONG, chunk STRING).
+    *
+    * Scale shape: one posexplode (map-side) + per-doc window functions
+    * (one shuffle keyed by doc id, rows bounded by corpus word count) +
+    * one bounded per-doc re-aggregation. The hash is the engine-portable
+    * md5-prefix family every sampling op here uses. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 8): DataFrame = {
+    require(divisor > 0, "divisor must be positive")
+    val words = split(TextOps.normalize(col(textCol)), " ")
+    val exploded = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), posexplode(words).as(Seq("idx", "word")))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("idx"))
+    val tri = concat_ws(" ", lag(col("word"), 2).over(byDoc),
+      lag(col("word"), 1).over(byDoc), col("word"))
+    val boundary = when(col("idx") === 0, 1L).otherwise(
+      (conv(substring(md5(tri), 1, 8), 16, 10).cast("long")
+        % divisor === 0L).cast("long"))
+    exploded
+      .withColumn("chunk_idx",
+        sum(boundary).over(byDoc.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(min(col("idx")).as("chunk_start"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("word")))),
+          s => s.getField("word"))).as("chunk"))
+  }
+
+  /** Chunk-level exact dedup over content-defined chunks: a chunk
+    * SURVIVES iff it is the globally first occurrence of its content
+    * (ordered by doc id, then position); documents reassemble from
+    * surviving chunks in order. Same keep-first/reassemble discipline as
+    * [[segmentDedup]] — at 100 TB the window keys by the 16-byte chunk
+    * fingerprint — but robust to insert/delete edits between
+    * near-duplicate documents. Returns (id, text_cdc) for EVERY input
+    * document ('' when all its chunks were seen before). */
+  def cdcDedup(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 8): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, divisor)
+    val w = Window.partitionBy(col("chunk"))
+      .orderBy(col(idCol), col("chunk_start"))
+    val kept = chunks.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_start"), col("chunk")))),
+        s => s.getField("chunk"))).as("text_cdc"))
+    df.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .withColumn("text_cdc", coalesce(col("text_cdc"), lit("")))
+  }
+
   /** Jaccard estimate from two MinHash signatures: fraction of equal
     * minima (unbiased, σ ≈ √(J(1−J)/k)). Native codegen'd expression. */
   def sigEstimate(sig1: Column, sig2: Column): Column = {

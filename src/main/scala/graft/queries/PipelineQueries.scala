@@ -1264,6 +1264,50 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunk dedup (CDC at word granularity): chunk
+    * boundaries come from a 3-word rolling md5 window (mod-8 gear), so
+    * near-duplicate documents that differ by insertions still share
+    * almost all chunks — the dedup robustness fixed-width segments
+    * (p08) can't give. Every output document text is pinned: one hash
+    * match proves the boundary rule, the keep-first choice, and the
+    * reassembly on both engines. */
+  val p13 = QueryDef.sql("p13_cdc_dedup",
+    s"""WITH ex AS (
+       |  SELECT doc_id, u.i - 1 AS idx, u.w AS word
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents WHERE length(trim(text)) > 0),
+       |    unnest([{'i': i, 'w': ws[i]}
+       |      FOR i IN generate_series(1, len(ws))]) AS t(u)),
+       |b AS (
+       |  SELECT doc_id, idx, word,
+       |    CASE WHEN idx = 0 THEN 1
+       |      WHEN ('0x' || substr(md5(concat_ws(' ',
+       |          lag(word, 2) OVER dw, lag(word, 1) OVER dw, word)),
+       |          1, 8))::BIGINT % 8 = 0 THEN 1 ELSE 0 END AS boundary
+       |  FROM ex WINDOW dw AS (PARTITION BY doc_id ORDER BY idx)),
+       |c AS (
+       |  SELECT doc_id, idx, word, sum(boundary)
+       |      OVER (PARTITION BY doc_id ORDER BY idx) AS chunk_idx
+       |  FROM b),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx, min(idx) AS chunk_start,
+       |    array_to_string(list(word ORDER BY idx), ' ') AS chunk
+       |  FROM c GROUP BY 1, 2),
+       |keep AS (
+       |  SELECT *, row_number() OVER (PARTITION BY chunk
+       |    ORDER BY doc_id, chunk_start) AS rn FROM ch),
+       |agg AS (
+       |  SELECT doc_id, array_to_string(
+       |      list(chunk ORDER BY chunk_start), ' ') AS text_cdc
+       |  FROM keep WHERE rn = 1 GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.text_cdc, '') AS text_cdc
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    DedupOps.cdcDedup(Tables(s, dir).documents, "doc_id", "text",
+        divisor = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** HTML/boilerplate extraction (the web-corpus cleaning step): every
     * document is wrapped in deterministic markup — title/style/comment
     * head, heading, attributed paragraph, entities, trailing script —
@@ -1325,6 +1369,6 @@ object PipelineQueries {
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, d10, st08, s01, s02, s03, s04, s05, s06, s07, m01, m02, m03,
       m04,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, in01,
-      t06, t07, t08, t09, t10, t11, t12, t13, t14)
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
+      in01, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }

@@ -92,6 +92,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks: boundaries are content-defined, so insertions reflow locally") {
+    // 60 distinct-ish words; doc 2 = doc 1 with ONE word prepended
+    val words = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = df(docSchema, Row(1L, words), Row(2L, "inserted " + words),
+      Row(3L, "   "))
+    val ch = DedupOps.cdcChunks(d, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val c1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val c2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    // content-defined boundaries realign after the insertion: most of
+    // doc 1's chunks reappear verbatim in doc 2
+    val shared = (c1 intersect c2).size.toDouble / c1.size
+    assert(shared >= 0.5, f"only $shared%.2f of chunks survived insertion")
+    // blank docs produce no chunks; chunks reassemble to the input
+    assert(!ch.exists(_._1 == 3L))
+    val re = ch.filter(_._1 == 1L).map(_._2)
+    assert(DedupOps.cdcChunks(d, "id", "text")
+      .filter(col("id") === 1L).orderBy(col("chunk_start"))
+      .collect().map(_.getString(3)).mkString(" ") === words)
+    assert(re.nonEmpty)
+  }
+
+  test("cdcDedup keeps first occurrence per chunk and reassembles") {
+    val words = (1 to 40).map(i => s"v$i").mkString(" ")
+    val d = df(docSchema, Row(1L, words), Row(2L, words), Row(3L, "solo doc"))
+    val out = DedupOps.cdcDedup(d, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === words) // first doc keeps everything
+    assert(out(2L) === "")    // exact dup loses every chunk
+    assert(out(3L) === "solo doc")
+    assert(out.size === 3)
+  }
+
   test("sigEstimate tracks true Jaccard (identical=1, near-dup high, unrelated low)") {
     val sig = DedupOps.minhashSignature(docs, "id", "text", n = 3, k = 64)
       .localCheckpoint()
