@@ -130,12 +130,18 @@ object DedupOps {
     * 2× text. The final reassembly aggregates by document id —
     * partial-agg friendly, no skew (segment count per doc is bounded).
     */
+  /** Non-overlapping `segWords`-word segments of the normalized text
+    * (the p08 segmentation, shared with the bloom decontamination). */
+  def wordSegments(text: Column, segWords: Int): Column = {
+    val words = split(TextOps.normalize(text), " ")
+    val nSegs = ceil(size(words) / lit(segWords.toDouble)).cast("int")
+    transform(sequence(lit(0), nSegs - 1),
+      i => array_join(slice(words, i * segWords + 1, lit(segWords)), " "))
+  }
+
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       segWords: Int = 10): DataFrame = {
-    val words = split(TextOps.normalize(col(textCol)), " ")
-    val nSegs = ceil(size(words) / lit(segWords.toDouble)).cast("int")
-    val segs = transform(sequence(lit(0), nSegs - 1),
-      i => array_join(slice(words, i * segWords + 1, lit(segWords)), " "))
+    val segs = wordSegments(col(textCol), segWords)
     val exploded = df
       .select(col(idCol), posexplode(segs).as(Seq("seg_idx", "seg")))
     val w = Window.partitionBy(col("seg"))
@@ -151,6 +157,34 @@ object DedupOps {
     df.select(col(idCol))
       .join(reassembled, Seq(idCol), "left")
       .withColumn("text_dedup", coalesce(col("text_dedup"), lit("")))
+  }
+
+  /** Bloom-pruned exact segment decontamination (train/eval leakage
+    * check at 100 TB): a bloom filter over the distinct train segments
+    * (fixed-size, built once, shipped to every task) prunes the eval
+    * side BEFORE the distributed semi-join, so the join shuffles only
+    * true hits + an fpp fraction of the eval segments instead of every
+    * segment of a 100 TB eval set. Correctness is unchanged — blooms
+    * have NO false negatives, and survivors are exact-verified by the
+    * semi-join — which the p14 gate certifies per row. Returns one row
+    * per contaminated eval doc: (idCol, n_shared BIGINT = number of its
+    * segment positions whose content occurs in train). */
+  def bloomSegmentContamination(eval: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, segWords: Int = 10,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.{shims, MightContainExpr}
+    val trainSegs = train
+      .select(explode(wordSegments(col(textCol), segWords)).as("seg"))
+      .distinct().localCheckpoint() // reused by the build AND the verify
+    val bf = trainSegs.stat.bloomFilter("seg",
+      math.max(trainSegs.count(), 1L), fpp)
+    val evalSegs = eval.select(col(idCol),
+      explode(wordSegments(col(textCol), segWords)).as("seg"))
+    val candidates = evalSegs.filter(shims.column(
+      MightContainExpr(shims.expression(col("seg")), bf)))
+    candidates.join(trainSegs, Seq("seg"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   /** CONTENT-DEFINED chunking at word granularity (the CDC/rolling-hash

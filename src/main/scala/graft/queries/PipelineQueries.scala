@@ -1264,6 +1264,51 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-pruned exact decontamination (the at-scale form of p04's
+    * leakage check): a fixed-size bloom over distinct train segments
+    * prunes eval segments BEFORE the semi-join — no false negatives is
+    * the bloom theorem, and the gate certifies it per row: via_bloom=1
+    * means the bloom-pruned path found this doc with the SAME shared-
+    * segment count as the unpruned exact path. */
+  val p14 = QueryDef.sql("p14_bloom_decontam",
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    [array_to_string(ws[((i-1)*10+1):(i*10)], ' ')
+       |     FOR i IN generate_series(1,
+       |       CAST(ceil(len(ws)/10.0) AS BIGINT))] AS sg,
+       |    ${SamplingOps.hashSplitSql("doc_id", 0.8, 0.1)} AS split
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents)),
+       |ex AS (SELECT doc_id, split, unnest(sg) AS seg FROM s),
+       |tr AS (SELECT DISTINCT seg FROM ex WHERE split = 'train'),
+       |h AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM ex WHERE split = 'test'
+       |    AND seg IN (SELECT seg FROM tr)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_shared, CAST(1 AS BIGINT) AS via_bloom
+       |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+      .withColumn("split", SamplingOps.hashSplit(col("doc_id"), 0.8, 0.1))
+    val evalDocs = docs.filter(col("split") === "test")
+    val trainDocs = docs.filter(col("split") === "train")
+    val viaBloom = DedupOps.bloomSegmentContamination(
+      evalDocs, trainDocs, "doc_id", "text", segWords = 10, fpp = 0.01)
+    val trainSegs = trainDocs.select(
+      explode(DedupOps.wordSegments(col("text"), 10)).as("seg")).distinct()
+    val exact = evalDocs.select(col("doc_id"),
+        explode(DedupOps.wordSegments(col("text"), 10)).as("seg"))
+      .join(trainSegs, Seq("seg"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    exact
+      .join(viaBloom.withColumnRenamed("n_shared", "nb"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shared"),
+        (col("nb").isNotNull && col("nb") === col("n_shared"))
+          .cast("long").as("via_bloom"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content-defined chunk dedup (CDC at word granularity): chunk
     * boundaries come from a 3-word rolling md5 window (mod-8 gear), so
     * near-duplicate documents that differ by insertions still share
@@ -1370,5 +1415,5 @@ object PipelineQueries {
       d09, d10, st08, s01, s02, s03, s04, s05, s06, s07, m01, m02, m03,
       m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      in01, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+      p14, in01, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }

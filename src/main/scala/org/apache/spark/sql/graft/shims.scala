@@ -455,6 +455,30 @@ case class SigEqFracExpr(left: Expression, right: Expression)
 /** Native codegen'd popcount(a ^ b) — see graft.functions.HammingDistance
   * for the public API and rationale. Lives here because ImplicitCastInputTypes
   * / AbstractDataType are private[sql]. */
+/** Bloom-filter membership probe: STRING → BOOLEAN against a fixed
+  * `org.apache.spark.util.sketch.BloomFilter` (serialized into the task
+  * closure — at cluster scale the same bits ride a broadcast variable).
+  * Spark's own `Column.mightContain` route requires the internal
+  * BloomFilterMightContain + a binary aggregate plan; this shim keeps
+  * the established expression-with-constant pattern. NO false
+  * negatives is the bloom theorem the decontamination gate certifies. */
+case class MightContainExpr(child: Expression,
+    bf: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{BooleanType, StringType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "might_contain"
+
+  override protected def nullSafeEval(input: Any): Any =
+    bf.mightContainString(input.toString)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MightContainExpr = copy(child = newChild)
+}
+
 /** Product-quantization encoder: ARRAY<DOUBLE> vector → ARRAY<INT> of m
   * subspace code assignments against a fixed codebook (m × ksub × dsub).
   * Same assignment rule as the composed Column form it replaces —

@@ -92,6 +92,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bloomSegmentContamination equals the exact semi-join (no false negatives)") {
+    val mk = (i: Long, t: String) => Row(i, t)
+    val seg = (1 to 10).map(i => s"s$i").mkString(" ") // one full segment
+    val train = df(docSchema, mk(1L, seg + " " + base), mk(2L, "other words"))
+    val eval = df(docSchema,
+      mk(10L, seg),                       // shares the planted segment
+      mk(11L, base),                      // shares base's segments
+      mk(12L, "totally fresh content never seen in training data here"))
+    val got = DedupOps.bloomSegmentContamination(eval, train, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainSegs = train.select(
+      explode(DedupOps.wordSegments(col("text"), 10)).as("seg")).distinct()
+    val exact = eval.select(col("id"),
+        explode(DedupOps.wordSegments(col("text"), 10)).as("seg"))
+      .join(trainSegs, Seq("seg"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+    assert(got.contains(10L) && !got.contains(12L))
+  }
+
   test("cdcChunks: boundaries are content-defined, so insertions reflow locally") {
     // 60 distinct-ish words; doc 2 = doc 1 with ONE word prepended
     val words = (1 to 60).map(i => s"w$i").mkString(" ")
