@@ -490,7 +490,60 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Ordered funnel (view → click → purchase): each user's earliest
+    * stage time that is at-or-after their previous stage's time. k−1
+    * per-user aggregation passes, each reading only its stage's events
+    * (filter pushed to the scan) — no window over raw events, no
+    * per-user lists. Times pinned as epoch millis (truncation from
+    * micros and from nanos agree). */
+  val q30 = QueryDef.sql("q30_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT s1.user_id, t1,
+      |    min(CASE WHEN e.ts >= t1 THEN e.ts END) AS t2
+      |  FROM s1 LEFT JOIN events e
+      |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+      |  GROUP BY 1, 2),
+      |s3 AS (
+      |  SELECT s2.user_id, t1, t2,
+      |    min(CASE WHEN e.ts >= t2 THEN e.ts END) AS t3
+      |  FROM s2 LEFT JOIN events e
+      |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id AS user, epoch_ms(t1) AS t1, epoch_ms(t2) AS t2,
+      |  epoch_ms(t3) AS t3,
+      |  CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+      |    + (t3 IS NOT NULL)::INT AS BIGINT) AS depth
+      |FROM s3 ORDER BY user""".stripMargin) { (s, dir) =>
+    graft.functions.EventOps.funnel(Tables(s, dir).events,
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("user"))
+  }
+
+  /** Weekly cohort retention: cohort = Monday-start week of the user's
+    * first event; one row per (cohort, week offset) with distinct
+    * active users. Two per-user aggregations + one user-keyed join. */
+  val q31 = QueryDef.sql("q31_retention",
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+      |  FROM events)
+      |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+      |  CAST((w::DATE - cw::DATE) / 7 AS BIGINT) AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.functions.EventOps.retentionWeekly(Tables(s, dir).events,
+        "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29)
+    q24, q25, q26, q27, q28, q29, q30, q31)
 }
