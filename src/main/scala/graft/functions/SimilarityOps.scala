@@ -406,6 +406,29 @@ object SimilarityOps {
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.map(_._2).sortBy(_._1))
 
+  /** Reciprocal-rank fusion of ranked lists (hybrid retrieval: vector
+    * ranks ⊕ keyword ranks ⊕ …): rrf(d) = Σ_i 1/(c + rank_i(d)), the
+    * standard score-free fusion. Each input is (idCol, rank). The sum
+    * is a FIXED-ORDER expression over the outer-joined contributions
+    * (never a shuffle-order aggregate), and 1/(c+rank) divides exact
+    * integers — so the fused doubles are bit-identical on any engine:
+    * RRF stays gate-pinnable where BM25/ln-based scores (libm) cannot.
+    * Missing ids contribute 0 from that list. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, c: Int = 60)
+      : DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol),
+        (lit(1.0d) / (lit(c.toDouble) + col("rank").cast("double")))
+          .as(s"__rrf$i"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq(idCol), "full"))
+    val score = tagged.indices
+      .map(i => coalesce(col(s"__rrf$i"), lit(0.0d)))
+      .reduce(_ + _)
+    joined.select(col(idCol), score.as("rrf"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: each vector is
     * scaled by 127/‖v‖∞ and TRUNCATED toward zero (truncation — unlike
     * round-half — is a pure function of the double bits, so any engine

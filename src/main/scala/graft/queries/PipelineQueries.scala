@@ -481,6 +481,62 @@ object PipelineQueries {
           .cast("long").as("recall_ge_06"))
   }
 
+  /** HYBRID retrieval (vector ⊕ keyword) via reciprocal-rank fusion:
+    * cosine ranks against query vector 0 fuse with keyword-occurrence
+    * ranks for a fixed term set; rrf = 1/(60+r_kw) + 1/(60+r_vec) in
+    * that fixed order — exact-integer divisions and a fixed-order sum,
+    * so the fused doubles pin bit-for-bit (the reason RRF, not a
+    * ln-based BM25, is the gate-able fusion). Top-20 with total-order
+    * tie-break. */
+  val s08 = QueryDef.sql("s08_hybrid_rrf",
+    s"""WITH p0 AS (SELECT doc_id, ' ' || $normSql || ' ' AS p
+       |           FROM documents),
+       |kw AS (SELECT doc_id,
+       |    ${Seq("data", "spark", "table").map(occSql).mkString(" + ")}
+       |      AS score FROM p0),
+       |kr AS (SELECT doc_id, rank FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS rank FROM kw) WHERE rank <= 100),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       |      WHERE vec_id = 0),
+       |sc AS (SELECT vec_id AS doc_id,
+       |    round(list_dot_product(cv, qv) /
+       |      (sqrt(list_dot_product(cv, cv)) *
+       |       sqrt(list_dot_product(qv, qv))), 6) AS score
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS cv
+       |        FROM embeddings) , q
+       |  WHERE vec_id <> 0),
+       |vr AS (SELECT doc_id, rank FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS rank FROM sc) WHERE rank <= 100),
+       |fused AS (
+       |  SELECT coalesce(kr.doc_id, vr.doc_id) AS doc_id,
+       |    coalesce(1.0 / (60 + kr.rank), 0)
+       |      + coalesce(1.0 / (60 + vr.rank), 0) AS rrf
+       |  FROM kr FULL JOIN vr ON kr.doc_id = vr.doc_id)
+       |SELECT doc_id, ${Det.floor4Sql("rrf")} AS rrf_score
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val emb = Tables(s, dir).embeddings
+    val terms = Seq("data", "spark", "table")
+    val kwTop = docs.select(col("doc_id"),
+        TextOps.stopwordCount(col("text"), terms).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(100)
+      .localCheckpoint() // bounded 100-row frame; rank window below is
+                         // over this bounded set, not the corpus
+    val kwRank = kwTop.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank"))
+    val vecRank = SimilarityOps.cosineTopK(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", 100)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    val fused = SimilarityOps.rrfFuse(Seq(kwRank, vecRank), "doc_id")
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), Det.floor4(col("rrf")).as("rrf_score"))
+  }
+
   /** Multimodal plumbing in the gate: the mapPartitions feature-extract
     * pipeline's schema/byte-length outputs vs SQL (the stub codec's hash
     * and feature vector are rows-only, covered in ScalaTest). */
@@ -1412,8 +1468,8 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
-      d09, d10, st08, s01, s02, s03, s04, s05, s06, s07, m01, m02, m03,
-      m04,
+      d09, d10, st08, s01, s02, s03, s04, s05, s06, s07, s08, m01, m02,
+      m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, in01, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }

@@ -210,6 +210,20 @@ class TextAndSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: fixed-order fused scores, missing ids contribute zero") {
+    import spark.implicits._
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    val out = SimilarityOps.rrfFuse(Seq(a, b), "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(2L) === 1.0 / 62 + 1.0 / 61) // both lists
+    assert(out(1L) === 1.0 / 61)            // only a
+    assert(out(4L) === 1.0 / 62)            // only b
+    // doc 2 (rank 2 + rank 1) beats doc 1 (rank 1 alone): fusion works
+    assert(out(2L) > out(1L))
+  }
+
   test("PQ with one code per corpus vector equals brute force exactly") {
     // every vector is its own (sub)centroid → reconstruction is exact →
     // ADC scores equal true cosines: a theorem about the decode path,
