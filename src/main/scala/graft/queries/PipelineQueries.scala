@@ -1320,6 +1320,28 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Z-order (Morton) layout keys: the multi-dimensional clustering
+    * column a 100 TB writer sorts by so per-file min/max stats prune on
+    * EITHER dimension. The mask-shift ladder is emitted from one Scala
+    * definition into both engines; the gate pins the interleaved key of
+    * (l_partkey, l_suppkey) for the z-smallest 100 line items. */
+  val p15 = QueryDef.sql("p15_zorder", {
+    val z = graft.functions.LayoutOps.zorderKeySql("l_partkey",
+      "l_suppkey")
+    s"""SELECT l_orderkey, l_linenumber, zkey FROM (
+       |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |    $z AS zkey
+       |  FROM lineitem)
+       |ORDER BY zkey, l_orderkey, l_linenumber
+       |LIMIT 100""".stripMargin }) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        graft.functions.LayoutOps.zorderKey(col("l_partkey"),
+          col("l_suppkey")).as("zkey"))
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
   /** Bloom-pruned exact decontamination (the at-scale form of p04's
     * leakage check): a fixed-size bloom over distinct train segments
     * prunes eval segments BEFORE the semi-join — no false negatives is
@@ -1471,5 +1493,5 @@ object PipelineQueries {
       d09, d10, st08, s01, s02, s03, s04, s05, s06, s07, s08, m01, m02,
       m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, in01, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+      p14, p15, in01, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }

@@ -210,6 +210,22 @@ class TextAndSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("zorderKey matches the naive per-bit interleave") {
+    import spark.implicits._
+    def naive(a: Long, b: Long): Long =
+      (0 until 31).foldLeft(0L) { (acc, i) =>
+        acc | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L),
+      (123456L, 654321L), ((1L << 30) + 7L, (1L << 29) + 11L))
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.LayoutOps.zorderKey(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === cases.map { case (a, b) => naive(a, b) })
+    // interleave property: z(0,1) > z(1,0) (b holds the odd/high bits)
+    assert(naive(0L, 1L) === 2L && naive(1L, 0L) === 1L)
+  }
+
   test("rrfFuse: fixed-order fused scores, missing ids contribute zero") {
     import spark.implicits._
     val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
