@@ -663,9 +663,51 @@ object CypherDriven {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Streaming ordered funnel (flatMapGroupsWithState): per-user stage
+    * prefix as state, one emission per user at completion. The oracle is
+    * the BATCH funnel restricted to completed users — streaming/batch
+    * parity is the pinned claim (events stream in event-time order from
+    * the parquet source, the contract the operator documents). */
+  val st09 = QueryDef.sql("st09_stream_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT s1.user_id, t1,
+      |    min(CASE WHEN e.ts >= t1 THEN e.ts END) AS t2
+      |  FROM s1 LEFT JOIN events e
+      |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+      |  GROUP BY 1, 2),
+      |s3 AS (
+      |  SELECT s2.user_id, t1, t2,
+      |    min(CASE WHEN e.ts >= t2 THEN e.ts END) AS t3
+      |  FROM s2 LEFT JOIN events e
+      |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id AS user, epoch_ms(t1) AS t1, epoch_ms(t2) AS t2,
+      |  epoch_ms(t3) AS t3
+      |FROM s3 WHERE t3 IS NOT NULL ORDER BY user""".stripMargin) {
+      (s, dir) =>
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    // streaming file sources need a directory, not a single file
+    val tmp = java.nio.file.Files.createTempDirectory("st09_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      tmp.resolve("events.parquet"))
+    graft.streaming.EventStreams.runToMemory(s, tmp.toString,
+        s"st09_funnel_${memSink.incrementAndGet()}",
+        df => graft.streaming.EventStreams.funnelStream(df,
+          Seq("view", "click", "purchase")))
+      .select(col("user_id").as("user"),
+        col("times_millis").getItem(0).as("t1"),
+        col("times_millis").getItem(1).as("t2"),
+        col("times_millis").getItem(2).as("t3"))
+      .orderBy(col("user"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, st01, st02, st03, st04, st05, st06, st07,
-      tj01, tj02)
+      st09, tj01, tj02)
 }

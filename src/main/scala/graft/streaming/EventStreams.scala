@@ -97,6 +97,52 @@ object EventStreams {
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
       n_events: Long)
 
+  final case class FunnelState(timesMicros: Seq[Long])
+  final case class FunnelOut(user_id: Long, times_millis: Seq[Long])
+
+  /** Streaming ordered funnel: per-user state is the completed stage
+    * prefix; a user EMITS exactly once, when the last stage completes.
+    * Greedy earliest-first processing equals the batch
+    * `EventOps.funnel` semantics (stage k = earliest qualifying event
+    * at-or-after stage k−1) PROVIDED each user's events arrive in
+    * event-time order across micro-batches (within a batch they are
+    * sorted here); completed users keep a full-state tombstone so late
+    * duplicates can't re-emit. Output times are epoch millis, matching
+    * the batch gate's truncation. */
+  def funnelStream(events: DataFrame, stages: Seq[String])
+      (implicit spark: SparkSession): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import spark.implicits._
+    def microsOf(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    }
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.timesMicros).getOrElse(Nil)
+          if (times.length >= stages.length) Iterator.empty // done
+          else {
+            evs.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+              .foreach { e =>
+                if (times.length < stages.length &&
+                    e.event_type == stages(times.length) &&
+                    (times.isEmpty || microsOf(e.ts) >= times.last))
+                  times = times :+ microsOf(e.ts)
+              }
+            if (times.nonEmpty) state.update(FunnelState(times))
+            if (times.length == stages.length)
+              Iterator.single(FunnelOut(uid, times.map(_ / 1000)))
+            else Iterator.empty
+          }
+      }.toDF()
+  }
+
   /** Gap-based sessionization, batch form (gaps-and-islands): a new
     * session starts when the whole-second delta to the previous event
     * exceeds `gapSeconds`. One shuffle on user_id; the running flags are

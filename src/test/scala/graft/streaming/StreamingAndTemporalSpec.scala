@@ -127,6 +127,25 @@ class StreamingAndTemporalSpec extends SparkSpec {
     StructField("op", StringType), StructField("payload", StringType)))
   private def t(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("streaming funnel matches the batch funnel's completed users") {
+    implicit val s = spark
+    val streamed = EventStreams.runToMemory(spark, eventsDir,
+        "funnel_parity",
+        df => EventStreams.funnelStream(df,
+          Seq("view", "click", "purchase")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val batch = graft.functions.EventOps.funnel(
+        graft.sources.Tables(spark, sf("sf0.001")).events,
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .filter(col("depth") === 3)
+      .collect()
+      .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("temporal replayAsOf: last-write-wins + delete tombstones") {
     val log = df(logSchema,
       Row("v1", t("2024-01-01 00:00:00"), "insert", "a"),
