@@ -150,6 +150,8 @@ class ScaleSpec extends SparkSpec {
       "s06_ivf_partial_probe" -> "same broadcast-bounded-queries shape",
       "s07_pq_rerank" -> ("ADC scan joins the broadcast bounded query " +
         "set; rerank side is |queries|×shortlist rows"),
+      "s08_hybrid_rrf" -> ("s01's broadcast-bounded-single-query shape " +
+        "on the vector leg of the fusion"),
       "t10_tfidf_topk" -> "1-row corpus-size scalar broadcast",
       "gx07_scc_transitions" -> "1-row transition-total scalar broadcast",
       "t13_lm_perplexity" -> "1-row vocab-size scalar broadcast")
