@@ -97,6 +97,24 @@ object EventStreams {
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
       n_events: Long)
 
+  /** Streaming approximate distinct users per window: HLL sketch state
+    * inside the streaming aggregation — fixed-size per (window, key)
+    * whatever the cardinality, the sketch argument that makes
+    * count-distinct feasible in an unbounded stream (exact distinct
+    * would hold every user id in state forever). rsd defaults to
+    * Spark's 0.05; the st10 gate certifies the estimate against the
+    * exact batch count per window. */
+  def windowedApproxDistinct(events: DataFrame, keyCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "10 minutes",
+      rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(approx_count_distinct(col(keyCol), rsd).as("n_approx"))
+      .select(col("window.start").as("window_start"),
+        col("n_approx"))
+
   final case class FunnelState(timesMicros: Seq[Long])
   final case class FunnelOut(user_id: Long, times_millis: Seq[Long])
 
