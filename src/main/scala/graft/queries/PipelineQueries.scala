@@ -1320,6 +1320,28 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** JSONL training-export serialization: the (doc, shard) rows a
+    * sharded JSONL writer emits, with every serialized line pinned
+    * byte-for-byte against DuckDB's compact JSON of the same struct —
+    * field order, escaping, and null handling (ignoreNullFields=false;
+    * Spark's default silently DROPS null fields, which would corrupt a
+    * training manifest's schema) all proven identical. The write itself
+    * is `df.write.text` partitioned by shard — serialization is the
+    * part that needs pinning. */
+  val p16 = QueryDef.sql("p16_jsonl_export",
+    s"""SELECT doc_id, ${SamplingOps.shardKeySql("doc_id", 4)} AS shard,
+       |  to_json(struct_pack(doc_id := doc_id, lang := lang,
+       |    source := source, text := text))::VARCHAR AS jline
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        SamplingOps.shardKey(col("doc_id"), 4).as("shard"),
+        to_json(struct(col("doc_id"), col("lang"), col("source"),
+          col("text")), Map("ignoreNullFields" -> "false"))
+          .as("jline"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Z-order (Morton) layout keys: the multi-dimensional clustering
     * column a 100 TB writer sorts by so per-file min/max stats prune on
     * EITHER dimension. The mask-shift ladder is emitted from one Scala
@@ -1493,5 +1515,5 @@ object PipelineQueries {
       d09, d10, st08, s01, s02, s03, s04, s05, s06, s07, s08, m01, m02,
       m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, in01, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+      p14, p15, p16, in01, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }
