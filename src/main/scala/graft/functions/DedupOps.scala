@@ -448,6 +448,24 @@ object DedupOps {
     spark.createDataFrame(cc).toDF(idCol, "cluster_id")
   }
 
+  /** Quality-aware cluster keeper: close the near-dup pair graph into
+    * components ([[dupClusters]]) and keep each cluster's HIGHEST-
+    * quality member (ties to the lower id) instead of the arbitrary
+    * min-id — "of these near-duplicates, keep the best one", the form
+    * curation pipelines actually want. The per-cluster argmax is a
+    * row_number window partitioned by cluster id — cluster sizes are
+    * bounded by dup-chain length, so the window never sees a heavy
+    * partition at scale. `docs` must carry (idCol, qualityCol). */
+  def dupClustersKeepBest(pairs: DataFrame, docs: DataFrame,
+      idCol: String, qualityCol: String): DataFrame = {
+    val clusters = dupClusters(pairs, docs.select(col(idCol)), idCol)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    clusters.join(docs.select(col(idCol), col(qualityCol)), Seq(idCol))
+      .withColumn("keep",
+        (row_number().over(w) === 1).cast("long"))
+  }
+
   /** Train/eval n-gram DECONTAMINATION report: for every eval doc, how
     * many of its distinct word n-grams also appear anywhere in the
     * training split. The standard pre-training hygiene step (eval-set

@@ -215,6 +215,64 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware keeper choice on the d07 clusters: keep each
+    * near-dup cluster's longest member (token count, ties to lower id)
+    * — "keep the best duplicate", not an arbitrary one. Same proven
+    * LSH pair graph + closure; one hash match pins clustering AND the
+    * per-cluster argmax. */
+  val d11 = QueryDef.sql("d11_quality_keeper",
+    s"""WITH RECURSIVE s AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |    ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |      FOR i IN generate_series(1, len(ws) - 2)]) END AS sh
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents)),
+       |pairs AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |      ${graft.queries.Det.floor4Sql(
+                  """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    | / (len(a.sh) + len(b.sh)
+                    |    - len(list_intersect(a.sh, b.sh)))""".stripMargin)}
+       |        AS jaccard
+       |    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.8),
+       |und AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |        UNION ALL SELECT id2, id1 FROM pairs),
+       |reach(id, m) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT u.a, r.m FROM reach r JOIN und u ON u.b = r.id),
+       |cl AS (SELECT id, min(m) AS cluster_id FROM reach GROUP BY id),
+       |tok AS (
+       |  SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+       |    AS n_tokens
+       |  FROM documents)
+       |SELECT CAST(id AS BIGINT) AS doc_id,
+       |  CAST(cluster_id AS BIGINT) AS cluster_id, n_tokens,
+       |  CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY n_tokens DESC, id) = 1 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS keep
+       |FROM cl JOIN tok ON tok.doc_id = cl.id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val sig = DedupOps.minhashSignature(docs, "doc_id", "text",
+      n = 3, k = 64)
+    val cands = DedupOps.candidatePairsEstimated(
+      DedupOps.lshBands(sig, "doc_id", bands = 16), sig, "doc_id",
+      minEstimate = 0.5)
+    val pairs = DedupOps.jaccardVerify(cands, docs, "doc_id", "text",
+      n = 3, threshold = 0.8).select(col("id1"), col("id2"))
+    DedupOps.dupClustersKeepBest(pairs,
+        docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens")
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+        col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** INCREMENTAL near-dedup against a PERSISTED index: docs with
     * doc_id%10==0 play the "daily batch", the rest the already-indexed
     * corpus. The corpus index (signatures + LSH bands) is written to
@@ -1512,8 +1570,8 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
-      d09, d10, st08, s01, s02, s03, s04, s05, s06, s07, s08, m01, m02,
-      m03, m04,
+      d09, d10, d11, st08, s01, s02, s03, s04, s05, s06, s07, s08, m01,
+      m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, in01, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }
