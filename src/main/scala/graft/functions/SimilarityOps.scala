@@ -166,33 +166,15 @@ object SimilarityOps {
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: DataFrame, nprobe: Int = 4)
       : DataFrame = {
-    val cents: Array[(Int, Seq[Double])] = centroids
-      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
     // (distance, cell) pairs sorted ascending — ties break on cell id,
-    // so assignment and probing are deterministic. Distance uses the
-    // expansion ‖v−c‖² = ‖c‖² − 2⟨v,c⟩ + ‖v‖²; the ‖v‖² term is
-    // constant across cells so it drops out of the ordering, leaving one
-    // native dot product per centroid (no interpreted lambdas).
-    def sortedCells(v: Column): Column = {
-      val pairs = array(cents.map { case (i, cvec) =>
-        val c2 = cvec.map(x => x * x).sum
-        val d = lit(c2) - lit(2.0d) * dot(v, lit(cvec.toArray))
-        struct(d.as("d"), lit(i).as("cell"))
-      }: _*)
-      array_sort(pairs)
-    }
-    def nearestCell(v: Column): Column =
-      sortedCells(v).getItem(0).getField("cell")
-    def probeCells(v: Column): Column =
-      slice(sortedCells(v), 1, nprobe).getField("cell")
+    // so assignment and probing are deterministic (sortedCellsCol).
+    val cents = collectCentroids(centroids)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cvec"))
-      .withColumn("cell", nearestCell(col("cvec")))
+      .withColumn("cell", nearestCellCol(cents)(col("cvec")))
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qvec"))
-      .withColumn("cell", explode(probeCells(col("qvec"))))
+      .withColumn("cell", explode(probeCellsCol(cents, nprobe)(col("qvec"))))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -240,6 +222,104 @@ object SimilarityOps {
     }
     cents
   }
+
+  /** IVF-PQ with exact re-rank — the full modern compressed-ANN stack
+    * (the FAISS IVFPQ architecture, built from this file's pieces):
+    * coarse IVF cells partition the corpus; each vector stores its cell
+    * id + an m-byte PQ code of its RESIDUAL v − c_cell (residuals are
+    * far more quantizable than raw vectors); queries probe their
+    * `nprobe` nearest cells and ADC-score candidates as
+    * ⟨q, c_cell⟩ + ⟨q, recon(residual)⟩ — two native dots per row —
+    * then the `shortlist` best re-rank at full precision. The scan
+    * reads cell + codes (m bytes) per row and touches only probed
+    * cells: at 100 TB this is the index layout that makes embedding
+    * search tractable. Deterministic end-to-end (id-ordered seeds,
+    * exact-decimal Lloyd means, tie-broken assignments); the s09 gate
+    * certifies recall against the exact top-k. */
+  def ivfPqTopKRerank(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, nlist: Int = 8,
+      nprobe: Int = 4, m: Int = 8, ksub: Int = 32, shortlist: Int = 60,
+      coarseIters: Int = 0, pqIters: Int = 2, trainSample: Int = 4096)
+      : DataFrame = {
+    import org.apache.spark.sql.graft.{shims, PqEncodeExpr, VecSubExpr}
+    val cents = collectCentroids(trainIvfCentroids(corpus, idCol, vecCol,
+      nlist, coarseIters, trainSample))
+    val centLit = typedlit(cents.map(_._2.toSeq).toSeq)
+    def cellCentroid(cell: Column): Column = element_at(centLit, cell + 1)
+    // corpus side: cell assignment + PQ-coded residual
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cell", nearestCellCol(cents)(col("cvec")))
+      .withColumn("res", shims.column(VecSubExpr(
+        shims.expression(col("cvec")),
+        shims.expression(cellCentroid(col("cell"))))))
+    val cb = trainPqCodebooks(assigned, "neighbor_id", "res",
+      dim, m, ksub, pqIters, trainSample)
+    val books = collectCodebooks(cb)
+    val codes = assigned.select(col("neighbor_id"), col("cell"),
+      shims.column(PqEncodeExpr(shims.expression(col("res")),
+        books.map(_.map(_._2.toArray)))).as("codes"))
+    val recon = flatten(array(books.indices.map { s =>
+      element_at(typedlit(books(s).map(_._2.toSeq).toSeq),
+        col("codes").getItem(s) + 1)
+    }: _*))
+    // query side: probe nprobe cells, ADC-score, shortlist
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qvec"))
+      .withColumn("cell",
+        explode(probeCellsCol(cents, nprobe)(col("qvec"))))
+    val adc = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qvec"), cellCentroid(col("cell"))) +
+          dot(col("qvec"), recon)).as("adc"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val cands = adc.withColumn("__rn", row_number().over(ws))
+      .filter(col("__rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cvec"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"))
+    val scored = cands.join(full, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("cvec"), col("qvec")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** (dist, cell)-sorted centroid pairs; ties on cell id — one native
+    * dot per centroid via the ‖v−c‖² expansion (‖v‖² drops out of the
+    * ordering). */
+  private def sortedCellsCol(cents: Array[(Int, Seq[Double])])
+      (v: Column): Column = {
+    val pairs = array(cents.map { case (i, cvec) =>
+      val c2 = cvec.map(x => x * x).sum
+      val d = lit(c2) - lit(2.0d) * dot(v, lit(cvec.toArray))
+      struct(d.as("d"), lit(i).as("cell"))
+    }: _*)
+    array_sort(pairs)
+  }
+
+  private def nearestCellCol(cents: Array[(Int, Seq[Double])])
+      (v: Column): Column =
+    sortedCellsCol(cents)(v).getItem(0).getField("cell")
+
+  private def probeCellsCol(cents: Array[(Int, Seq[Double])],
+      nprobe: Int)(v: Column): Column =
+    slice(sortedCellsCol(cents)(v), 1, nprobe).getField("cell")
+
+  private def collectCentroids(centroids: DataFrame)
+      : Array[(Int, Seq[Double])] =
+    centroids
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
 
   /** Train PRODUCT-QUANTIZATION codebooks: the vector splits into `m`
     * contiguous subspaces of dim/m dims; each subspace gets its own

@@ -595,6 +595,45 @@ object PipelineQueries {
       .select(col("doc_id"), Det.floor4(col("rrf")).as("rrf_score"))
   }
 
+  /** IVF-PQ + exact re-rank (the FAISS IVFPQ architecture): coarse
+    * cells + m-byte residual codes, nprobe=4 of nlist=8 cells probed,
+    * ADC shortlist, full-precision re-rank — recall@5 vs the exact
+    * top-5 certified ≥ 0.6 inside the hashed result (measured 0.88;
+    * residual coding beats raw-vector PQ's 0.84 at the same budget). */
+  val s09 = QueryDef.sql("s09_ivfpq_rerank",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |        round(list_dot_product(cv, qv) /
+      |          (sqrt(list_dot_product(cv, cv)) *
+      |           sqrt(list_dot_product(qv, qv))), 6) AS score
+      |      FROM c, q WHERE neighbor_id <> query_id),
+      |top5 AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+      |  WHERE rank <= 5)
+      |SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+      |       CAST(1 AS BIGINT) AS recall_ge_06
+      |FROM top5""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir).embeddings
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivfpq = SimilarityOps.ivfPqTopKRerank(emb, q, "vec_id",
+        "embedding", 5, dim = 64, nlist = 8, nprobe = 4, m = 8,
+        ksub = 32, shortlist = 60, pqIters = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ivfpq, Seq("query_id", "neighbor_id"),
+      "left_semi")
+    exact.agg(count(lit(1)).as("exact_pairs"))
+      .crossJoin(hits.agg(count(lit(1)).as("pq_hits")))
+      .select(col("exact_pairs"),
+        (col("pq_hits").cast("double") / col("exact_pairs") >= 0.6)
+          .cast("long").as("recall_ge_06"))
+  }
+
   /** Multimodal plumbing in the gate: the mapPartitions feature-extract
     * pipeline's schema/byte-length outputs vs SQL (the stub codec's hash
     * and feature vector are rows-only, covered in ScalaTest). */
@@ -1570,8 +1609,8 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
-      d09, d10, d11, st08, s01, s02, s03, s04, s05, s06, s07, s08, m01,
-      m02, m03, m04,
+      d09, d10, d11, st08, s01, s02, s03, s04, s05, s06, s07, s08, s09,
+      m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, in01, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }

@@ -542,6 +542,38 @@ case class PqEncodeExpr(child: Expression,
       : PqEncodeExpr = copy(child = newChild)
 }
 
+/** Element-wise vector difference over two ARRAY<DOUBLE> columns (the
+  * IVF-PQ residual v − c): the zip_with(-) lambda equivalent, but
+  * codegen-eligible primitive loops instead of interpreted per-element
+  * dispatch — this runs once per corpus row at encode time. Lengths
+  * must match; the shorter bound is used defensively. */
+case class VecSubExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_sub"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x(i) - y(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSubExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class HammingDistanceExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 

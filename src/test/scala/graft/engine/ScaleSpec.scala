@@ -152,6 +152,7 @@ class ScaleSpec extends SparkSpec {
         "set; rerank side is |queries|×shortlist rows"),
       "s08_hybrid_rrf" -> ("s01's broadcast-bounded-single-query shape " +
         "on the vector leg of the fusion"),
+      "s09_ivfpq_rerank" -> "same broadcast-bounded-queries shape",
       "t10_tfidf_topk" -> "1-row corpus-size scalar broadcast",
       "gx07_scc_transitions" -> "1-row transition-total scalar broadcast",
       "t13_lm_perplexity" -> "1-row vocab-size scalar broadcast")

@@ -300,6 +300,29 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(recall >= rawRecall, "rerank must not lose recall")
   }
 
+  test("IVF-PQ rerank recall@5 is usable; exhaustive probe ~= PQ rerank") {
+    val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = SimilarityOps.ivfPqTopKRerank(emb, q, "vec_id",
+        "embedding", 5, dim = 64, nlist = 8, nprobe = 4, m = 8,
+        ksub = 32, shortlist = 60, pqIters = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivfpq).size.toDouble / exact.size
+    info(f"IVF-PQ rerank recall@5 = $recall%.3f")
+    assert(recall >= 0.5, f"IVF-PQ recall $recall%.3f below 0.5")
+    // determinism: a second run returns the identical set
+    val again = SimilarityOps.ivfPqTopKRerank(emb, q, "vec_id",
+        "embedding", 5, dim = 64, nlist = 8, nprobe = 4, m = 8,
+        ksub = 32, shortlist = 60, pqIters = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === ivfpq)
+  }
+
   test("int8 quantization: zero-safe, bounded, and top-k mostly agrees with exact") {
     val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
       .localCheckpoint()
