@@ -197,11 +197,19 @@ object TextOps {
     * whole-text shingle can't repeat). High values flag boilerplate and
     * degenerate repetition; the standard cheap pretraining-quality gate
     * alongside [[nChars]]/[[meanWordLen]]. */
-  def dupNgramFraction(text: Column, n: Int): Column = {
+  def dupNgramFraction(text: Column, n: Int): Column =
+    dupNgramMilli(text, n).cast("double") / 10000
+
+  /** The duplicated-n-gram fraction as an exact INTEGER of 1e-4 units
+    * (floor((1 − distinct/total)·10⁴)) — value-identical to
+    * `dupNgramFraction × 10⁴`, but summable across docs with integer
+    * exactness: corpus rollups that average the per-doc metric must
+    * aggregate these (a sum of floored doubles is shuffle-order
+    * dependent at the ulp level; a sum of longs is not). */
+  def dupNgramMilli(text: Column, n: Int): Column = {
     val sh = DedupOps.shingles(text, n)
-    graft.queries.Det.floor4(
-      lit(1.0) - size(array_distinct(sh)).cast("double") /
-        size(sh).cast("double"))
+    floor((lit(1.0) - size(array_distinct(sh)).cast("double") /
+      size(sh).cast("double")) * 10000).cast("long")
   }
 
   /** SymSpell-style fuzzy self-join for entity resolution / typo

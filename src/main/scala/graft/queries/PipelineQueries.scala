@@ -1417,6 +1417,70 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** CORPUS DATASHEET: the per-language summary a curation run reports
+    * — doc/token counts, mean length, PII email hits, mean duplicated-
+    * bigram fraction, exact-dup count — in ONE plan (one scan + the
+    * fingerprint window + one rollup). Averages of per-doc metrics
+    * aggregate in INTEGER space (token counts; dup fractions as 1e-4
+    * units via dupNgramMilli) because a sum of floored doubles is
+    * shuffle-order dependent at the ulp level and a sum of longs is
+    * not — the datasheet is hash-pinned, so that distinction is load-
+    * bearing. */
+  val p17 = QueryDef.sql("p17_corpus_datasheet",
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text,
+       |    string_split($normSql, ' ') AS ws
+       |  FROM documents),
+       |per AS (
+       |  SELECT doc_id, lang,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+       |      AS nt,
+       |    CAST(floor((1.0 - CAST(
+       |        CASE WHEN len(ws) < 2 THEN 1
+       |          ELSE len(list_distinct([ws[i] || ' ' || ws[i+1]
+       |            FOR i IN generate_series(1, len(ws) - 1)])) END
+       |          AS DOUBLE)
+       |        / CASE WHEN len(ws) < 2 THEN 1 ELSE len(ws) - 1 END)
+       |      * 10000) AS BIGINT) AS d2m,
+       |    CAST(len(regexp_extract_all(text, '$emailSqlRe')) AS BIGINT)
+       |      AS ne,
+       |    md5($normSql) AS fp
+       |  FROM base),
+       |canon AS (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canon FROM per)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  ${Det.floor2Sql("CAST(sum(nt) AS DOUBLE) / count(*)")}
+       |    AS avg_tokens,
+       |  CAST(sum(ne) AS BIGINT) AS n_emails,
+       |  ${Det.floor4Sql(
+            "CAST(sum(d2m) AS DOUBLE) / (count(*) * 10000.0)")}
+       |    AS avg_dup2,
+       |  CAST(sum(CASE WHEN canon <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact_dups
+       |FROM canon GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val per = Tables(s, dir).documents.select(col("doc_id"), col("lang"),
+      TextOps.tokenCount(col("text")).as("nt"),
+      TextOps.dupNgramMilli(col("text"), 2).as("d2m"),
+      TextOps.emailCount(col("text")).as("ne"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    val canon = per.withColumn("canon",
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+    canon.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        Det.floor2(sum(col("nt")).cast("double") / count(lit(1)))
+          .as("avg_tokens"),
+        sum(col("ne")).as("n_emails"),
+        Det.floor4(sum(col("d2m")).cast("double") /
+          (count(lit(1)) * 10000.0)).as("avg_dup2"),
+        sum(when(col("canon") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_exact_dups"))
+      .orderBy(col("lang"))
+  }
+
   /** JSONL training-export serialization: the (doc, shard) rows a
     * sharded JSONL writer emits, with every serialized line pinned
     * byte-for-byte against DuckDB's compact JSON of the same struct —
@@ -1612,5 +1676,6 @@ object PipelineQueries {
       d09, d10, d11, st08, s01, s02, s03, s04, s05, s06, s07, s08, s09,
       m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, in01, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+      p14, p15, p16, p17, in01, t06, t07, t08, t09, t10, t11, t12, t13,
+      t14)
 }
