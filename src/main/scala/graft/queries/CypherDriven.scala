@@ -728,7 +728,10 @@ object CypherDriven {
         s"st10_hll_${memSink.incrementAndGet()}",
         df => graft.streaming.EventStreams.windowedApproxDistinct(
           df, "user_id", watermark = "0 seconds"),
-        org.apache.spark.sql.streaming.OutputMode.Complete)
+        org.apache.spark.sql.streaming.OutputMode.Complete,
+        // few hundred hour-windows of sketch state: 32 state-store
+        // partitions cost more in per-store overhead than they win
+        statePartitions = Some(4))
       .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
         .as("window_start"), col("n_approx"))
     val exact = Tables(s, dir).events
