@@ -212,6 +212,46 @@ object TextOps {
       size(sh).cast("double")) * 10000).cast("long")
   }
 
+  /** Tokenizer vocabulary: the top-`k` corpus words by (count DESC,
+    * word ASC) with DENSE integer ids 0..k−1 in that order — the
+    * word→id table a tokenizer ships. The global sort+limit is a
+    * TakeOrderedAndProject (per-task heaps); the id window then runs
+    * over the BOUNDED k-row result, never the corpus. */
+  def buildVocab(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(explode(split(normalize(col(textCol)), " "))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(k)
+      .localCheckpoint() // bounded k rows; the window below is over this
+    words.withColumn("id", (row_number().over(
+        Window.orderBy(col("n").desc, col("word"))) - 1).cast("long"))
+      .select(col("word"), col("id"), col("n"))
+  }
+
+  /** Encode each document as its vocabulary-id sequence (OOV → −1),
+    * serialized as a comma-joined string (engine-portable; an array at
+    * the boundary is the same join). One posexplode + one broadcast
+    * join against the bounded vocab + a per-doc re-collect. */
+  def encodeTokenIds(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val exploded = df.select(col(idCol),
+        posexplode(split(normalize(col(textCol)), " "))
+          .as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    exploded
+      .join(broadcast(vocab.select(col("word"), col("id"))),
+        Seq("word"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(-1L)))
+      .groupBy(col(idCol))
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("pos"), col("tid")))),
+        s => s.getField("tid"))).as("token_ids"))
+  }
+
   /** SymSpell-style fuzzy self-join for entity resolution / typo
     * clustering: all pairs of rows whose strings are within edit
     * distance 1, WITHOUT an all-pairs comparison. Blocking key = the

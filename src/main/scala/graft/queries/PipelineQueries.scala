@@ -1417,6 +1417,37 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer id-encoding: top-100 vocabulary (count DESC, word ASC →
+    * dense ids) and every document re-expressed as its id sequence
+    * (OOV → −1) — the corpus→tokens step of a training pipeline, with
+    * both the vocab ORDER and every doc's full sequence pinned. */
+  val t15 = QueryDef.sql("t15_token_ids",
+    s"""WITH w AS (
+       |  SELECT unnest(string_split($normSql, ' ')) AS word
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word) - 1
+       |      AS BIGINT) AS id
+       |  FROM (SELECT word, count(*) AS n FROM w
+       |        WHERE length(word) > 0 GROUP BY 1
+       |        ORDER BY n DESC, word LIMIT 100)),
+       |ex AS (
+       |  SELECT doc_id, u.pos, u.word
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents),
+       |    unnest([{'pos': i, 'word': ws[i]}
+       |      FOR i IN generate_series(1, len(ws))]) AS t(u)
+       |  WHERE length(u.word) > 0)
+       |SELECT doc_id, array_to_string(
+       |    list(coalesce(id, -1) ORDER BY pos), ',') AS token_ids
+       |FROM ex LEFT JOIN vocab USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val vocab = TextOps.buildVocab(docs, "text", k = 100)
+    TextOps.encodeTokenIds(docs, "doc_id", "text", vocab)
+      .orderBy(col("doc_id"))
+  }
+
   /** CORPUS DATASHEET: the per-language summary a curation run reports
     * — doc/token counts, mean length, PII email hits, mean duplicated-
     * bigram fraction, exact-dup count — in ONE plan (one scan + the
@@ -1677,5 +1708,5 @@ object PipelineQueries {
       m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, in01, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14)
+      t14, t15)
 }
