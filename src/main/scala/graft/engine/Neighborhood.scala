@@ -50,6 +50,42 @@ object Neighborhood {
       .agg(count_distinct(col("id")).as("n_reach"))
   }
 
+  /** The NEIGHBORHOOD FUNCTION N(k) = Σ_v |ball(v, k)| estimated by
+    * HyperBall — the quantity the algorithm exists for (Boldi & Vigna
+    * use it for effective diameter / centralities). One row per hop
+    * 0..maxHops with the summed sketch estimates; per hop the driver
+    * receives ONE scalar. The exact pair expansion is Θ(Σ|ball|) —
+    * quadratic once balls reach component size — which is precisely
+    * why the sketch path is the only one that survives diameter-scale
+    * hops on a 100 TB graph. */
+  def neighborhoodFunction(g: GraphState, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    import g.vertices.sparkSession.implicits._
+    val e = undirected(g.edges)
+    var sk = g.vertices.groupBy(col("id"))
+      .agg(hll_sketch_agg(col("id")).as("sk"))
+      .localCheckpoint()
+    def total(): Long = sk.agg(
+      sum(hll_sketch_estimate(col("sk"))).cast("long")).collect()(0)
+      .getLong(0)
+    val out = Seq.newBuilder[(Long, Long)]
+    out += ((0L, total()))
+    var k = 0
+    while (k < maxHops) {
+      k += 1
+      val nbr = sk.join(e, sk("id") === e("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(hll_union_agg(col("sk")).as("nsk"))
+      sk = sk.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          when(col("nsk").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
+        .localCheckpoint()
+      out += ((k.toLong, total()))
+    }
+    out.result().toDF("k", "n_est")
+  }
+
   /** HyperBall: per-vertex HLL sketch of the ≤k-hop reach set.
     * Returns (id, estimate LONG). One aggregation + one join per hop;
     * sketch size is fixed, so shuffle volume is |E| sketches per round

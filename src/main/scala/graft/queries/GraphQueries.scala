@@ -445,7 +445,108 @@ object GraphQueries {
     scc.orderBy(col("id"))
   }
 
+  /** NEIGHBORHOOD FUNCTION + effective diameter via HyperBall — the
+    * algorithm's actual purpose (Boldi & Vigna 2013). N(k) = Σ|ball(k)|
+    * for k = 0..4 over the undirected membership graph: the EXACT pair
+    * expansion is Θ(Σ|ball|), which at k = 4 is Σ_r T_r² ≈ |V|²/|R| —
+    * the quadratic blowup that makes sketches the only 100 TB path —
+    * so the exact side derives from the ontology's counting identities
+    * (per-nation/region member algebra, the same closed-form style as
+    * gx06/gx02), and the HLL estimates certify within 5% per hop with
+    * integer-exact comparisons. The effective diameter (min k with
+    * N(k) ≥ 0.9·N(4)) is computed FROM THE ESTIMATES and must match
+    * the closed form's. */
+  val gx08 = QueryDef.sql("gx08_effective_diameter",
+    """WITH mn AS (
+      |  SELECT n_nationkey AS nk, n_regionkey AS rk,
+      |    coalesce(c.cn, 0) + coalesce(s.sn, 0) AS m
+      |  FROM nation
+      |  LEFT JOIN (SELECT c_nationkey, count(*) AS cn FROM customer
+      |             GROUP BY 1) c ON c_nationkey = n_nationkey
+      |  LEFT JOIN (SELECT s_nationkey, count(*) AS sn FROM supplier
+      |             GROUP BY 1) s ON s_nationkey = n_nationkey),
+      |rg AS (SELECT rk, count(*) AS kr, sum(m) AS mr FROM mn
+      |       GROUP BY rk),
+      |j AS (SELECT mn.nk, mn.rk, mn.m, rg.kr, rg.mr,
+      |        rg.mr + rg.kr + 1 AS t
+      |      FROM mn JOIN rg USING (rk)),
+      |nf AS (
+      |  SELECT CAST(0 AS BIGINT) AS k,
+      |    CAST((SELECT sum(m) FROM j) + (SELECT count(*) FROM j)
+      |      + (SELECT count(*) FROM rg) AS BIGINT) AS n_reach
+      |  UNION ALL SELECT 1, CAST((SELECT sum(3*m + 2) FROM j)
+      |    + (SELECT sum(1 + kr) FROM rg) AS BIGINT)
+      |  UNION ALL SELECT 2,
+      |    CAST((SELECT sum(m*(m+2) + m + kr + 1) FROM j)
+      |    + (SELECT sum(mr + kr + 1) FROM rg) AS BIGINT)
+      |  UNION ALL SELECT 3,
+      |    CAST((SELECT sum(m*(m + kr + 1) + t) FROM j)
+      |    + (SELECT sum(mr + kr + 1) FROM rg) AS BIGINT)
+      |  UNION ALL SELECT 4, CAST((SELECT sum(m*t + t) FROM j)
+      |    + (SELECT sum(mr + kr + 1) FROM rg) AS BIGINT)),
+      |eff AS (SELECT min(k) AS ek FROM nf
+      |  WHERE n_reach * 10 >= 9 * (SELECT n_reach FROM nf WHERE k = 4))
+      |SELECT k, n_reach, CAST(1 AS BIGINT) AS certified,
+      |  CAST((SELECT ek FROM eff) AS BIGINT) AS eff_diameter
+      |FROM nf ORDER BY k""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val g = {
+      val full = TpchGraph(t)
+      graft.engine.GraphState(
+        full.vertices.filter(col("label").isin(
+          "customer", "supplier", "nation", "region")).localCheckpoint(),
+        full.edges.filter(col("edge_type").isin(
+          "IN_NATION", "IN_REGION")).localCheckpoint())
+    }
+    // HLL estimates (bounded: maxHops+1 rows, collected)
+    val est = graft.engine.Neighborhood.neighborhoodFunction(g, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est4 = est(4L)
+    val effEst = (0L to 4L).filter(k => est(k) * 10 >= 9 * est4).min
+    // exact N(k) from the same counting identities as the oracle
+    val mn = t.nation.select(col("n_nationkey").as("nk"),
+        col("n_regionkey").as("rk"))
+      .join(t.customer.groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("cn")), Seq("nk"), "left")
+      .join(t.supplier.groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("sn")), Seq("nk"), "left")
+      .select(col("nk"), col("rk"),
+        (coalesce(col("cn"), lit(0L)) + coalesce(col("sn"), lit(0L)))
+          .as("m"))
+    val rgW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rk"))
+    val j = mn.withColumn("kr", count(lit(1)).over(rgW))
+      .withColumn("mr", sum(col("m")).over(rgW))
+      .withColumn("t", col("mr") + col("kr") + lit(1L))
+      .localCheckpoint() // reused by all five N(k) aggregates
+    val rg = j.groupBy(col("rk")).agg(max(col("kr")).as("kr"),
+      max(col("mr")).as("mr"), max(col("t")).as("t"))
+    def scalar(df: org.apache.spark.sql.DataFrame): Long =
+      df.collect()(0).getLong(0)
+    val nReach: Map[Long, Long] = Map(
+      0L -> (scalar(j.agg((sum(col("m")) + count(lit(1))).cast("long")))
+        + scalar(rg.agg(count(lit(1)).cast("long")))),
+      1L -> (scalar(j.agg(sum(col("m") * 3 + 2).cast("long")))
+        + scalar(rg.agg(sum(col("kr") + 1).cast("long")))),
+      2L -> (scalar(j.agg(sum(col("m") * (col("m") + 2) + col("m")
+          + col("kr") + 1).cast("long")))
+        + scalar(rg.agg(sum(col("t")).cast("long")))),
+      3L -> (scalar(j.agg(sum(col("m") * (col("m") + col("kr") + 1)
+          + col("t")).cast("long")))
+        + scalar(rg.agg(sum(col("t")).cast("long")))),
+      4L -> (scalar(j.agg(sum(col("m") * col("t") + col("t"))
+          .cast("long")))
+        + scalar(rg.agg(sum(col("t")).cast("long")))))
+    import s.implicits._
+    (0L to 4L).map { k =>
+      val exact = nReach(k)
+      // 5% certification with integer-exact arithmetic
+      val cert = if (math.abs(est(k) - exact) * 20 <= exact) 1L else 0L
+      (k, exact, cert, effEst)
+    }.toDF("k", "n_reach", "certified", "eff_diameter")
+  }
+
   val all: Seq[QueryDef] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
-      gx03, gx04, gx05, gx06, gx07, gst01)
+      gx03, gx04, gx05, gx06, gx07, gx08, gst01)
 }
