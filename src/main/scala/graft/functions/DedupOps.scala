@@ -228,11 +228,14 @@ object DedupOps {
   /** Chunk-level exact dedup over content-defined chunks: a chunk
     * SURVIVES iff it is the globally first occurrence of its content
     * (ordered by doc id, then position); documents reassemble from
-    * surviving chunks in order. Same keep-first/reassemble discipline as
-    * [[segmentDedup]] — at 100 TB the window keys by the 16-byte chunk
-    * fingerprint — but robust to insert/delete edits between
-    * near-duplicate documents. Returns (id, text_cdc) for EVERY input
-    * document ('' when all its chunks were seen before). */
+    * surviving chunks in order. Same keep-first/reassemble discipline
+    * as [[segmentDedup]], but robust to insert/delete edits between
+    * near-duplicate documents. The keep-first window here keys by the
+    * chunk STRING (so the DuckDB oracle reproduces it exactly); at
+    * 100 TB swap the key for md5(chunk) and carry the text, bounding
+    * shuffle-key bytes at 16 per chunk — the same swap [[segmentDedup]]
+    * documents. Returns (id, text_cdc) for EVERY input document (''
+    * when all its chunks were seen before). */
   def cdcDedup(df: DataFrame, idCol: String, textCol: String,
       divisor: Int = 8): DataFrame = {
     val chunks = cdcChunks(df, idCol, textCol, divisor)

@@ -253,6 +253,11 @@ object SimilarityOps {
       .withColumn("res", shims.column(VecSubExpr(
         shims.expression(col("cvec")),
         shims.expression(cellCentroid(col("cell"))))))
+      // pinned: codebook seeding, the training sample, and the code
+      // table all read this frame — unpinned, each pays the per-row
+      // nlist-dot assignment + subtract again (the gx06 re-scan
+      // pathology). At cluster scale this is a persisted code table.
+      .localCheckpoint()
     val cb = trainPqCodebooks(assigned, "neighbor_id", "res",
       dim, m, ksub, pqIters, trainSample)
     val books = collectCodebooks(cb)

@@ -131,9 +131,11 @@ object TextOps {
   val htmlCommentPattern = "<!--[^>]*-->"
 
   /** `<script>…</script>` / `<style>…</style>` blocks whose body has no
-    * '<'. */
+    * '<' — one alternative PER tag name, so an opening `<script>` can
+    * never be closed by a stray `</style>` (the single-group form
+    * matched mismatched pairs and could swallow visible text). */
   val htmlScriptPattern =
-    "<(script|style)[^>]*>[^<]*</(script|style)[ ]*>"
+    "<script[^>]*>[^<]*</script[ ]*>|<style[^>]*>[^<]*</style[ ]*>"
 
   /** Any remaining open/close/void tag. */
   val htmlTagPattern = "</?[A-Za-z][^>]*>"

@@ -521,22 +521,28 @@ object GraphQueries {
       .localCheckpoint() // reused by all five N(k) aggregates
     val rg = j.groupBy(col("rk")).agg(max(col("kr")).as("kr"),
       max(col("mr")).as("mr"), max(col("t")).as("t"))
-    def scalar(df: org.apache.spark.sql.DataFrame): Long =
-      df.collect()(0).getLong(0)
+    // all five N(k) terms in TWO jobs (one per frame), not ten
+    // sequential scalar collects
+    val jRow = j.agg(
+      (sum(col("m")) + count(lit(1))).cast("long").as("j0"),
+      sum(col("m") * 3 + 2).cast("long").as("j1"),
+      sum(col("m") * (col("m") + 2) + col("m") + col("kr") + 1)
+        .cast("long").as("j2"),
+      sum(col("m") * (col("m") + col("kr") + 1) + col("t"))
+        .cast("long").as("j3"),
+      sum(col("m") * col("t") + col("t")).cast("long").as("j4"))
+      .collect()(0)
+    val rgRow = rg.agg(
+      count(lit(1)).cast("long").as("r0"),
+      sum(col("kr") + 1).cast("long").as("r1"),
+      sum(col("t")).cast("long").as("rt"))
+      .collect()(0)
     val nReach: Map[Long, Long] = Map(
-      0L -> (scalar(j.agg((sum(col("m")) + count(lit(1))).cast("long")))
-        + scalar(rg.agg(count(lit(1)).cast("long")))),
-      1L -> (scalar(j.agg(sum(col("m") * 3 + 2).cast("long")))
-        + scalar(rg.agg(sum(col("kr") + 1).cast("long")))),
-      2L -> (scalar(j.agg(sum(col("m") * (col("m") + 2) + col("m")
-          + col("kr") + 1).cast("long")))
-        + scalar(rg.agg(sum(col("t")).cast("long")))),
-      3L -> (scalar(j.agg(sum(col("m") * (col("m") + col("kr") + 1)
-          + col("t")).cast("long")))
-        + scalar(rg.agg(sum(col("t")).cast("long")))),
-      4L -> (scalar(j.agg(sum(col("m") * col("t") + col("t"))
-          .cast("long")))
-        + scalar(rg.agg(sum(col("t")).cast("long")))))
+      0L -> (jRow.getLong(0) + rgRow.getLong(0)),
+      1L -> (jRow.getLong(1) + rgRow.getLong(1)),
+      2L -> (jRow.getLong(2) + rgRow.getLong(2)),
+      3L -> (jRow.getLong(3) + rgRow.getLong(2)),
+      4L -> (jRow.getLong(4) + rgRow.getLong(2)))
     import s.implicits._
     (0L to 4L).map { k =>
       val exact = nReach(k)

@@ -101,9 +101,10 @@ object EventStreams {
     * inside the streaming aggregation — fixed-size per (window, key)
     * whatever the cardinality, the sketch argument that makes
     * count-distinct feasible in an unbounded stream (exact distinct
-    * would hold every user id in state forever). rsd defaults to
-    * Spark's 0.05; the st10 gate certifies the estimate against the
-    * exact batch count per window. */
+    * would hold every user id in state forever). rsd defaults to 0.02
+    * here (tighter than Spark's 0.05 default — a larger but still
+    * fixed-size sketch); the st10 gate certifies the estimate against
+    * the exact batch count per window. */
   def windowedApproxDistinct(events: DataFrame, keyCol: String,
       windowLen: String = "1 hour",
       watermark: String = "10 minutes",
@@ -120,11 +121,13 @@ object EventStreams {
 
   /** Streaming ordered funnel: per-user state is the completed stage
     * prefix; a user EMITS exactly once, when the last stage completes.
-    * Greedy earliest-first processing equals the batch
-    * `EventOps.funnel` semantics (stage k = earliest qualifying event
-    * at-or-after stage k−1) PROVIDED each user's events arrive in
-    * event-time order across micro-batches (within a batch they are
-    * sorted here); completed users keep a full-state tombstone so late
+    * Within a batch, stages resolve by a stage-outer earliest-first
+    * scan — exactly the batch `EventOps.funnel` semantics (stage k =
+    * earliest qualifying event at-or-after stage k−1), including
+    * equal-timestamp events regardless of delivery order. Across
+    * micro-batches the contract is: each user's events arrive in
+    * event-time order, with equal-timestamp events delivered in the
+    * same batch. Completed users keep a full-state tombstone so late
     * duplicates can't re-emit. Output times are epoch millis, matching
     * the batch gate's truncation. */
   def funnelStream(events: DataFrame, stages: Seq[String])
@@ -146,13 +149,22 @@ object EventStreams {
           var times = state.getOption.map(_.timesMicros).getOrElse(Nil)
           if (times.length >= stages.length) Iterator.empty // done
           else {
-            evs.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
-              .foreach { e =>
-                if (times.length < stages.length &&
-                    e.event_type == stages(times.length) &&
-                    (times.isEmpty || microsOf(e.ts) >= times.last))
-                  times = times :+ microsOf(e.ts)
-              }
+            val sorted = evs.toSeq
+              .sortBy(e => (microsOf(e.ts), e.event_id))
+            // stage-OUTER scan: each stage takes the earliest event of
+            // its type at-or-after the previous stage, re-scanning the
+            // batch — a single event-ordered pass would discard a
+            // qualifying event that sorts before the stage it follows
+            // at an equal timestamp and diverge from the batch funnel
+            var advanced = true
+            while (times.length < stages.length && advanced) {
+              val prev = times.lastOption.getOrElse(Long.MinValue)
+              val hit = sorted.find(e =>
+                e.event_type == stages(times.length) &&
+                  microsOf(e.ts) >= prev)
+              advanced = hit.isDefined
+              hit.foreach(e => times = times :+ microsOf(e.ts))
+            }
             if (times.nonEmpty) state.update(FunnelState(times))
             if (times.length == stages.length)
               Iterator.single(FunnelOut(uid, times.map(_ / 1000)))

@@ -65,6 +65,12 @@ class TextAndSimilaritySpec extends SparkSpec {
     // &amp;lt; → literal "&lt;" (amp decoded last), while &lt;b&gt; → <b>
     assert(out(3L) === "&lt; stays; <b> decodes")
     assert(out(4L) === "no markup at all")
+    // a stray </style> must NOT close an open <script>: the per-tag
+    // alternatives strip only the tags, keeping the visible text
+    val cross = df(schema,
+      Row(9L, "<script>var a=1;</style>visible<p>x</p>"))
+      .select(TextOps.htmlStrip(col("text"))).collect()(0).getString(0)
+    assert(cross === "var a=1; visible x")
     val ratios = d.select(col("id"),
         TextOps.visibleTextRatio(col("text")).as("r")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -146,6 +146,36 @@ class StreamingAndTemporalSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming funnel counts an equal-timestamp later-stage event") {
+    // click and view share a timestamp, click sorts FIRST (lower id):
+    // batch semantics still complete the funnel (t2 >= t1 with
+    // equality); the stage-outer scan must match
+    implicit val s = spark
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("funnel_tie")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val micros = t0.getTime * 1000L
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          R(1L, micros * 1000L, 7L, "click", 0.0),
+          R(2L, micros * 1000L, 7L, "view", 0.0),
+          R(3L, (micros + 1000000L) * 1000L, 7L, "purchase", 0.0))),
+        schema)
+      .write.mode("overwrite").parquet(dir.toString)
+    val out = EventStreams.runToMemory(spark, dir.toString,
+        "funnel_tie_q",
+        df => EventStreams.funnelStream(df,
+          Seq("view", "click", "purchase")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(out.toSeq == Seq((7L,
+      Seq(micros / 1000, micros / 1000, micros / 1000 + 1000))))
+  }
+
   test("temporal replayAsOf: last-write-wins + delete tombstones") {
     val log = df(logSchema,
       Row("v1", t("2024-01-01 00:00:00"), "insert", "a"),
