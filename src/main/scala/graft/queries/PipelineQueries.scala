@@ -357,6 +357,63 @@ object PipelineQueries {
     acc.orderBy(col("id1"), col("id2"))
   }
 
+  /** STREAMING ANN SERVE: the train-once/serve-many shape end-to-end —
+    * the IVF centroid catalog is trained once and persisted to parquet;
+    * query vectors arrive as a STREAM and each micro-batch probes the
+    * reloaded catalog. Probing is exhaustive (nprobe = nlist), which
+    * equals brute force for ANY centroids — so the streamed output
+    * hash-matches the EXACT cosine top-5 oracle: one gate pins catalog
+    * persistence, the streaming serve path, and search correctness. */
+  val st11 = QueryDef.sql("st11_stream_ann_serve",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |        round(list_dot_product(cv, qv) /
+      |          (sqrt(list_dot_product(cv, cv)) *
+      |           sqrt(list_dot_product(qv, qv))), 6) AS score
+      |      FROM c, q WHERE neighbor_id <> query_id)
+      |SELECT query_id, neighbor_id, score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) =>
+    import org.apache.spark.sql.types._
+    val emb = Tables(s, dir).embeddings
+    val tmp = java.nio.file.Files.createTempDirectory("st11")
+    // train once, persist the catalog
+    SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding",
+        nlist = 8, kmeansIters = 2)
+      .write.mode("overwrite").parquet(s"$tmp/catalog")
+    val catalog = s.read.parquet(s"$tmp/catalog")
+    // queries arrive as a stream
+    emb.filter(col("vec_id") < 10)
+      .write.mode("overwrite").parquet(s"$tmp/queries")
+    var acc = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("query_id", LongType),
+        StructField("neighbor_id", LongType),
+        StructField("score", DoubleType),
+        StructField("rank", LongType))))
+    val qSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = s.readStream.schema(qSchema).parquet(s"$tmp/queries")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc = acc.unionByName(SimilarityOps.ivfTopKWith(
+            emb, batch, "vec_id", "embedding", 5, catalog, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("score"),
+            col("rank"))
+          .localCheckpoint())
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    acc.orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact brute-force cosine top-5 for the first 10 vectors — the ANN
     * baseline, oracle-checked against DuckDB's list_dot_product. */
   val s01 = QueryDef.sql("s01_cosine_topk",
@@ -1704,8 +1761,8 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
-      d09, d10, d11, st08, s01, s02, s03, s04, s05, s06, s07, s08, s09,
-      m01, m02, m03, m04,
+      d09, d10, d11, st08, st11, s01, s02, s03, s04, s05, s06, s07, s08,
+      s09, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, in01, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15)

@@ -490,6 +490,28 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** ROLLUP subtotal lattice (the OLAP cube surface): per (flag,
+    * status), per flag, and grand-total rows from ONE pass — Spark
+    * plans rollup as a single Expand + aggregation, not three scans.
+    * Subtotal NULL markers coalesce to 'ALL' in both engines so the
+    * output is total-order sortable. */
+  val q32 = QueryDef.sql("q32_rollup",
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       |  coalesce(l_linestatus, 'ALL') AS status,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  ${Det.moneySumSql("l_extendedprice")} AS revenue
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY flag, status""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        Det.moneySum(col("l_extendedprice")).as("revenue"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("revenue"))
+      .orderBy(col("flag"), col("status"))
+  }
+
   /** Ordered funnel (view → click → purchase): each user's earliest
     * stage time that is at-or-after their previous stage's time. k−1
     * per-user aggregation passes, each reading only its stage's events
@@ -545,5 +567,5 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32)
 }
