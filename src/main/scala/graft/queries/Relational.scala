@@ -512,6 +512,37 @@ object Relational {
       .orderBy(col("flag"), col("status"))
   }
 
+  /** RANGE-frame trailing window (feature engineering: each event's
+    * trailing-hour activity): the frame is VALUE-based (all rows within
+    * 3600 epoch-seconds), not row-count-based — a distinct window
+    * surface from the ROWS frames elsewhere. Whole-second epoch
+    * ordering keeps the frame boundary identical across timestamp
+    * precisions (the st02 discipline); the windowed sum is exact
+    * DECIMAL. */
+  val q33 = QueryDef.sql("q33_trailing_window",
+    """SELECT event_id, CAST(n AS BIGINT) AS n_trailing,
+      |  CAST(sv AS DOUBLE) AS sum_trailing
+      |FROM (
+      |  SELECT event_id,
+      |    count(*) OVER w AS n,
+      |    sum(CAST(value AS DECIMAL(18,4))) OVER w AS sv
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables(s, dir).events
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(col("value").cast(
+            org.apache.spark.sql.types.DecimalType(18, 4))).over(w)
+          .cast("double").as("sum_trailing"))
+      .orderBy(col("event_id"))
+  }
+
   /** Ordered funnel (view → click → purchase): each user's earliest
     * stage time that is at-or-after their previous stage's time. k−1
     * per-user aggregation passes, each reading only its stage's events
@@ -567,5 +598,5 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33)
 }
