@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over the (user, type, timestamp) shape —
@@ -60,5 +61,64 @@ object EventOps {
         (datediff(col("w").cast("date"), col("cw").cast("date")) / 7)
           .cast("long").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Daily resample + forward fill (time-series gap filling): one row
+    * per (key, day) over the keys' global [min, max] observed-day
+    * range; a day with no observation carries the key's most recent
+    * observed value forward (`filled` = 1). The carried per-day
+    * observation is the day's LAST event (latest ts, id tie-break), so
+    * every output value is a verbatim input value — no float
+    * arithmetic, bit-exact across engines.
+    *
+    * Scale shape: one per-(key, day) aggregation with map-side
+    * combine, a broadcast of the 2-value global day range, and one
+    * per-key ordered window over the RESAMPLED grid (|keys| × |days|
+    * rows — the semantic output size), never a window over raw events.
+    */
+  def gapFillDaily(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val obs = events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(max_by(col(valueCol), struct(col(tsCol), col(idCol)))
+        .as("v"))
+    val range = obs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = obs.select(col("key")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("key"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ff = last(col("v"), ignoreNulls = true).over(w)
+    grid.join(obs, Seq("key", "day"), "left")
+      .select(col("key"), col("day"), ff.as("value_ff"),
+        (col("v").isNull && ff.isNotNull).cast("long").as("filled"))
+  }
+
+  /** Per-key ordered event-type signature: each event contributes one
+    * code character (`codes`: type → char, first match wins, unknown
+    * types → '?'), concatenated in (ts, id) order. The signature string
+    * is the input to regex sequence-pattern matching (the
+    * MATCH_RECOGNIZE idiom: funnel counts, anomaly motifs) — see gate
+    * q36_seq_pattern.
+    *
+    * Scale shape: per-key sorted collect_list — bounded by per-key
+    * activity (the same bound sessionization already accepts); the
+    * array_sort/transform lambdas run interpreted but only once per
+    * KEY over an already-aggregated array, not per raw event.
+    */
+  def eventSignature(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, idCol: String,
+      codes: Seq[(String, String)]): DataFrame = {
+    require(codes.nonEmpty, "eventSignature needs at least one code")
+    val code = codes.tail
+      .foldLeft(when(col(typeCol) === codes.head._1, lit(codes.head._2))) {
+        case (acc, (k, v)) => acc.when(col(typeCol) === k, lit(v))
+      }.otherwise(lit("?"))
+    events
+      .groupBy(col(keyCol).as("key"))
+      .agg(array_join(transform(array_sort(collect_list(struct(
+          col(tsCol).as("t"), col(idCol).as("i"), code.as("c")))),
+        x => x.getField("c")), "").as("sig"))
   }
 }

@@ -320,6 +320,42 @@ object CypherDriven {
       .orderBy(col("campaign"))
   }
 
+  /** Time-series gap filling (daily resample + forward fill): every
+    * sampled user gets one row per day of the global observed range;
+    * un-observed days carry the user's latest daily-last value forward
+    * with a `filled` marker. Values are carried verbatim (no float
+    * arithmetic), so the hash pins the resample grid, the per-day
+    * last-event choice (ts, id tie-break), and the fill provenance. */
+  val tj03 = QueryDef.sql("tj03_gapfill",
+    """WITH obs AS (
+      |  SELECT user_id AS key, CAST(ts AS DATE) AS day,
+      |    last(value ORDER BY ts, event_id) AS v
+      |  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+      |r AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series((SELECT d0 FROM r),
+      |    (SELECT d1 FROM r), INTERVAL 1 DAY)) AS DATE) AS day),
+      |grid AS (
+      |  SELECT k.key, days.day
+      |  FROM (SELECT DISTINCT key FROM obs) k CROSS JOIN days),
+      |f AS (
+      |  SELECT grid.key, grid.day, obs.v,
+      |    last_value(obs.v IGNORE NULLS) OVER (PARTITION BY grid.key
+      |      ORDER BY grid.day ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      CURRENT ROW) AS vf
+      |  FROM grid LEFT JOIN obs USING (key, day))
+      |SELECT key, strftime(day, '%Y-%m-%d') AS day, vf AS value_ff,
+      |  CAST((v IS NULL AND vf IS NOT NULL) AS BIGINT) AS filled
+      |FROM f ORDER BY key, day""".stripMargin) { (s, dir) =>
+    graft.functions.EventOps.gapFillDaily(
+        Tables(s, dir).events.filter(col("user_id") % 10 === 0),
+        "user_id", "ts", "event_id", "value")
+      .select(col("key"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("value_ff"), col("filled"))
+      .orderBy(col("key"), col("day"))
+  }
+
   /** CASE expression through the full Cypher stack: priority-bucketed
     * order counts (searched CASE feeding an aggregation). */
   val cy13 = QueryDef.sql("cy13_case_buckets",
@@ -751,5 +787,5 @@ object CypherDriven {
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, st01, st02, st03, st04, st05, st06, st07,
-      st09, st10, tj01, tj02)
+      st09, st10, tj01, tj02, tj03)
 }

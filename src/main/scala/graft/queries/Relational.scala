@@ -596,7 +596,93 @@ object Relational {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** PIVOT (long → wide conditional aggregation): daily event counts
+    * with one column per event type. Spark's native `pivot` with an
+    * EXPLICIT value list — no driver-side distinct-scan to discover
+    * columns, so the plan is a single groupBy with map-side partial
+    * aggregation (same shape as any other agg; values-list pivots are
+    * 100 TB-safe, discovered-values pivots are not). */
+  val q34 = QueryDef.sql("q34_pivot",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables(s, dir).events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("day"))
+  }
+
+  /** CUBE: the full 2ᵏ grouping-set lattice (rollup's superset — adds
+    * the status-only subtotal rollup lacks), disambiguated by the
+    * grouping_id bitmask, which must agree bit-for-bit across engines
+    * (leftmost grouping column = most significant bit). */
+  val q35 = QueryDef.sql("q35_cube",
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       |  coalesce(l_linestatus, 'ALL') AS status,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  ${Det.moneySumSql("l_extendedprice")} AS revenue
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY gid, flag, status""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        Det.moneySum(col("l_extendedprice")).as("revenue"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("revenue"))
+      .orderBy(col("gid"), col("flag"), col("status"))
+  }
+
+  /** Sequence-pattern matching over per-user event histories (the
+    * MATCH_RECOGNIZE idiom): encode each user's (ts, id)-ordered
+    * events as a one-char-per-event signature, then count
+    * non-overlapping `view (click)* purchase` runs and flag
+    * error-right-after-purchase motifs by regex. Greedy leftmost
+    * non-overlapping semantics agree between Java regex and RE2 for
+    * this pattern class (bounded classes + star — the repo's regex
+    * portability rule). */
+  val q36 = QueryDef.sql("q36_seq_pattern",
+    """WITH sig AS (
+      |  SELECT user_id AS key,
+      |    string_agg(CASE event_type WHEN 'view' THEN 'v'
+      |        WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+      |        WHEN 'signup' THEN 's' ELSE 'e' END,
+      |      '' ORDER BY ts, event_id) AS sig
+      |  FROM events GROUP BY 1)
+      |SELECT key,
+      |  CAST(len(regexp_extract_all(sig, 'vc*p')) AS BIGINT)
+      |    AS n_funnels,
+      |  CAST(regexp_matches(sig, 'pe') AS BIGINT)
+      |    AS error_after_purchase
+      |FROM sig ORDER BY key""".stripMargin) { (s, dir) =>
+    graft.functions.EventOps.eventSignature(Tables(s, dir).events,
+        "user_id", "event_type", "ts", "event_id",
+        Seq("view" -> "v", "click" -> "c", "purchase" -> "p",
+          "signup" -> "s", "error" -> "e"))
+      .select(col("key"),
+        size(regexp_extract_all(col("sig"), lit("vc*p"), lit(0)))
+          .cast("long").as("n_funnels"),
+        col("sig").rlike("pe").cast("long").as("error_after_purchase"))
+      .orderBy(col("key"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
 }

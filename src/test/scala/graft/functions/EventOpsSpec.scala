@@ -41,6 +41,59 @@ class EventOpsSpec extends SparkSpec {
     assert(out(2L)._3 === null) // no purchase
   }
 
+  private val vschema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("ts", TimestampType),
+    StructField("value", DoubleType)))
+
+  test("gapFillDaily fills gaps forward, marks fills, keeps leading nulls") {
+    val ev = df(vschema,
+      // user 1: days 1 and 3 observed; day 2 must carry 1.5 forward.
+      // Day 1 has TWO events — the later one (10:30) must win.
+      Row(1L, 10L, "view", t("2024-01-01 10:00:00"), 9.0),
+      Row(1L, 11L, "view", t("2024-01-01 10:30:00"), 1.5),
+      Row(1L, 12L, "view", t("2024-01-03 10:00:00"), 3.0),
+      // user 2: first observed day 2 → day 1 row stays null, not filled
+      Row(2L, 20L, "view", t("2024-01-02 10:00:00"), 7.0))
+    val out = EventOps.gapFillDaily(ev, "user_id", "ts", "event_id",
+        "value").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (Option(r.get(2)), r.getLong(3))).toMap
+    assert(out.size === 6) // 2 users x 3 days
+    assert(out((1L, "2024-01-01")) === (Some(1.5), 0L))
+    assert(out((1L, "2024-01-02")) === (Some(1.5), 1L)) // filled
+    assert(out((1L, "2024-01-03")) === (Some(3.0), 0L))
+    assert(out((2L, "2024-01-01")) === (None, 0L)) // before first obs
+    assert(out((2L, "2024-01-02")) === (Some(7.0), 0L))
+    assert(out((2L, "2024-01-03")) === (Some(7.0), 1L))
+  }
+
+  test("gapFillDaily same-timestamp ties break by id") {
+    val ev = df(vschema,
+      Row(1L, 5L, "view", t("2024-01-01 10:00:00"), 100.0),
+      Row(1L, 6L, "view", t("2024-01-01 10:00:00"), 200.0))
+    val out = EventOps.gapFillDaily(ev, "user_id", "ts", "event_id",
+      "value").collect()
+    assert(out.length === 1 && out(0).getDouble(2) === 200.0)
+  }
+
+  test("eventSignature orders by (ts, id) and encodes types") {
+    val ev = df(vschema,
+      Row(1L, 2L, "click", t("2024-01-01 10:00:00"), 0.0),
+      Row(1L, 1L, "view", t("2024-01-01 10:00:00"), 0.0), // id ties first
+      Row(1L, 3L, "purchase", t("2024-01-01 11:00:00"), 0.0),
+      Row(1L, 4L, "mystery", t("2024-01-01 12:00:00"), 0.0),
+      Row(2L, 5L, "signup", t("2024-01-01 09:00:00"), 0.0))
+    val out = EventOps.eventSignature(ev, "user_id", "event_type", "ts",
+        "event_id",
+        Seq("view" -> "v", "click" -> "c", "purchase" -> "p",
+          "signup" -> "s", "error" -> "e"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "vcp?", 2L -> "s"))
+  }
+
   test("retentionWeekly cohorts by first-seen week") {
     val ev = df(schema,
       Row(1L, "view", t("2024-01-01 10:00:00")), // week of Jan 1 (Mon)
