@@ -505,4 +505,55 @@ object DedupOps {
       .withColumn("contamination", graft.queries.Det.floor4(
         col("n_contaminated").cast("double") / col("n_shingles")))
   }
+
+  /** Duplicated-SPAN detection (substring-level dedup à la Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * every position-anchored `n`-word window that occurs more than once
+    * ANYWHERE in the corpus (other docs or elsewhere in the same doc)
+    * marks its token range duplicated; per document, overlapping ranges
+    * are merged (gaps-and-islands) into maximal spans. Documents
+    * shorter than `n` words have no spans by definition.
+    *
+    * Returns one row per input document:
+    * (doc_id, n_spans, dup_tokens, total_tokens,
+    *  dup_bp = ⌊dup_tokens·10⁴ / total_tokens⌋ — integer basis points,
+    * exact on every engine).
+    *
+    * Scale shape: windows come from the native shingle-list expression
+    * (map-side explode); the duplicate test is one count-over-window
+    * keyed by the window CONTENT (at 100 TB key by the 16-byte
+    * fingerprint of the window instead); island-merge windows are
+    * per-document and bounded by document length. No joins except the
+    * final per-doc left join back to the corpus frame. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val sh = df
+      .filter(TextOps.tokenCount(col(textCol)) >= n)
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingleList(col(textCol), n)).as(Seq("pos", "g")))
+    val dup = sh
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("c") > 1)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = dup
+      .withColumn("prev", lag(col("pos"), 1).over(wd))
+      .withColumn("island",
+        sum((col("prev").isNull || col("pos") - col("prev") > n - 1)
+          .cast("long")).over(wd))
+    val spans = isl.groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + n).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("dup_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        TextOps.tokenCount(col(textCol)).as("total_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("total_tokens"),
+        when(col("total_tokens") === 0, lit(0L))
+          .otherwise(expr(
+            "coalesce(dup_tokens, 0L) * 10000L div total_tokens"))
+          .as("dup_bp"))
+  }
 }

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupOps, SamplingOps, SimilarityOps, TextOps}
+import graft.functions.{DedupOps, ImportanceOps, SamplingOps,
+  SimilarityOps, TextOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators as correctness-gate entries: text
@@ -1759,11 +1760,92 @@ object PipelineQueries {
       .select(col("doc_id"), col("w"), col("__wkey").as("sample_key"))
   }
 
+  /** DSIR-style hashed n-gram importance scoring (target domain =
+    * English docs): exact-integer surrogate of the log-ratio score —
+    * every per-doc score is pinned, so the hash proves the feature
+    * hashing, the 2×128-cell histogram, and the cross-bucket sum all
+    * agree with DuckDB bit-for-bit. */
+  val t16 = QueryDef.sql("t16_importance_scores",
+    s"""WITH gs AS (
+       |  SELECT doc_id, lang,
+       |    unnest(CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+       |      ELSE [ws[i] || ' ' || ws[i+1]
+       |            FOR i IN generate_series(1, len(ws) - 1)] END) AS g
+       |  FROM (SELECT doc_id, lang, string_split($normSql, ' ') AS ws
+       |        FROM documents)),
+       |gb AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+       |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 128 AS b
+       |  FROM gs),
+       |stats AS (
+       |  SELECT b, count(*) AS r_cnt, sum(t) AS t_cnt
+       |  FROM gb GROUP BY b),
+       |tot AS (
+       |  SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM stats)
+       |SELECT doc_id,
+       |  CAST(sum(t_cnt * r_tot - r_cnt * t_tot) AS BIGINT) AS score
+       |FROM gb JOIN stats USING (b) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    ImportanceOps.hashedNgramImportance(Tables(s, dir).documents,
+        "doc_id", "text", isTarget = col("lang") === "en",
+        n = 2, buckets = 128)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Substring-level duplicated-span detection (Lee et al. 2022): any
+    * 8-word window occurring twice anywhere in the corpus marks its
+    * range; ranges merge per doc into maximal spans. The oracle
+    * recomputes windows, global duplicate counts, and the
+    * gaps-and-islands merge — the hash pins span boundaries, counts,
+    * and the integer basis-point duplicated fraction. */
+  val d12 = QueryDef.sql("d12_span_dedup",
+    s"""WITH ws AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |            FROM documents),
+       |sh AS (
+       |  SELECT doc_id, u.i - 1 AS pos, u.g
+       |  FROM (SELECT doc_id,
+       |          [{'i': i, 'g': array_to_string(ws[i:i+7], ' ')}
+       |           FOR i IN generate_series(1, len(ws) - 7)] AS l
+       |        FROM ws WHERE len(ws) >= 8),
+       |    unnest(l) AS t(u)),
+       |dup AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c
+       |    FROM sh) WHERE c > 1),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev > 7 THEN 1 ELSE 0
+       |        END) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id
+       |          ORDER BY pos) AS prev FROM dup)),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_spans, sum(mx - mn + 8)
+       |    AS dup_tokens
+       |  FROM (SELECT doc_id, island, min(pos) AS mn, max(pos) AS mx
+       |        FROM isl GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |tt AS (
+       |  SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+       |    ELSE len(string_split($normSql, ' ')) END AS total_tokens
+       |  FROM documents)
+       |SELECT tt.doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(total_tokens AS BIGINT) AS total_tokens,
+       |  CAST(CASE WHEN total_tokens = 0 THEN 0
+       |    ELSE coalesce(dup_tokens, 0) * 10000 // total_tokens END
+       |    AS BIGINT) AS dup_bp
+       |FROM tt LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    DedupOps.duplicatedSpans(Tables(s, dir).documents, "doc_id", "text",
+        n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
-      d09, d10, d11, st08, st11, s01, s02, s03, s04, s05, s06, s07, s08,
-      s09, m01, m02, m03, m04,
+      d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
+      s08, s09, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, in01, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15)
+      t14, t15, t16)
 }

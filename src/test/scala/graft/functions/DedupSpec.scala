@@ -248,4 +248,52 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == "m n")
     assert(out.size == 4) // every input doc present
   }
+
+  test("duplicatedSpans merges overlapping cross-doc windows") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight nine" // 9 words
+    val corpus = Seq(
+      (1L, s"$shared alpha beta"),            // 11 words, spans 0..1
+      (2L, s"gamma delta $shared"),           // shared at offset 2
+      (3L, "unique words that appear nowhere else in any other document"),
+      (4L, "tiny doc")                        // < 8 words: no spans
+    ).toDF("doc_id", "text")
+    val out = DedupOps.duplicatedSpans(corpus, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // doc 1: windows at pos 0 and 1 both duplicated (present in doc 2),
+    // merged into ONE span covering tokens 0..8 → 9 tokens of 11.
+    assert(out(1L) == (1L, 9L, 11L, 9L * 10000 / 11))
+    assert(out(2L) == (1L, 9L, 11L, 9L * 10000 / 11))
+    assert(out(3L) == (0L, 0L, 10L, 0L))
+    assert(out(4L) == (0L, 0L, 2L, 0L))
+  }
+
+  test("duplicatedSpans counts within-doc repetition") {
+    import spark.implicits._
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val corpus = Seq((1L, s"$eight mid $eight")).toDF("doc_id", "text")
+    // The 8-word block repeats inside the same doc: windows at pos 0
+    // and pos 9 share content → both marked, two disjoint spans.
+    val out = DedupOps.duplicatedSpans(corpus, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(out == ((1L, 2L, 16L, 17L, 16L * 10000 / 17)))
+  }
+
+  test("hashedNgramImportance ranks target-like docs above off-target") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta", 1L),
+      (2L, "alpha beta gamma delta", 1L),
+      (3L, "zeta eta theta iota kappa lambda", 0L),
+      (4L, "alpha beta alpha beta", 0L) // target-LIKE but not in target
+    ).toDF("doc_id", "text", "is_en")
+    val out = ImportanceOps.hashedNgramImportance(corpus, "doc_id",
+        "text", isTarget = col("is_en") === 1L)
+      .as[(Long, Long)].collect().toMap
+    // Doc 4 shares the target's dominant bigram: must outscore doc 3,
+    // which shares nothing with the target distribution.
+    assert(out(4L) > out(3L))
+    assert(out(1L) > out(3L))
+  }
 }
