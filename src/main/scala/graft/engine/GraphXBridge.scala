@@ -225,4 +225,85 @@ object GraphXBridge {
     cur.groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("core_degree"))
   }
+
+  /** Synchronous label propagation (community detection), fully
+    * deterministic: every round, each vertex adopts the label most
+    * frequent among its neighbors' previous-round labels, ties broken
+    * by MINIMUM label (GraphX's own LabelPropagation breaks ties by
+    * map-iteration order — not reproducible, so this is the
+    * DataFrame re-expression with a pinned tie-break). Initial label =
+    * vertex id. Input contract matches [[kCore]]: canonical
+    * (src < dst, distinct) undirected edges.
+    *
+    * Scale shape: per round, one (id, label) count aggregation with
+    * map-side combine and one argmax via row_number-over-window —
+    * Spark rewrites the rn=1 filter to WindowGroupLimit, so only each
+    * partition's top candidate row reaches the final exchange.
+    * localCheckpoint cuts lineage per round (the kCore/BFS loop
+    * discipline). */
+  def labelPropagation(edges: DataFrame, rounds: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
+      .localCheckpoint()
+    var labels = sym.select(col("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to rounds) {
+      val cnt = sym
+        .join(labels.withColumnRenamed("id", "nbr"), Seq("nbr"))
+        .groupBy(col("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(col("c").desc, col("label").asc)
+      labels = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("id"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Personalized PageRank in EXACT integer arithmetic: ranks are
+    * integer mass (seed mass 10¹² per seed), each iteration pushes
+    * `(rank div deg) div 2` along every edge and re-injects
+    * `seedMass div 2` at the seeds — i.e. α = 1/2 with floor division,
+    * so every intermediate value is a BIGINT and the result is
+    * bit-identical on any engine and any aggregation order (doubles
+    * would make cross-engine PPR unverifiable; floor-div loses < 1
+    * unit of mass per edge per round, irrelevant for ranking).
+    *
+    * Input contract matches [[kCore]]: canonical undirected edges;
+    * `seeds` is a 1-column (`id`) frame. Returns (id, rank) for
+    * vertices with positive rank after `iters` rounds.
+    *
+    * Scale shape: per round, one broadcast-sized rank frame joined to
+    * the edge list and one per-vertex sum — the standard distributed
+    * power iteration; degree frame computed once and reused. */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
+      iters: Int, seedMass: Long = 1000000000000L)
+      (implicit spark: SparkSession): DataFrame = {
+    val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val seedIds = deg.join(seeds, Seq("id"), "left_semi")
+      .select(col("id")).localCheckpoint()
+    var r = seedIds.withColumn("rank", lit(seedMass))
+    for (_ <- 1 to iters) {
+      val contrib = r.join(deg, Seq("id"))
+        .select(col("id"), expr("rank div deg").as("c"))
+        .join(sym, Seq("id"))
+        .groupBy(col("nbr").as("id"))
+        .agg(sum(col("c")).as("s"))
+      r = contrib
+        .join(seedIds.withColumn("is_seed", lit(1L)), Seq("id"), "outer")
+        .select(col("id"),
+          (expr("coalesce(s, 0L) div 2") +
+            when(col("is_seed") === 1L, lit(seedMass / 2))
+              .otherwise(lit(0L))).as("rank"))
+        .filter(col("rank") > 0).localCheckpoint()
+    }
+    r
+  }
 }

@@ -324,6 +324,95 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** Deterministic synchronous label propagation (2 rounds) over the
+    * co-purchase graph: adopt the most frequent neighbor label, ties →
+    * minimum label (GraphX's own LPA tie-breaks by map order — not
+    * reproducible — so the engine is the DataFrame re-expression). The
+    * oracle replays both rounds with window argmax; the hash pins every
+    * vertex's community label, including every tie-break. */
+  val gx09 = QueryDef.sql("gx09_label_propagation",
+    """WITH e0 AS (
+      |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey),
+      |sym AS (SELECT src AS id, dst AS nbr FROM e0
+      |        UNION ALL SELECT dst, src FROM e0),
+      |l0 AS (SELECT DISTINCT id, id AS label FROM sym),
+      |c1 AS (SELECT s.id, l.label, count(*) AS c
+      |       FROM sym s JOIN l0 l ON l.id = s.nbr GROUP BY 1, 2),
+      |l1 AS (SELECT id, label FROM (
+      |        SELECT id, label, row_number() OVER (PARTITION BY id
+      |          ORDER BY c DESC, label) AS rn FROM c1) WHERE rn = 1),
+      |c2 AS (SELECT s.id, l.label, count(*) AS c
+      |       FROM sym s JOIN l1 l ON l.id = s.nbr GROUP BY 1, 2),
+      |l2 AS (SELECT id, label FROM (
+      |        SELECT id, label, row_number() OVER (PARTITION BY id
+      |          ORDER BY c DESC, label) AS rn FROM c2) WHERE rn = 1)
+      |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+      |FROM l2 ORDER BY id""".stripMargin) { (s, dir) =>
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    graft.engine.GraphXBridge
+      .labelPropagation(coPurchaseEdges(s, dir), rounds = 2)
+      .orderBy(col("id"))
+  }
+
+  /** Personalized PageRank (3 exact-integer power iterations, α = 1/2,
+    * floor division) from the parts customer 1 purchased, over the
+    * co-purchase graph. Integer mass makes the per-vertex rank — not a
+    * float approximation of it — the thing the oracle hash-checks;
+    * the DuckDB side replays the same three push rounds. */
+  val gx10 = QueryDef.sql("gx10_personalized_pagerank",
+    """WITH e0 AS (
+      |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey),
+      |sym AS (SELECT src AS id, dst AS nbr FROM e0
+      |        UNION ALL SELECT dst, src FROM e0),
+      |deg AS (SELECT id, count(*) AS deg FROM sym GROUP BY id),
+      |seeds AS (SELECT DISTINCT l_partkey AS id FROM lineitem
+      |          JOIN orders ON o_orderkey = l_orderkey
+      |          WHERE o_custkey = 1),
+      |sg AS (SELECT d.id FROM deg d JOIN seeds s ON s.id = d.id),
+      |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM sg),
+      |p1 AS (SELECT sym.nbr AS id, sum(r0.rank // deg.deg) AS s
+      |       FROM r0 JOIN deg USING (id) JOIN sym USING (id)
+      |       GROUP BY 1),
+      |r1 AS (SELECT * FROM (
+      |        SELECT coalesce(p1.id, sg.id) AS id,
+      |          (coalesce(p1.s, 0) // 2) + (CASE WHEN sg.id IS NOT NULL
+      |            THEN 500000000000 ELSE 0 END) AS rank
+      |        FROM p1 FULL JOIN sg ON sg.id = p1.id) WHERE rank > 0),
+      |p2 AS (SELECT sym.nbr AS id, sum(r1.rank // deg.deg) AS s
+      |       FROM r1 JOIN deg USING (id) JOIN sym USING (id)
+      |       GROUP BY 1),
+      |r2 AS (SELECT * FROM (
+      |        SELECT coalesce(p2.id, sg.id) AS id,
+      |          (coalesce(p2.s, 0) // 2) + (CASE WHEN sg.id IS NOT NULL
+      |            THEN 500000000000 ELSE 0 END) AS rank
+      |        FROM p2 FULL JOIN sg ON sg.id = p2.id) WHERE rank > 0),
+      |p3 AS (SELECT sym.nbr AS id, sum(r2.rank // deg.deg) AS s
+      |       FROM r2 JOIN deg USING (id) JOIN sym USING (id)
+      |       GROUP BY 1),
+      |r3 AS (SELECT * FROM (
+      |        SELECT coalesce(p3.id, sg.id) AS id,
+      |          (coalesce(p3.s, 0) // 2) + (CASE WHEN sg.id IS NOT NULL
+      |            THEN 500000000000 ELSE 0 END) AS rank
+      |        FROM p3 FULL JOIN sg ON sg.id = p3.id) WHERE rank > 0)
+      |SELECT CAST(id AS BIGINT) AS id, CAST(rank AS BIGINT) AS rank
+      |FROM r3 ORDER BY id""".stripMargin) { (s, dir) =>
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val t = Tables(s, dir)
+    val seeds = t.lineitem
+      .join(t.orders.filter(col("o_custkey") === 1),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").cast("long").as("id")).distinct()
+    graft.engine.GraphXBridge
+      .personalizedPageRankInt(coPurchaseEdges(s, dir), seeds, iters = 3)
+      .orderBy(col("id"))
+  }
+
   private val storeId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The persistence round-trip IN the correctness gate: the graph
@@ -554,5 +643,5 @@ object GraphQueries {
 
   val all: Seq[QueryDef] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
-      gx03, gx04, gx05, gx06, gx07, gx08, gst01)
+      gx03, gx04, gx05, gx06, gx07, gx08, gx09, gx10, gst01)
 }

@@ -278,4 +278,61 @@ class TraversalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(nf == Map(0L -> 4L, 1L -> 10L, 2L -> 14L))
   }
+
+  test("labelPropagation converges to communities with min-label ties") {
+    implicit val s = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val eSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    // two triangles {1,2,3} and {6,7,8} joined by the bridge 3-6
+    val fixture = df(eSchema,
+      Row(1L, 2L), Row(1L, 3L), Row(2L, 3L),
+      Row(6L, 7L), Row(6L, 8L), Row(7L, 8L), Row(3L, 6L))
+    // Round 1: every label count is 1, so each vertex takes its MIN
+    // neighbor id: 1→2? no — min nbr of 1 is 2's... enumerate:
+    // N(1)={2,3}→2, N(2)={1,3}→1, N(3)={1,2,6}→1, N(6)={3,7,8}→3,
+    // N(7)={6,8}→6, N(8)={6,7}→6.
+    val r1 = GraphXBridge.labelPropagation(fixture, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      6L -> 3L, 7L -> 6L, 8L -> 6L))
+    // Round 2 from r1: counts now matter; e.g. N(6) labels
+    // {3→1, 7→6, 8→6} → 6 wins by count.
+    val r2 = GraphXBridge.labelPropagation(fixture, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(6L) == 6L)
+    // tie at vertex 3: labels {1→2, 2→1, 6→3} all count 1 → min = 1
+    assert(r2(3L) == 1L)
+  }
+
+  test("personalizedPageRankInt: exact integer masses on a path") {
+    implicit val s = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val eSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    // path 1-2-3, seed at 1, one iteration, mass 100:
+    // push: 1 has deg 1 → 100 to 2; r1(2) = 100/2 = 50,
+    // r1(1) = 0/2 + 50 (seed re-injection), r1(3) = 0.
+    val fixture = df(eSchema, Row(1L, 2L), Row(2L, 3L))
+    val seeds = df(StructType(Seq(StructField("id", LongType))), Row(1L))
+    val r1 = GraphXBridge
+      .personalizedPageRankInt(fixture, seeds, iters = 1, seedMass = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 50L, 2L -> 50L))
+    // second iteration: 2 (deg 2) pushes 25 each way; 1 (deg 1)
+    // pushes 50 to 2. r2(1) = 25/2=12 + 50, r2(2) = 50/2=25,
+    // r2(3) = 25/2 = 12.
+    val r2 = GraphXBridge
+      .personalizedPageRankInt(fixture, seeds, iters = 2, seedMass = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 62L, 2L -> 25L, 3L -> 12L))
+    // seeds not present in the graph are ignored
+    val seeds2 = df(StructType(Seq(StructField("id", LongType))),
+      Row(1L), Row(99L))
+    assert(GraphXBridge.personalizedPageRankInt(fixture, seeds2,
+      iters = 1, seedMass = 100L).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L))
+  }
 }
