@@ -155,7 +155,10 @@ class ScaleSpec extends SparkSpec {
       "s09_ivfpq_rerank" -> "same broadcast-bounded-queries shape",
       "t10_tfidf_topk" -> "1-row corpus-size scalar broadcast",
       "gx07_scc_transitions" -> "1-row transition-total scalar broadcast",
-      "t13_lm_perplexity" -> "1-row vocab-size scalar broadcast")
+      "t13_lm_perplexity" -> "1-row vocab-size scalar broadcast",
+      "tj03_gapfill" -> "1-row global day-range broadcast (grid bounds)",
+      "t16_importance_scores" ->
+        "1-row histogram-totals scalar broadcast")
     val dir = sf("sf0.001")
     val offenders = graft.SparkEntry.allQueries.flatMap { q =>
       val plan = q.run(spark, dir).queryExecution.executedPlan.toString
