@@ -783,9 +783,42 @@ object CypherDriven {
       .orderBy(col("window_start"))
   }
 
+  /** Streaming sequence-pattern matching vs the batch regex: the
+    * bounded two-state automaton (one (pos, count) pair per user — the
+    * state that stays O(1) while the batch signature string grows with
+    * history) must produce exactly the per-user non-overlapping
+    * `view click* purchase` match counts the q36 regex finds. Append
+    * mode: one row per completed match, aggregated per user. */
+  val st12 = QueryDef.sql("st12_stream_seq_match",
+    """WITH sig AS (
+      |  SELECT user_id AS key,
+      |    string_agg(CASE event_type WHEN 'view' THEN 'v'
+      |        WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+      |        WHEN 'signup' THEN 's' ELSE 'e' END,
+      |      '' ORDER BY ts, event_id) AS sig
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT key,
+      |  CAST(len(regexp_extract_all(sig, 'vc*p')) AS BIGINT)
+      |    AS n_matches FROM sig)
+      |SELECT key, n_matches FROM m WHERE n_matches > 0
+      |ORDER BY key""".stripMargin) { (s, dir) =>
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val tmp = java.nio.file.Files.createTempDirectory("st12_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      tmp.resolve("events.parquet"))
+    graft.streaming.EventStreams.runToMemory(s, tmp.toString,
+        s"st12_seq_${memSink.incrementAndGet()}",
+        df => graft.streaming.EventStreams.sequenceMatchStream(
+          df, "view", Set("click"), "purchase"))
+      .groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("key"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, st01, st02, st03, st04, st05, st06, st07,
-      st09, st10, tj01, tj02, tj03)
+      st09, st10, st12, tj01, tj02, tj03)
 }

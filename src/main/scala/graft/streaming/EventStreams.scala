@@ -173,6 +173,62 @@ object EventStreams {
       }.toDF()
   }
 
+  final case class SeqMatchState(pos: Int, count: Long)
+  final case class SeqMatchOut(user_id: Long, match_no: Long,
+    end_millis: Long)
+
+  /** Streaming sequence-pattern matching (the MATCH_RECOGNIZE idiom,
+    * streaming form): per user, count non-overlapping
+    * `start middle* end` runs with a two-state automaton — state is
+    * ONE (position, count) pair per user, bounded forever, unlike the
+    * batch signature string which grows with history. Emits one
+    * Append-mode row per COMPLETED match (user, running match number,
+    * end-event time).
+    *
+    * The automaton replays Java/RE2 leftmost non-overlapping greedy
+    * semantics for this pattern family: in the armed state a `start`
+    * event re-anchors (the failed earlier attempt backtracks to the
+    * later anchor, exactly what the regex engine's scan does), a
+    * middle event holds, an `end` event completes, anything else
+    * disarms. Batch parity with the q36 regex gate is pinned by st12
+    * under the documented event-time-ordered source contract. */
+  def sequenceMatchStream(events: DataFrame, start: String,
+      middle: Set[String], end: String)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def microsOf(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    }
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqMatchState, SeqMatchOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[SeqMatchState]) =>
+          var st = state.getOption.getOrElse(SeqMatchState(0, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[SeqMatchOut]
+          evs.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach {
+            e =>
+              val c = e.event_type
+              if (st.pos == 0) {
+                if (c == start) st = st.copy(pos = 1)
+              } else {
+                if (c == end) {
+                  st = SeqMatchState(0, st.count + 1)
+                  out += SeqMatchOut(uid, st.count, microsOf(e.ts) / 1000)
+                } else if (middle.contains(c) || c == start) {
+                  // middle holds; start re-anchors (same armed state)
+                } else st = st.copy(pos = 0)
+              }
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   /** Gap-based sessionization, batch form (gaps-and-islands): a new
     * session starts when the whole-second delta to the previous event
     * exceeds `gapSeconds`. One shuffle on user_id; the running flags are

@@ -176,6 +176,58 @@ class StreamingAndTemporalSpec extends SparkSpec {
       Seq(micros / 1000, micros / 1000, micros / 1000 + 1000))))
   }
 
+  test("streaming sequence match equals the batch regex count") {
+    implicit val s = spark
+    val streamed = EventStreams.runToMemory(spark, eventsDir,
+        "seq_parity",
+        df => EventStreams.sequenceMatchStream(
+          df, "view", Set("click"), "purchase"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.functions.EventOps.eventSignature(
+        graft.sources.Tables(spark, sf("sf0.001")).events,
+        "user_id", "event_type", "ts", "event_id",
+        Seq("view" -> "v", "click" -> "c", "purchase" -> "p",
+          "signup" -> "s", "error" -> "e"))
+      .select(col("key"), size(regexp_extract_all(col("sig"),
+        lit("vc*p"), lit(0))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sequence automaton: re-anchor, disarm, and non-overlap") {
+    implicit val s = spark
+    import org.apache.spark.sql.{Row => R}
+    val dir = java.nio.file.Files.createTempDirectory("seq_cases")
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      .getTime * 1000L
+    def ev(id: Long, uid: Long, tpe: String) =
+      R(id, (base + id * 1000000L) * 1000L, uid, tpe, 0.0)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          // user 1: "vvp" — the second v re-anchors → 1 match
+          ev(1, 1, "view"), ev(2, 1, "view"), ev(3, 1, "purchase"),
+          // user 2: "vsp" — signup disarms → 0 matches (no rows)
+          ev(1, 2, "view"), ev(2, 2, "signup"), ev(3, 2, "purchase"),
+          // user 3: "vccpvp" — 2 non-overlapping matches
+          ev(1, 3, "view"), ev(2, 3, "click"), ev(3, 3, "click"),
+          ev(4, 3, "purchase"), ev(5, 3, "view"), ev(6, 3, "purchase"))),
+        schema)
+      .write.mode("overwrite").parquet(dir.toString)
+    val out = EventStreams.runToMemory(spark, dir.toString, "seq_cases_q",
+        df => EventStreams.sequenceMatchStream(
+          df, "view", Set("click"), "purchase"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 3L -> 2L))
+  }
+
   test("temporal replayAsOf: last-write-wins + delete tombstones") {
     val log = df(logSchema,
       Row("v1", t("2024-01-01 00:00:00"), "insert", "a"),
