@@ -642,4 +642,60 @@ object SimilarityOps {
     DedupOps.dupClusters(pairs, df.select(col(idCol)), idCol)
       .withColumn("keep", (col(idCol) === col("cluster_id")).cast("long"))
   }
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein 1998): greedily select k results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the standard
+    * redundancy-removal step for retrieved training/RAG context, where
+    * plain top-k returns k copies of the same passage.
+    *
+    * Determinism: rel and pairwise sims are the 6dp-rounded exact
+    * cosines (the s01 recipe — bit-identical across engines); the
+    * greedy objective is pure ×/− on those, ties broken by minimum id,
+    * so the whole selection is reproducible in SQL (the s10 oracle
+    * unrolls the k steps).
+    *
+    * Scale shape: the corpus-sized work is the exact shortlist
+    * (broadcast query × one corpus scan, TakeOrdered top-`shortlist`);
+    * the greedy phase touches only the shortlist (≤ `shortlist`² pair
+    * sims, computed distributed, then a BOUNDED driver collect of
+    * ≤ shortlist + shortlist² small rows — the centroid/landmark
+    * precedent). Returns (rank, neighbor_id, mmr_score). */
+  def mmrDiversifiedTopK(corpus: DataFrame, query: DataFrame,
+      idCol: String, vecCol: String, shortlist: Int = 20, k: Int = 5,
+      lambda: Double = 0.5): DataFrame = {
+    val spark = corpus.sparkSession
+    val cand = cosineTopK(corpus, query, idCol, vecCol, shortlist)
+      .select(col("neighbor_id").as("id"), col("score").as("rel"))
+    val vecs = corpus.join(broadcast(cand.select(col("id"))),
+        corpus(idCol) === col("id"))
+      .select(col("id"), asDouble(col(vecCol)).as("v"))
+    val sims = vecs.alias("a")
+      .join(broadcast(vecs.alias("b")),
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("s"))
+    val candRows = cand.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val simRows = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    var selected = Vector.empty[(Long, Double)] // (id, mmr score)
+    while (selected.size < k && selected.size < candRows.size) {
+      val chosen = candRows.keysIterator
+        .filterNot(id => selected.exists(_._1 == id))
+        .map { id =>
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.map(s => simRows((id, s._1))).max
+          id -> (lambda * candRows(id) - (1 - lambda) * maxSim)
+        }
+        // argmax by (score desc, id asc) — the oracle's ORDER BY
+        .minBy { case (id, ms) => (-ms, id) }
+      selected :+= chosen
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, ms), i) => (i + 1L, id, ms) }
+      .toDF("rank", "neighbor_id", "mmr_score")
+  }
 }

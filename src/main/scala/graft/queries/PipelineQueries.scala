@@ -1841,10 +1841,83 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MMR diversified top-5 (λ = 0.5) for query vector 0 over its exact
+    * top-20 shortlist. The oracle UNROLLS the five greedy steps in SQL
+    * (argmax of λ·rel − (1−λ)·max-sim-to-selected with min-id ties), so
+    * the hash pins every selection decision — the diversity/relevance
+    * trade-off itself, not just the final ids. */
+  val s10 = QueryDef.sql("s10_mmr_diversified",
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      |           WHERE vec_id = 0),
+      |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      |      FROM embeddings),
+      |rel0 AS (SELECT id, round(list_dot_product(v, qv) /
+      |    (sqrt(list_dot_product(v, v)) *
+      |     sqrt(list_dot_product(qv, qv))), 6) AS rel
+      |  FROM c, q WHERE id <> 0),
+      |cand AS (SELECT id, rel FROM (
+      |    SELECT id, rel, row_number() OVER (ORDER BY rel DESC, id)
+      |      AS rk FROM rel0) WHERE rk <= 20),
+      |cv AS (SELECT c.id, c.v FROM c JOIN cand ON cand.id = c.id),
+      |sim AS (SELECT a.id AS ia, b.id AS ib,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) AS s
+      |  FROM cv a JOIN cv b ON a.id <> b.id),
+      |sel1 AS (SELECT id, 0.5 * rel AS ms FROM cand
+      |         ORDER BY ms DESC, id LIMIT 1),
+      |sel2 AS (SELECT c.id, 0.5 * c.rel - 0.5 * (
+      |      SELECT max(s.s) FROM sim s WHERE s.ia = c.id
+      |      AND s.ib IN (SELECT id FROM sel1)) AS ms
+      |    FROM cand c WHERE c.id NOT IN (SELECT id FROM sel1)
+      |    ORDER BY ms DESC, c.id LIMIT 1),
+      |sel3 AS (SELECT c.id, 0.5 * c.rel - 0.5 * (
+      |      SELECT max(s.s) FROM sim s WHERE s.ia = c.id
+      |      AND s.ib IN (SELECT id FROM sel1
+      |                   UNION ALL SELECT id FROM sel2)) AS ms
+      |    FROM cand c WHERE c.id NOT IN (SELECT id FROM sel1
+      |                   UNION ALL SELECT id FROM sel2)
+      |    ORDER BY ms DESC, c.id LIMIT 1),
+      |sel4 AS (SELECT c.id, 0.5 * c.rel - 0.5 * (
+      |      SELECT max(s.s) FROM sim s WHERE s.ia = c.id
+      |      AND s.ib IN (SELECT id FROM sel1
+      |                   UNION ALL SELECT id FROM sel2
+      |                   UNION ALL SELECT id FROM sel3)) AS ms
+      |    FROM cand c WHERE c.id NOT IN (SELECT id FROM sel1
+      |                   UNION ALL SELECT id FROM sel2
+      |                   UNION ALL SELECT id FROM sel3)
+      |    ORDER BY ms DESC, c.id LIMIT 1),
+      |sel5 AS (SELECT c.id, 0.5 * c.rel - 0.5 * (
+      |      SELECT max(s.s) FROM sim s WHERE s.ia = c.id
+      |      AND s.ib IN (SELECT id FROM sel1
+      |                   UNION ALL SELECT id FROM sel2
+      |                   UNION ALL SELECT id FROM sel3
+      |                   UNION ALL SELECT id FROM sel4)) AS ms
+      |    FROM cand c WHERE c.id NOT IN (SELECT id FROM sel1
+      |                   UNION ALL SELECT id FROM sel2
+      |                   UNION ALL SELECT id FROM sel3
+      |                   UNION ALL SELECT id FROM sel4)
+      |    ORDER BY ms DESC, c.id LIMIT 1)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS rank, id AS neighbor_id,
+      |    ms AS mmr_score FROM sel1
+      |  UNION ALL SELECT 2, id, ms FROM sel2
+      |  UNION ALL SELECT 3, id, ms FROM sel3
+      |  UNION ALL SELECT 4, id, ms FROM sel4
+      |  UNION ALL SELECT 5, id, ms FROM sel5)
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir).embeddings
+    SimilarityOps.mmrDiversifiedTopK(
+        corpus = emb, query = emb.filter(col("vec_id") === 0),
+        idCol = "vec_id", vecCol = "embedding",
+        shortlist = 20, k = 5, lambda = 0.5)
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
-      s08, s09, m01, m02, m03, m04,
+      s08, s09, s10, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, in01, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16)

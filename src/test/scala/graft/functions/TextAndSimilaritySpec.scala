@@ -361,4 +361,26 @@ class TextAndSimilaritySpec extends SparkSpec {
       .join(g.vertices.select(col("id").as("src")), Seq("src"), "left_anti")
     assert(dangling.count() == 0)
   }
+
+  test("mmrDiversifiedTopK skips the redundant twin for a diverse pick") {
+    import spark.implicits._
+    // A (id 1) and its exact twin A2 (id 2) both have rel .9 to q; B
+    // (id 3, mirrored) also rel .9 but diverse (sim to A ≈ .62).
+    // Plain top-3 = (1, 2, 3) by id ties; MMR must select 1, then 3
+    // (the twin's marginal score .45−.5 < B's .45−.31), then 2.
+    val corpus = Seq(
+      (1L, Seq(0.9, 0.436, 0.0)),
+      (2L, Seq(0.9, 0.436, 0.0)),
+      (3L, Seq(0.9, -0.436, 0.0))).toDF("vec_id", "embedding")
+    val query = Seq((0L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.mmrDiversifiedTopK(corpus, query,
+        "vec_id", "embedding", shortlist = 3, k = 3, lambda = 0.5)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(out == Seq(1L, 3L, 2L))
+    // plain relevance top-3 would order purely by id tie-break
+    val plain = SimilarityOps.cosineTopK(corpus, query, "vec_id",
+        "embedding", 3).orderBy(col("rank"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(plain == Seq(1L, 2L, 3L))
+  }
 }
