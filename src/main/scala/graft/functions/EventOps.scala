@@ -63,6 +63,38 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** First/last-touch conversion attribution: for every conversion
+    * event, the user's first-ever and most recent touch event at or
+    * before it in EVENT ORDER — the (ts, id) lexicographic order, so a
+    * same-timestamp touch with a lower id counts and one with a higher
+    * id does not, deterministically on every engine. Conversions with
+    * no preceding touch keep NULL attribution.
+    *
+    * Scale shape: ONE per-user ordered window over the events (the
+    * sessionization shape — no self-join of conversions × touches,
+    * which is the naive quadratic form). first/last carry the touch
+    * STRUCT atomically, so type and time can never come from
+    * different rows. */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, touchTypes: Seq[String],
+      conversionType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col(typeCol).isin(touchTypes: _*),
+      struct(col(tsCol).as("t"), col(idCol).as("i"),
+        col(typeCol).as("y")))
+    events
+      .withColumn("__lt", last(touch, ignoreNulls = true).over(w))
+      .withColumn("__ft", first(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .select(col(idCol).as("conversion_id"), col(userCol).as("user"),
+        col("__lt.y").as("last_touch"),
+        unix_millis(col("__lt.t")).as("last_touch_ms"),
+        col("__ft.y").as("first_touch"),
+        unix_millis(col("__ft.t")).as("first_touch_ms"))
+  }
+
   /** Daily resample + forward fill (time-series gap filling): one row
     * per (key, day) over the keys' global [min, max] observed-day
     * range; a day with no observation carries the key's most recent

@@ -356,6 +356,41 @@ object CypherDriven {
       .orderBy(col("key"), col("day"))
   }
 
+  /** Trailing-median anomaly flags: per (event_type, day), a day is
+    * anomalous when its count exceeds 2× the median of the previous 7
+    * days (ROWS −7..−1; first days with an empty frame are un-flagged).
+    * Median of integer counts interpolates at .0/.5 — exactly
+    * representable, so the flag comparison is bit-portable. The robust
+    * (median-based) alternative to z-scores, which would need a
+    * non-portable stddev. */
+  val tj04 = QueryDef.sql("tj04_anomaly_flags",
+    """SELECT day, event_type, n,
+      |  med, CAST(CASE WHEN med IS NOT NULL AND n > 2 * med
+      |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+      |FROM (
+      |  SELECT day, event_type, n,
+      |    median(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS med
+      |  FROM (
+      |    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |      CAST(count(*) AS BIGINT) AS n
+      |    FROM events GROUP BY 1, 2))
+      |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val daily = Tables(s, dir).events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("med", expr("percentile(n, 0.5)").over(w))
+      .select(col("day"), col("event_type"), col("n"), col("med"),
+        (col("med").isNotNull && col("n") > col("med") * 2)
+          .cast("long").as("anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** CASE expression through the full Cypher stack: priority-bucketed
     * order counts (searched CASE feeding an aggregation). */
   val cy13 = QueryDef.sql("cy13_case_buckets",
@@ -820,5 +855,5 @@ object CypherDriven {
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, st01, st02, st03, st04, st05, st06, st07,
-      st09, st10, st12, tj01, tj02, tj03)
+      st09, st10, st12, tj01, tj02, tj03, tj04)
 }

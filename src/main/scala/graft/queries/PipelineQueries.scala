@@ -871,6 +871,23 @@ object PipelineQueries {
       .orderBy(col("id"))
   }
 
+  /** Columnar-interchange round-trip: the documents table written as
+    * ORC and read back must be byte-identical (text pinned through
+    * md5) to what the oracle reads from the original parquet — the
+    * second columnar sink/source (beyond parquet, JSONL, CSV/FHIR/HL7
+    * ingest) proven lossless end-to-end, not just spec-covered. */
+  val io01 = QueryDef.sql("io01_orc_roundtrip",
+    """SELECT doc_id, md5(text) AS fp, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val stage = java.nio.file.Files.createTempDirectory("io01_orc")
+    Tables(s, dir).documents
+      .write.mode("overwrite").orc(s"$stage/docs")
+    s.read.orc(s"$stage/docs")
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("lang"),
+        col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing (concat-and-chunk): each doc's global token
     * start offset and 512-token bin, in doc_id order. The oracle is a
     * plain running-sum window; the ENGINE side computes the same
@@ -1919,6 +1936,6 @@ object PipelineQueries {
       d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
       s08, s09, s10, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, in01, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16)
+      p14, p15, p16, p17, in01, io01, t06, t07, t08, t09, t10, t11, t12,
+      t13, t14, t15, t16)
 }

@@ -682,7 +682,63 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  /** First/last-touch conversion attribution: every purchase, with the
+    * user's most recent and first-ever marketing touch at-or-before it
+    * in (ts, id) event order — one per-user window, no
+    * conversions×touches self-join. NULL attribution (no prior touch)
+    * is part of the pinned result. */
+  val q37 = QueryDef.sql("q37_attribution",
+    """WITH x AS (
+      |  SELECT event_id, user_id, event_type,
+      |    last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+      |      THEN event_type END IGNORE NULLS) OVER w AS lt_type,
+      |    last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+      |      THEN ts END IGNORE NULLS) OVER w AS lt_ts,
+      |    first_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+      |      THEN event_type END IGNORE NULLS) OVER w AS ft_type,
+      |    first_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+      |      THEN ts END IGNORE NULLS) OVER w AS ft_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id AS conversion_id, user_id AS user,
+      |  lt_type AS last_touch, epoch_ms(lt_ts) AS last_touch_ms,
+      |  ft_type AS first_touch, epoch_ms(ft_ts) AS first_touch_ms
+      |FROM x WHERE event_type = 'purchase'
+      |ORDER BY conversion_id""".stripMargin) { (s, dir) =>
+    graft.functions.EventOps.attribution(Tables(s, dir).events,
+        "user_id", "event_type", "ts", "event_id",
+        touchTypes = Seq("view", "click", "signup"),
+        conversionType = "purchase")
+      .orderBy(col("conversion_id"))
+  }
+
+  /** Distribution window functions (ntile / percent_rank / cume_dist)
+    * per market segment — keyed windows (the repo's no-global-window
+    * discipline), total-ordered by (acctbal, custkey) so every bucket
+    * boundary is pinned. percent_rank and cume_dist are exact integer
+    * ratios evaluated identically on both engines. */
+  val q38 = QueryDef.sql("q38_ntile_stats",
+    """SELECT c_custkey,
+      |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |  ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(s, dir).customer
+      .select(col("c_custkey"),
+        ntile(10).over(w).cast("long").as("decile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
+    q38)
 }

@@ -94,6 +94,31 @@ class EventOpsSpec extends SparkSpec {
     assert(out === Map(1L -> "vcp?", 2L -> "s"))
   }
 
+  test("attribution: first/last touch in (ts, id) event order") {
+    val ev = df(vschema,
+      // user 1: view(1) → click(2) → purchase(3) → purchase(4):
+      // both purchases last-touch the click, first-touch the view
+      Row(1L, 1L, "view", t("2024-01-01 10:00:00"), 0.0),
+      Row(1L, 2L, "click", t("2024-01-01 11:00:00"), 0.0),
+      Row(1L, 3L, "purchase", t("2024-01-01 12:00:00"), 0.0),
+      Row(1L, 4L, "purchase", t("2024-01-01 13:00:00"), 0.0),
+      // user 2: click shares the purchase's timestamp with a LOWER id
+      // → counts; a same-ts HIGHER-id view must not
+      Row(2L, 10L, "click", t("2024-01-02 09:00:00"), 0.0),
+      Row(2L, 11L, "purchase", t("2024-01-02 09:00:00"), 0.0),
+      Row(2L, 12L, "view", t("2024-01-02 09:00:00"), 0.0),
+      // user 3: purchase with no touch at all → NULL attribution
+      Row(3L, 20L, "purchase", t("2024-01-03 10:00:00"), 0.0))
+    val out = EventOps.attribution(ev, "user_id", "event_type", "ts",
+        "event_id", Seq("view", "click", "signup"), "purchase")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(4))).toMap
+    assert(out(3L) == ("click", "view"))
+    assert(out(4L) == ("click", "view"))
+    assert(out(11L) == ("click", "click"))
+    assert(out(20L) == (null, null))
+  }
+
   test("retentionWeekly cohorts by first-seen week") {
     val ev = df(schema,
       Row(1L, "view", t("2024-01-01 10:00:00")), // week of Jan 1 (Mon)
