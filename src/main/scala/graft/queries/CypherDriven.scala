@@ -391,6 +391,42 @@ object CypherDriven {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Spark's NATIVE session_window operator (vs st02's hand-rolled
+    * gaps-and-islands): per-user 30-minute-gap sessions as one
+    * groupBy(session_window) aggregation — the built-in session merge,
+    * whose gap rule is STRICT (delta ≥ gap starts a new session, at
+    * full microsecond precision) unlike st02's whole-second >-rule;
+    * the oracle replays exactly that µs-precise strict rule, so the
+    * hash pins the native operator's boundary semantics. Session end
+    * is last-event + gap (the operator's [start, last+gap) window). */
+  val tj05 = QueryDef.sql("tj05_session_window",
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), y AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_seq
+      |  FROM x)
+      |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+      |  epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS session_end_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM y GROUP BY user_id, sess_seq
+      |ORDER BY user_id, session_start_ms""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+  }
+
   /** CASE expression through the full Cypher stack: priority-bucketed
     * order counts (searched CASE feeding an aggregation). */
   val cy13 = QueryDef.sql("cy13_case_buckets",
@@ -855,5 +891,5 @@ object CypherDriven {
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, st01, st02, st03, st04, st05, st06, st07,
-      st09, st10, st12, tj01, tj02, tj03, tj04)
+      st09, st10, st12, tj01, tj02, tj03, tj04, tj05)
 }

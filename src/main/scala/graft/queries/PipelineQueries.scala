@@ -888,6 +888,61 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1, the
+    * standard pretraining heuristics, re-thresholded for this corpus):
+    * word count in [50, 100k], mean word length in [3, 10], symbol
+    * ratio < 10% (compared in integer space: syms·10 < chars), ≥ 2
+    * English stopword hits. Every per-rule bit AND the final keep are
+    * pinned — the gate proves each rule's boundary, not just the
+    * survivor count. All metrics are scan-stage Columns (zero
+    * shuffle). */
+  val p18 = QueryDef.sql("p18_gopher_filter", {
+    val p = s"' ' || $normSql || ' '"
+    val stops = Seq("the", "a", "of", "and", "is").map { w =>
+      s"(length($p) - length(replace($p, ' $w ', ''))) / ${w.length + 2}"
+    }.mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    len(string_split($normSql, ' ')) AS n_words,
+       |    CAST(floor(CAST(length(regexp_replace(trim(text), '\\s+', '',
+       |        'g')) AS DOUBLE) * 100
+       |      / len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+       |      / 100 AS wlen,
+       |    length($normSql)
+       |      - length(regexp_replace($normSql, '[^a-z0-9 ]', '', 'g'))
+       |      AS syms,
+       |    length($normSql) AS nc,
+       |    CAST($stops AS BIGINT) AS stops
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_words,
+       |  CAST(wlen BETWEEN 3 AND 10 AS BIGINT) AS r_wlen,
+       |  CAST(syms * 10 < nc AS BIGINT) AS r_symbol,
+       |  CAST(stops >= 2 AS BIGINT) AS r_stop,
+       |  CAST(n_words BETWEEN 50 AND 100000 AND wlen BETWEEN 3 AND 10
+       |    AND syms * 10 < nc AND stops >= 2 AS BIGINT) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val norm = TextOps.normalize(col("text"))
+    val nWords = TextOps.tokenCount(col("text"))
+    val wlen = TextOps.meanWordLen(col("text"))
+    val syms = length(norm) -
+      length(regexp_replace(norm, "[^a-z0-9 ]", ""))
+    val rWords = nWords.between(50, 100000)
+    val rWlen = wlen.between(3, 10)
+    val rSymbol = syms * 10 < length(norm)
+    val rStop = TextOps.stopwordCount(col("text"),
+      Seq("the", "a", "of", "and", "is")) >= 2
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        rWords.cast("long").as("r_words"),
+        rWlen.cast("long").as("r_wlen"),
+        rSymbol.cast("long").as("r_symbol"),
+        rStop.cast("long").as("r_stop"),
+        (rWords && rWlen && rSymbol && rStop).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing (concat-and-chunk): each doc's global token
     * start offset and 512-token bin, in doc_id order. The oracle is a
     * plain running-sum window; the ENGINE side computes the same
@@ -1936,6 +1991,6 @@ object PipelineQueries {
       d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
       s08, s09, s10, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, in01, io01, t06, t07, t08, t09, t10, t11, t12,
-      t13, t14, t15, t16)
+      p14, p15, p16, p17, p18, in01, io01, t06, t07, t08, t09, t10, t11,
+      t12, t13, t14, t15, t16)
 }
