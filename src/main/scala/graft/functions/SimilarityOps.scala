@@ -660,7 +660,14 @@ object SimilarityOps {
     * the greedy phase touches only the shortlist (≤ `shortlist`² pair
     * sims, computed distributed, then a BOUNDED driver collect of
     * ≤ shortlist + shortlist² small rows — the centroid/landmark
-    * precedent). Returns (rank, neighbor_id, mmr_score). */
+    * precedent). NOTE: the collects make this operator EAGER — the
+    * shortlist scan and the two bounded joins (s01's allowlisted
+    * broadcast-query shape; a shortlist×shortlist nested-loop pair
+    * join, ≤ shortlist² rows by construction) execute at call time and
+    * the returned frame is a LocalRelation, so plan sweeps see only
+    * the final result; the joins' scale-safety argument lives here,
+    * mirroring the ScaleSpec allowlist. Returns
+    * (rank, neighbor_id, mmr_score). */
   def mmrDiversifiedTopK(corpus: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, shortlist: Int = 20, k: Int = 5,
       lambda: Double = 0.5): DataFrame = {

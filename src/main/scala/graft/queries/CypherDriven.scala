@@ -358,7 +358,10 @@ object CypherDriven {
 
   /** Trailing-median anomaly flags: per (event_type, day), a day is
     * anomalous when its count exceeds 2× the median of the previous 7
-    * days (ROWS −7..−1; first days with an empty frame are un-flagged).
+    * OBSERVED days (ROWS −7..−1 — zero-event days emit no row, so the
+    * frame is the last 7 rows, not a calendar window; compose with
+    * tj03's gap fill first for calendar semantics. First days with an
+    * empty frame are un-flagged).
     * Median of integer counts interpolates at .0/.5 — exactly
     * representable, so the flag comparison is bit-portable. The robust
     * (median-based) alternative to z-scores, which would need a
@@ -393,17 +396,18 @@ object CypherDriven {
 
   /** Spark's NATIVE session_window operator (vs st02's hand-rolled
     * gaps-and-islands): per-user 30-minute-gap sessions as one
-    * groupBy(session_window) aggregation — the built-in session merge,
-    * whose gap rule is STRICT (delta ≥ gap starts a new session, at
-    * full microsecond precision) unlike st02's whole-second >-rule;
-    * the oracle replays exactly that µs-precise strict rule, so the
-    * hash pins the native operator's boundary semantics. Session end
-    * is last-event + gap (the operator's [start, last+gap) window). */
+    * groupBy(session_window) aggregation. The operator MERGES events
+    * exactly `gap` apart (windows [t, t+gap) and [t+gap, t+2·gap) are
+    * adjacent and coalesce — verified empirically), so a new session
+    * starts only when delta > gap, at full microsecond precision; the
+    * oracle replays exactly that rule, pinning the built-in operator's
+    * boundary semantics. Session end is last-event + gap (the
+    * operator's [start, last+gap) window). */
   val tj05 = QueryDef.sql("tj05_session_window",
     """WITH x AS (
       |  SELECT user_id, ts, event_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |      THEN 1 ELSE 0 END AS new_sess
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -865,7 +869,8 @@ object CypherDriven {
       |  SELECT user_id AS key,
       |    string_agg(CASE event_type WHEN 'view' THEN 'v'
       |        WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
-      |        WHEN 'signup' THEN 's' ELSE 'e' END,
+      |        WHEN 'signup' THEN 's' WHEN 'error' THEN 'e'
+      |        ELSE '?' END,
       |      '' ORDER BY ts, event_id) AS sig
       |  FROM events GROUP BY 1),
       |m AS (SELECT key,

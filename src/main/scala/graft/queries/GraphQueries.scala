@@ -251,7 +251,10 @@ object GraphQueries {
     * gx10) iterate over this graph, and re-deriving the self-join +
     * distinct per gate dominated their wall time; at production scale
     * this materialization is a one-time bucketed-parquet write (the
-    * TpchGraph discipline). */
+    * TpchGraph discipline). Memo growth is bounded by the (session,
+    * dir) pairs a process ever uses (≤ #scale-factors per suite/bench
+    * run), and the checkpointed blocks die with their SparkContext —
+    * the same lifetime contract as TpchGraph's cache() memo. */
   private val coPurchaseMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]()

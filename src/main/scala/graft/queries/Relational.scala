@@ -662,7 +662,8 @@ object Relational {
       |  SELECT user_id AS key,
       |    string_agg(CASE event_type WHEN 'view' THEN 'v'
       |        WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
-      |        WHEN 'signup' THEN 's' ELSE 'e' END,
+      |        WHEN 'signup' THEN 's' WHEN 'error' THEN 'e'
+      |        ELSE '?' END,
       |      '' ORDER BY ts, event_id) AS sig
       |  FROM events GROUP BY 1)
       |SELECT key,
