@@ -632,13 +632,17 @@ object SimilarityOps {
     * set; banding additionally guarantees recall at a chosen threshold),
     * and the closure is one GraphX CC over |pairs| edges. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double): DataFrame = {
+      dim: Int, threshold: Double,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
     // GraphX materializes its edge RDD more than once while building and
     // iterating the graph — pin the LSH+re-score pipeline's result so
     // those passes replay a tiny pair table, not the whole pair search.
-    val pairs = cosineNearDupPairs(df, idCol, vecCol, dim, threshold)
-      .select(col("id1"), col("id2"))
-      .localCheckpoint()
+    // A caller that already ran the pair search (the d05 gate and this
+    // operator share it) can pass the pinned (id1, id2) frame instead.
+    val pairs = precomputedPairs.getOrElse(
+      cosineNearDupPairs(df, idCol, vecCol, dim, threshold)
+        .select(col("id1"), col("id2"))
+        .localCheckpoint())
     DedupOps.dupClusters(pairs, df.select(col(idCol)), idCol)
       .withColumn("keep", (col(idCol) === col("cluster_id")).cast("long"))
   }

@@ -33,6 +33,14 @@ object TextOps {
     * The content-hash basis for exact dedup. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Count of non-ASCII characters (codepoint > 0x7F) — the standard
+    * multilingual-curation signal (script detection pre-filter, mojibake
+    * flagging). Regex family portable between Java and RE2. */
+  def nonAsciiCount(text: Column): Column =
+    (length(text) -
+      length(regexp_replace(text, "[^\\x00-\\x7F]", "")))
+      .cast("long")
+
   /** Non-overlapping occurrence count of a literal needle. */
   def occurrences(text: Column, needle: String): Column =
     ((length(text) - length(replace(text, lit(needle), lit(""))))
