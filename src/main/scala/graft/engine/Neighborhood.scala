@@ -110,4 +110,36 @@ object Neighborhood {
     }
     sk.select(col("id"), hll_sketch_estimate(col("sk")).as("estimate"))
   }
+
+  /** HyperBall with PER-HOP snapshots: one row per vertex with columns
+    * est_1..est_maxHops — the ≤k-hop ball-size estimate after each
+    * round. The per-hop profile is what distance-distribution
+    * centralities (harmonic, closeness) need; running [[hyperBall]]
+    * k times would redo the earlier rounds each time. Same state
+    * discipline: one fixed-size sketch per vertex per round,
+    * localCheckpoint lineage cuts. */
+  def hyperBallHops(g: GraphState, maxHops: Int): DataFrame = {
+    require(maxHops >= 1)
+    val e = undirected(g.edges)
+    var sk = g.vertices.groupBy(col("id"))
+      .agg(hll_sketch_agg(col("id")).as("sk"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    var k = 0
+    while (k < maxHops) {
+      k += 1
+      val nbr = sk.join(e, sk("id") === e("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(hll_union_agg(col("sk")).as("nsk"))
+      sk = sk.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          when(col("nsk").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
+        .localCheckpoint()
+      val est = sk.select(col("id"),
+        hll_sketch_estimate(col("sk")).as(s"est_$k"))
+      out = if (out == null) est else out.join(est, Seq("id"))
+    }
+    out
+  }
 }

@@ -892,9 +892,44 @@ object CypherDriven {
       .orderBy(col("key"))
   }
 
+  /** Streaming attribution vs the batch window: bounded per-user state
+    * (two (type, ms) pairs) must reproduce q37's per-conversion
+    * first/last-touch assignment exactly — same oracle, restricted to
+    * the same columns. */
+  val st13 = QueryDef.sql("st13_stream_attribution",
+    """WITH x AS (
+      |  SELECT event_id, user_id, event_type,
+      |    last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+      |      THEN event_type END IGNORE NULLS) OVER w AS lt_type,
+      |    last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+      |      THEN ts END IGNORE NULLS) OVER w AS lt_ts,
+      |    first_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+      |      THEN event_type END IGNORE NULLS) OVER w AS ft_type,
+      |    first_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+      |      THEN ts END IGNORE NULLS) OVER w AS ft_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id AS conversion_id, user_id AS user,
+      |  lt_type AS last_touch, epoch_ms(lt_ts) AS last_touch_ms,
+      |  ft_type AS first_touch, epoch_ms(ft_ts) AS first_touch_ms
+      |FROM x WHERE event_type = 'purchase'
+      |ORDER BY conversion_id""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
+    val tmp = java.nio.file.Files.createTempDirectory("st13_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      tmp.resolve("events.parquet"))
+    graft.streaming.EventStreams.runToMemory(s, tmp.toString,
+        s"st13_attr_${memSink.incrementAndGet()}",
+        df => graft.streaming.EventStreams.attributionStream(
+          df, Set("view", "click", "signup"), "purchase"))
+      .orderBy(col("conversion_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, st01, st02, st03, st04, st05, st06, st07,
-      st09, st10, st12, tj01, tj02, tj03, tj04, tj05)
+      st09, st10, st12, st13, tj01, tj02, tj03, tj04, tj05)
 }

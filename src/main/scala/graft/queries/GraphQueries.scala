@@ -427,6 +427,93 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** The undirected membership subgraph (customer/supplier —IN_NATION→
+    * nation —IN_REGION→ region) that gx06/gx08/gx11 all iterate over —
+    * memoized per (session, dir) with lineage cuts, same bound and
+    * lifetime contract as the co-purchase memo. */
+  private val membershipMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), graft.engine.GraphState]()
+
+  private def membershipGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.engine.GraphState =
+    membershipMemo.computeIfAbsent((s, dir), _ => {
+      val full = TpchGraph(Tables(s, dir))
+      graft.engine.GraphState(
+        full.vertices.filter(col("label").isin(
+          "customer", "supplier", "nation", "region")).localCheckpoint(),
+        full.edges.filter(col("edge_type").isin(
+          "IN_NATION", "IN_REGION")).localCheckpoint())
+    })
+
+  /** HARMONIC CENTRALITY via HyperBall (Boldi & Vigna's headline
+    * application): H(v) = Σ_{u≠v} 1/d(v,u), computed here in EXACT
+    * integer space as H×12 = 12·b₁ + 6·b₂ + 4·b₃ + 3·b₄ (b_k = #
+    * vertices at distance exactly k; the membership graph's diameter
+    * is 4, and 12 is lcm(1..4) — no float division anywhere). The
+    * engine derives the exact layer counts from the ontology's
+    * counting identities IN-PLAN (the gx08 stance: the generic exact
+    * path is the Θ(Σ|ball|) pair explosion that sketches exist to
+    * avoid) and runs the REAL per-hop HyperBall sketches, certifying
+    * every hop's estimate within 5% of the exact ball size — so the
+    * hash pins both the centrality algebra and the sketch quality. */
+  val gx11 = QueryDef.sql("gx11_harmonic_centrality",
+    """WITH mn AS (
+      |  SELECT n_nationkey AS nk, n_regionkey AS rk,
+      |    coalesce(c.cn, 0) + coalesce(s.sn, 0) AS m
+      |  FROM nation
+      |  LEFT JOIN (SELECT c_nationkey, count(*) AS cn FROM customer
+      |             GROUP BY 1) c ON c_nationkey = n_nationkey
+      |  LEFT JOIN (SELECT s_nationkey, count(*) AS sn FROM supplier
+      |             GROUP BY 1) s ON s_nationkey = n_nationkey),
+      |rg AS (SELECT rk, count(*) AS kr, sum(m) AS mr FROM mn
+      |       GROUP BY rk)
+      |SELECT 'c:' || c_custkey AS id,
+      |  CAST(12 + 6 * m + 4 * (kr - 1) + 3 * (mr - m) AS BIGINT)
+      |    AS h12,
+      |  CAST(1 AS BIGINT) AS certified
+      |FROM customer
+      |JOIN mn ON mn.nk = c_nationkey
+      |JOIN rg ON rg.rk = mn.rk
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val g = membershipGraph(s, dir)
+    val est = graft.engine.Neighborhood.hyperBallHops(g, 4)
+    // exact per-customer layer counts from the counting identities:
+    // reach₁=2 (self+nation), reach₂=2+m, reach₃=1+m+kr, reach₄=1+kr+mr
+    val mn = t.nation.select(col("n_nationkey").as("nk"),
+        col("n_regionkey").as("rk"))
+      .join(t.customer.groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("cn")), Seq("nk"), "left")
+      .join(t.supplier.groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("sn")), Seq("nk"), "left")
+      .select(col("nk"), col("rk"),
+        (coalesce(col("cn"), lit(0L)) + coalesce(col("sn"), lit(0L)))
+          .as("m"))
+    val rgW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rk"))
+    val j = mn.withColumn("kr", count(lit(1)).over(rgW))
+      .withColumn("mr", sum(col("m")).over(rgW))
+    val exact = t.customer
+      .select(concat(lit("c:"), col("c_custkey")).as("id"),
+        col("c_nationkey").as("nk"))
+      .join(broadcast(j), Seq("nk"))
+      .select(col("id"),
+        (lit(12L) + col("m") * 6 + (col("kr") - 1) * 4 +
+          (col("mr") - col("m")) * 3).as("h12"),
+        lit(2L).as("r1"), (col("m") + 2).as("r2"),
+        (col("m") + col("kr") + 1).as("r3"),
+        (col("kr") + col("mr") + 1).as("r4"))
+    def ok(estC: org.apache.spark.sql.Column,
+        exactC: org.apache.spark.sql.Column) =
+      abs(estC - exactC) <= exactC * 0.05
+    exact.join(est, Seq("id"))
+      .select(col("id"), col("h12"),
+        (ok(col("est_1"), col("r1")) && ok(col("est_2"), col("r2")) &&
+          ok(col("est_3"), col("r3")) && ok(col("est_4"), col("r4")))
+          .cast("long").as("certified"))
+      .orderBy(col("id"))
+  }
+
   private val storeId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The persistence round-trip IN the correctness gate: the graph
@@ -472,19 +559,13 @@ object GraphQueries {
       |JOIN cn ON c_nationkey = cn.nk
       |LEFT JOIN sn ON c_nationkey = sn.nk
       |ORDER BY id""".stripMargin) { (s, dir) =>
-    val full = TpchGraph(Tables(s, dir))
-    // Pin the filtered subgraph ONCE: both expansions reference the
+    // Pinned memoized subgraph: both expansions reference the
     // vertex/edge frames in every hop's join AND across the exact/est
     // plans — unpinned, each of those jobs re-scans and re-codegens the
     // whole TpchGraph union-of-tables DAG (the dominant cost here). At
     // cluster scale this is persist()-to-memory; localCheckpoint is the
     // local[n] equivalent with lineage cut.
-    val g = graft.engine.GraphState(
-      full.vertices.filter(
-        col("label").isin("customer", "supplier", "nation", "region"))
-        .localCheckpoint(),
-      full.edges.filter(col("edge_type").isin("IN_NATION", "IN_REGION"))
-        .localCheckpoint())
+    val g = membershipGraph(s, dir)
     val exact = graft.engine.Neighborhood.exactSizes(g, hops = 2)
     val est = graft.engine.Neighborhood.hyperBall(g, hops = 2)
     exact.join(est, Seq("id"))
@@ -593,14 +674,7 @@ object GraphQueries {
       |  CAST((SELECT ek FROM eff) AS BIGINT) AS eff_diameter
       |FROM nf ORDER BY k""".stripMargin) { (s, dir) =>
     val t = Tables(s, dir)
-    val g = {
-      val full = TpchGraph(t)
-      graft.engine.GraphState(
-        full.vertices.filter(col("label").isin(
-          "customer", "supplier", "nation", "region")).localCheckpoint(),
-        full.edges.filter(col("edge_type").isin(
-          "IN_NATION", "IN_REGION")).localCheckpoint())
-    }
+    val g = membershipGraph(s, dir)
     // HLL estimates (bounded: maxHops+1 rows, collected)
     val est = graft.engine.Neighborhood.neighborhoodFunction(g, 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -657,5 +731,5 @@ object GraphQueries {
 
   val all: Seq[QueryDef] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
-      gx03, gx04, gx05, gx06, gx07, gx08, gx09, gx10, gst01)
+      gx03, gx04, gx05, gx06, gx07, gx08, gx09, gx10, gx11, gst01)
 }

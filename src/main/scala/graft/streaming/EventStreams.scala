@@ -229,6 +229,55 @@ object EventStreams {
       }.toDF()
   }
 
+  final case class AttrState(ftType: Option[String], ftMs: Option[Long],
+    ltType: Option[String], ltMs: Option[Long])
+  final case class AttrOut(conversion_id: Long, user: Long,
+    last_touch: Option[String], last_touch_ms: Option[Long],
+    first_touch: Option[String], first_touch_ms: Option[Long])
+
+  /** Streaming first/last-touch attribution: per-user state is TWO
+    * (type, millis) pairs — first-ever touch and most recent touch —
+    * O(1) forever; each conversion event emits one Append row carrying
+    * the state at its (ts, id) position. Must equal the batch
+    * `EventOps.attribution` exactly under the event-time-ordered
+    * source contract (gate st13). */
+  def attributionStream(events: DataFrame, touchTypes: Set[String],
+      conversionType: String)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def microsOf(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    }
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[AttrState]) =>
+          var st = state.getOption.getOrElse(
+            AttrState(None, None, None, None))
+          val out = scala.collection.mutable.ListBuffer.empty[AttrOut]
+          evs.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach {
+            e =>
+              if (touchTypes.contains(e.event_type)) {
+                val ms = microsOf(e.ts) / 1000
+                if (st.ftType.isEmpty)
+                  st = st.copy(ftType = Some(e.event_type),
+                    ftMs = Some(ms))
+                st = st.copy(ltType = Some(e.event_type),
+                  ltMs = Some(ms))
+              } else if (e.event_type == conversionType)
+                out += AttrOut(e.event_id, uid, st.ltType, st.ltMs,
+                  st.ftType, st.ftMs)
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   /** Gap-based sessionization, batch form (gaps-and-islands): a new
     * session starts when the whole-second delta to the previous event
     * exceeds `gapSeconds`. One shuffle on user_id; the running flags are

@@ -279,6 +279,25 @@ class TraversalSpec extends SparkSpec {
     assert(nf == Map(0L -> 4L, 1L -> 10L, 2L -> 14L))
   }
 
+  test("hyperBallHops snapshots every hop; sparse regime is exact") {
+    // path a-b-c-d: exact ball sizes are known per hop; HLL is exact
+    // at these cardinalities
+    val g = GraphState(
+      vertexDf(("a", "n", Map[String, String]()),
+        ("b", "n", Map[String, String]()),
+        ("c", "n", Map[String, String]()),
+        ("d", "n", Map[String, String]())),
+      edgeDf(("e1", "a", "b", "E"), ("e2", "b", "c", "E"),
+        ("e3", "c", "d", "E")))
+    val out = Neighborhood.hyperBallHops(g, 3)
+      .select("id", "est_1", "est_2", "est_3").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((2L, 3L, 4L)))
+    assert(out("b") == ((3L, 4L, 4L)))
+    assert(out("d") == ((2L, 3L, 4L)))
+  }
+
   test("labelPropagation converges to communities with min-label ties") {
     implicit val s = spark
     import org.apache.spark.sql.Row

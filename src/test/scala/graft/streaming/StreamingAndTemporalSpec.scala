@@ -228,6 +228,26 @@ class StreamingAndTemporalSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 3L -> 2L))
   }
 
+  test("streaming attribution equals the batch window attribution") {
+    implicit val s = spark
+    val streamed = EventStreams.runToMemory(spark, eventsDir,
+        "attr_parity",
+        df => EventStreams.attributionStream(
+          df, Set("view", "click", "signup"), "purchase"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    val batch = graft.functions.EventOps.attribution(
+        graft.sources.Tables(spark, sf("sf0.001")).events,
+        "user_id", "event_type", "ts", "event_id",
+        Seq("view", "click", "signup"), "purchase")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("temporal replayAsOf: last-write-wins + delete tombstones") {
     val log = df(logSchema,
       Row("v1", t("2024-01-01 00:00:00"), "insert", "a"),
