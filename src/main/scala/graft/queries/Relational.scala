@@ -738,8 +738,76 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** TPC-H Q5-shaped local-supplier volume: the 6-table snowflake join
+    * (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region) with
+    * the same-nation customer/supplier constraint and a region + date
+    * slice. The fact table flows through one partial-aggregated
+    * shuffle; every dimension side is AQE-broadcast (the q03 plan
+    * audit, at Q5's join width). Revenue is an exact DECIMAL
+    * product-sum — no double accumulation anywhere. */
+  val q39 = QueryDef.sql("q39_local_supplier_volume",
+    """SELECT n_name AS nation,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |           CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY nation""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec))
+        .cast("double").as("revenue"))
+      .orderBy(col("nation"))
+  }
+
+  /** TPC-H Q4-shaped order-priority check: orders having at least one
+    * lineitem shipped more than 60 days after the order date, counted
+    * per priority — the EXISTS correlated subquery expressed as a
+    * LEFT SEMI join with the inequality folded into the join
+    * condition (one pass over each table, no DISTINCT on the fact
+    * side). */
+  val q40 = QueryDef.sql("q40_priority_exists",
+    """SELECT o_orderpriority AS priority,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY priority""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val li = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    t.orders
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("priority"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38)
+    q38, q39, q40)
 }

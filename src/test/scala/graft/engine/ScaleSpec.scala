@@ -158,7 +158,9 @@ class ScaleSpec extends SparkSpec {
       "t13_lm_perplexity" -> "1-row vocab-size scalar broadcast",
       "tj03_gapfill" -> "1-row global day-range broadcast (grid bounds)",
       "t16_importance_scores" ->
-        "1-row histogram-totals scalar broadcast")
+        "1-row histogram-totals scalar broadcast",
+      "p19_dsir_selection" ->
+        "t16's 1-row histogram-totals broadcast (same scoring plan)")
     val dir = sf("sf0.001")
     val offenders = graft.SparkEntry.allQueries.flatMap { q =>
       val plan = q.run(spark, dir).queryExecution.executedPlan.toString
