@@ -431,6 +431,59 @@ object CypherDriven {
       .orderBy(col("user_id"), col("session_start_ms"))
   }
 
+  /** SCD-2 upsert in the gate (previously spec-only): the first-half
+    * signup history becomes versioned rows (end = next version's
+    * start, latest open), a fresh batch of latest post-cutoff signups
+    * arrives, and `Temporal.scd2Upsert` must close exactly the updated
+    * users' open intervals at the fresh start time while appending the
+    * fresh versions open — every interval boundary pinned as epoch
+    * millis. */
+  val tj06 = QueryDef.sql("tj06_scd2_upsert",
+    """WITH s AS (SELECT user_id, value, ts, event_id FROM events
+      |           WHERE event_type = 'signup'),
+      |cur AS (
+      |  SELECT user_id, value, ts AS start_ts,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS end_ts
+      |  FROM s WHERE ts < TIMESTAMP '2024-01-16'),
+      |fresh AS (
+      |  SELECT user_id, last(value ORDER BY ts, event_id) AS value,
+      |    max(ts) AS start_ts
+      |  FROM s WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY user_id),
+      |closed AS (
+      |  SELECT c.user_id, c.value, c.start_ts,
+      |    CASE WHEN c.end_ts IS NULL AND f.start_ts IS NOT NULL
+      |      THEN f.start_ts ELSE c.end_ts END AS end_ts
+      |  FROM cur c LEFT JOIN fresh f USING (user_id)),
+      |un AS (
+      |  SELECT user_id, value, start_ts, end_ts FROM closed
+      |  UNION ALL
+      |  SELECT user_id, value, start_ts, NULL FROM fresh)
+      |SELECT user_id, value, epoch_ms(start_ts) AS start_ms,
+      |  epoch_ms(end_ts) AS end_ms
+      |FROM un ORDER BY user_id, start_ms""".stripMargin) { (s, dir) =>
+    val cutoff = lit("2024-01-16").cast("timestamp")
+    val sg = Tables(s, dir).events
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val current = sg.filter(col("ts") < cutoff)
+      .select(col("user_id"), col("value"), col("ts").as("start_time"),
+        lead(col("ts"), 1).over(w).as("end_time"))
+    val fresh = sg.filter(col("ts") >= cutoff)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("value"),
+        max(col("ts")).as("ts"))
+      .withColumn("start_time", col("ts"))
+    graft.temporal.Temporal.scd2Upsert(current, fresh, "user_id", "ts")
+      .select(col("user_id"), col("value"),
+        unix_millis(col("start_time")).as("start_ms"),
+        unix_millis(col("end_time")).as("end_ms"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
   /** CASE expression through the full Cypher stack: priority-bucketed
     * order counts (searched CASE feeding an aggregation). */
   val cy13 = QueryDef.sql("cy13_case_buckets",
@@ -931,5 +984,5 @@ object CypherDriven {
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, st01, st02, st03, st04, st05, st06, st07,
-      st09, st10, st12, st13, tj01, tj02, tj03, tj04, tj05)
+      st09, st10, st12, st13, tj01, tj02, tj03, tj04, tj05, tj06)
 }
