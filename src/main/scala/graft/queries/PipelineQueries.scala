@@ -1023,6 +1023,43 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-epoch training-order shuffle, shard-local (the production
+    * shape: corpora are sharded and each shard is shuffled internally —
+    * a GLOBAL permutation would be a cluster-wide sort). Epoch e's
+    * order for a doc is the salted hash md5(e:doc_id); ranks are
+    * row_numbers within (epoch, shard) — keyed windows, the
+    * no-global-window discipline. Hash ordering compares 8-hex md5
+    * prefixes in HEX-STRING space (order-isomorphic, no parsing).
+    * Every (epoch, shard, doc, rank) is pinned, proving epochs permute
+    * independently while each covers the full corpus. */
+  val p20 = QueryDef.sql("p20_epoch_shuffle", {
+    val shard = SamplingOps.shardKeySql("doc_id", 8)
+    s"""SELECT epoch, shard, doc_id, rank FROM (
+       |  SELECT e.epoch, $shard AS shard, doc_id,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY e.epoch, $shard
+       |      ORDER BY substr(md5(e.epoch || ':' ||
+       |        CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS BIGINT)
+       |      AS rank
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e)
+       |ORDER BY epoch, shard, rank""".stripMargin
+  }) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("__key"), col("doc_id"))
+    Tables(s, dir).documents
+      .select(col("doc_id"))
+      .withColumn("epoch", explode(array(lit(0), lit(1))))
+      .withColumn("shard", SamplingOps.shardKey(col("doc_id"), 8))
+      .withColumn("__key", substring(md5(concat(
+        col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))), 1, 8))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("doc_id"), col("rank"))
+      .orderBy(col("epoch"), col("shard"), col("rank"))
+  }
+
   /** Sequence packing (concat-and-chunk): each doc's global token
     * start offset and 512-token bin, in doc_id order. The oracle is a
     * plain running-sum window; the ENGINE side computes the same
@@ -2073,6 +2110,6 @@ object PipelineQueries {
       d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
       s08, s09, s10, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, p18, p19, in01, io01, t06, t07, t08, t09, t10,
+      p14, p15, p16, p17, p18, p19, p20, in01, io01, t06, t07, t08, t09, t10,
       t11, t12, t13, t14, t15, t16, t17)
 }

@@ -228,6 +228,36 @@ class StreamingAndTemporalSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 3L -> 2L))
   }
 
+  test("native streaming session_window: closed sessions match batch") {
+    implicit val s = spark
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val streamed = EventStreams.runToMemory(spark, eventsDir,
+        "sess_native",
+        df => sessions(df.withWatermark("ts", "0 seconds")),
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .select(col("user_id"), col("w.start"), col("w.end"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    val batch = sessions(
+        graft.sources.Tables(spark, sf("sf0.001")).events)
+      .select(col("user_id"), col("w.start"), col("w.end"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    // every closed streamed session is exactly a batch session, and
+    // everything flushes except (at most) each user's final session,
+    // which the watermark can never pass
+    val phantom = streamed -- batch
+    assert(phantom.isEmpty, s"streamed-only sessions: ${phantom.take(3)}")
+    val nUsers = batch.map(_._1).size
+    assert(streamed.size >= batch.size - nUsers)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming attribution equals the batch window attribution") {
     implicit val s = spark
     val streamed = EventStreams.runToMemory(spark, eventsDir,
