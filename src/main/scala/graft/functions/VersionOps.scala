@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset-versioning operators: corpus snapshots are compared by
+  * content fingerprint, the bookkeeping every managed training-data
+  * pipeline needs between releases (what changed since v1?).
+  */
+object VersionOps {
+
+  /** Snapshot diff: one row per document id present in either version,
+    * with status `added` / `removed` / `changed` / `unchanged` decided
+    * by the normalized-content fingerprint ([[TextOps.fingerprint]]).
+    *
+    * Scale shape: each side reduces to (id, 16-byte fingerprint)
+    * map-side; the only shuffle is one full-outer equi-join on the id —
+    * never on content. */
+  def datasetDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      TextOps.fingerprint(col(textCol)).as("__fp_old"))
+    val n = newDf.select(col(idCol).as("id"),
+      TextOps.fingerprint(col(textCol)).as("__fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old").isNull, "added")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+}

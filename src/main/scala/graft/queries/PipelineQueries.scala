@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupOps, ImportanceOps, SamplingOps,
-  SimilarityOps, TextOps}
+  SimilarityOps, TextOps, VersionOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators as correctness-gate entries: text
@@ -1060,6 +1060,42 @@ object PipelineQueries {
       .orderBy(col("epoch"), col("shard"), col("rank"))
   }
 
+  /** Dataset version diff: v2 is derived from the corpus by a
+    * deterministic edit script (doc_id % 13: 0 → removed, 1 → text
+    * edited, 2 → also re-added under a new id), and
+    * `VersionOps.datasetDiff` must classify every id in either version
+    * as added/removed/changed/unchanged by content fingerprint — the
+    * release-to-release bookkeeping of a managed corpus, with one
+    * id-keyed full-outer join as the only shuffle. */
+  val p21 = QueryDef.sql("p21_dataset_diff",
+    s"""WITH v2 AS (
+       |  SELECT doc_id, text || ' v2' AS text FROM documents
+       |  WHERE doc_id % 13 = 1
+       |  UNION ALL
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 13 > 1
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents
+       |  WHERE doc_id % 13 = 2),
+       |o AS (SELECT doc_id AS id, md5($normSql) AS fp FROM documents),
+       |n AS (SELECT doc_id AS id, md5($normSql) AS fp FROM v2)
+       |SELECT coalesce(o.id, n.id) AS id,
+       |  CASE WHEN n.fp IS NULL THEN 'removed'
+       |       WHEN o.fp IS NULL THEN 'added'
+       |       WHEN o.fp <> n.fp THEN 'changed'
+       |       ELSE 'unchanged' END AS status
+       |FROM o FULL JOIN n ON o.id = n.id
+       |ORDER BY id""".stripMargin) { (s, dir) =>
+    val v1 = Tables(s, dir).documents
+    val v2 = v1.filter(col("doc_id") % 13 === 1)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+      .unionByName(v1.filter(col("doc_id") % 13 > 1)
+        .select(col("doc_id"), col("text")))
+      .unionByName(v1.filter(col("doc_id") % 13 === 2)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    VersionOps.datasetDiff(v1, v2, "doc_id", "text")
+      .orderBy(col("id"))
+  }
+
   /** Sequence packing (concat-and-chunk): each doc's global token
     * start offset and 512-token bin, in doc_id order. The oracle is a
     * plain running-sum window; the ENGINE side computes the same
@@ -2110,6 +2146,6 @@ object PipelineQueries {
       d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
       s08, s09, s10, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, p18, p19, p20, in01, io01, t06, t07, t08, t09, t10,
+      p14, p15, p16, p17, p18, p19, p20, p21, in01, io01, t06, t07, t08, t09, t10,
       t11, t12, t13, t14, t15, t16, t17)
 }
