@@ -25,6 +25,26 @@ object Neighborhood {
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Hop-0 sketch state: one singleton HLL per vertex, pinned. */
+  private def initSketches(g: GraphState): DataFrame =
+    g.vertices.groupBy(col("id"))
+      .agg(hll_sketch_agg(col("id")).as("sk"))
+      .localCheckpoint()
+
+  /** ONE HyperBall round: union every vertex's sketch into its
+    * neighbors', keep isolated vertices' sketches, cut lineage. The
+    * single definition every HyperBall-family operator iterates. */
+  private def hopStep(sk: DataFrame, e: DataFrame): DataFrame = {
+    val nbr = sk.join(e, sk("id") === e("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(hll_union_agg(col("sk")).as("nsk"))
+    sk.join(nbr, Seq("id"), "left")
+      .select(col("id"),
+        when(col("nsk").isNull, col("sk"))
+          .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
+      .localCheckpoint()
+  }
+
   /** Exact k-hop neighborhood sizes (self included), one row per vertex:
     * (id, n_reach). */
   def exactSizes(g: GraphState, hops: Int): DataFrame = {
@@ -62,9 +82,7 @@ object Neighborhood {
     require(maxHops >= 0)
     import g.vertices.sparkSession.implicits._
     val e = undirected(g.edges)
-    var sk = g.vertices.groupBy(col("id"))
-      .agg(hll_sketch_agg(col("id")).as("sk"))
-      .localCheckpoint()
+    var sk = initSketches(g)
     def total(): Long = sk.agg(
       sum(hll_sketch_estimate(col("sk"))).cast("long")).collect()(0)
       .getLong(0)
@@ -73,14 +91,7 @@ object Neighborhood {
     var k = 0
     while (k < maxHops) {
       k += 1
-      val nbr = sk.join(e, sk("id") === e("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(hll_union_agg(col("sk")).as("nsk"))
-      sk = sk.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          when(col("nsk").isNull, col("sk"))
-            .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
-        .localCheckpoint()
+      sk = hopStep(sk, e)
       out += ((k.toLong, total()))
     }
     out.result().toDF("k", "n_est")
@@ -93,20 +104,11 @@ object Neighborhood {
   def hyperBall(g: GraphState, hops: Int): DataFrame = {
     require(hops >= 0)
     val e = undirected(g.edges)
-    var sk = g.vertices.groupBy(col("id"))
-      .agg(hll_sketch_agg(col("id")).as("sk"))
-      .localCheckpoint()
+    var sk = initSketches(g)
     var k = 0
     while (k < hops) {
       k += 1
-      val nbr = sk.join(e, sk("id") === e("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(hll_union_agg(col("sk")).as("nsk"))
-      sk = sk.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          when(col("nsk").isNull, col("sk"))
-            .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
-        .localCheckpoint()
+      sk = hopStep(sk, e)
     }
     sk.select(col("id"), hll_sketch_estimate(col("sk")).as("estimate"))
   }
@@ -121,21 +123,12 @@ object Neighborhood {
   def hyperBallHops(g: GraphState, maxHops: Int): DataFrame = {
     require(maxHops >= 1)
     val e = undirected(g.edges)
-    var sk = g.vertices.groupBy(col("id"))
-      .agg(hll_sketch_agg(col("id")).as("sk"))
-      .localCheckpoint()
+    var sk = initSketches(g)
     var out: DataFrame = null
     var k = 0
     while (k < maxHops) {
       k += 1
-      val nbr = sk.join(e, sk("id") === e("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(hll_union_agg(col("sk")).as("nsk"))
-      sk = sk.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          when(col("nsk").isNull, col("sk"))
-            .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
-        .localCheckpoint()
+      sk = hopStep(sk, e)
       val est = sk.select(col("id"),
         hll_sketch_estimate(col("sk")).as(s"est_$k"))
       out = if (out == null) est else out.join(est, Seq("id"))

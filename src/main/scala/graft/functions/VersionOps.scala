@@ -18,15 +18,19 @@ object VersionOps {
     * never on content. */
   def datasetDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // explicit presence markers: a NULL text fingerprints to NULL, so
+    // fingerprint nullity must not double as the row-presence test
     val o = oldDf.select(col(idCol).as("id"),
-      TextOps.fingerprint(col(textCol)).as("__fp_old"))
+      TextOps.fingerprint(col(textCol)).as("__fp_old"),
+      lit(true).as("__in_old"))
     val n = newDf.select(col(idCol).as("id"),
-      TextOps.fingerprint(col(textCol)).as("__fp_new"))
+      TextOps.fingerprint(col(textCol)).as("__fp_new"),
+      lit(true).as("__in_new"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("__fp_new").isNull, "removed")
-          .when(col("__fp_old").isNull, "added")
-          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+        when(col("__in_new").isNull, "removed")
+          .when(col("__in_old").isNull, "added")
+          .when(!(col("__fp_old") <=> col("__fp_new")), "changed")
           .otherwise("unchanged").as("status"))
   }
 }

@@ -461,7 +461,8 @@ object CypherDriven {
       |  SELECT user_id, value, start_ts, NULL FROM fresh)
       |SELECT user_id, value, epoch_ms(start_ts) AS start_ms,
       |  epoch_ms(end_ts) AS end_ms
-      |FROM un ORDER BY user_id, start_ms""".stripMargin) { (s, dir) =>
+      |FROM un ORDER BY user_id, start_ms, value""".stripMargin) {
+    (s, dir) =>
     val cutoff = lit("2024-01-16").cast("timestamp")
     val sg = Tables(s, dir).events
       .filter(col("event_type") === "signup")
@@ -481,7 +482,9 @@ object CypherDriven {
       .select(col("user_id"), col("value"),
         unix_millis(col("start_time")).as("start_ms"),
         unix_millis(col("end_time")).as("end_ms"))
-      .orderBy(col("user_id"), col("start_ms"))
+      // value as the third key totalizes the order even if two
+      // versions land in the same truncated millisecond
+      .orderBy(col("user_id"), col("start_ms"), col("value"))
   }
 
   /** CASE expression through the full Cypher stack: priority-bucketed

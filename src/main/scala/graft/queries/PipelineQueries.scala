@@ -993,9 +993,12 @@ object PipelineQueries {
        |  FROM scored)
        |WHERE rk <= ceil(0.3 * n) ORDER BY doc_id""".stripMargin) {
     (s, dir) =>
+    // pinned: count() would otherwise run the whole scoring pipeline
+    // once for K and again for the top-K
     val scored = ImportanceOps.hashedNgramImportance(
       Tables(s, dir).documents, "doc_id", "text",
       isTarget = col("lang") === "en", n = 2, buckets = 128)
+      .localCheckpoint()
     val k = math.ceil(0.3 * scored.count()).toInt
     scored.orderBy(col("score").desc, col("doc_id"))
       .limit(k)
@@ -1010,16 +1013,21 @@ object PipelineQueries {
       |  CAST(length(text) -
       |    length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
       |    AS BIGINT) AS n_nonascii,
-      |  CAST((length(text) -
-      |    length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))) * 10000
-      |    // length(text) AS BIGINT) AS nonascii_bp
+      |  CAST(CASE WHEN length(text) = 0 THEN 0
+      |    ELSE (length(text) -
+      |      length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')))
+      |      * 10000 // length(text) END AS BIGINT) AS nonascii_bp
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables(s, dir).documents
       .select(col("doc_id"),
         TextOps.nonAsciiCount(col("text")).as("n_nonascii"),
         length(col("text")).cast("long").as("nc"))
       .select(col("doc_id"), col("n_nonascii"),
-        expr("n_nonascii * 10000L div nc").as("nonascii_bp"))
+        // ANSI div throws on 0 where DuckDB // yields NULL: pin the
+        // empty-doc case to 0 on both sides
+        when(col("nc") === 0, lit(0L))
+          .otherwise(expr("n_nonascii * 10000L div nc"))
+          .as("nonascii_bp"))
       .orderBy(col("doc_id"))
   }
 

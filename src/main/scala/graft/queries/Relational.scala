@@ -743,12 +743,12 @@ object Relational {
     * the same-nation customer/supplier constraint and a region + date
     * slice. The fact table flows through one partial-aggregated
     * shuffle; every dimension side is AQE-broadcast (the q03 plan
-    * audit, at Q5's join width). Revenue is an exact DECIMAL
-    * product-sum — no double accumulation anywhere. */
+    * audit, at Q5's join width). Revenue uses the house Det.moneySum
+    * recipe (per-row double product, exact DECIMAL sum) — the same
+    * lockstep Spark/DuckDB pair q03 uses. */
   val q39 = QueryDef.sql("q39_local_supplier_volume",
-    """SELECT n_name AS nation,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-      |           CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+    s"""SELECT n_name AS nation,
+      |  ${Det.moneySumSql("l_extendedprice * (1 - l_discount)")}
       |    AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -762,7 +762,6 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY 1 ORDER BY nation""".stripMargin) { (s, dir) =>
     val t = Tables(s, dir)
-    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
     t.customer
       .join(t.orders, col("c_custkey") === col("o_custkey"))
       .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
@@ -774,9 +773,9 @@ object Relational {
         col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .groupBy(col("n_name").as("nation"))
-      .agg(sum(col("l_extendedprice").cast(dec) *
-          (lit(1) - col("l_discount")).cast(dec))
-        .cast("double").as("revenue"))
+      .agg(Det.moneySum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
       .orderBy(col("nation"))
   }
 

@@ -18,6 +18,14 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Micros-precision epoch of a Timestamp — the nanos->micros
+    * truncation discipline every stateful operator's (ts, id) sort
+    * uses (CLAUDE.md events contract). */
+  private def microsOf(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000
+  }
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -134,10 +142,6 @@ object EventStreams {
       (implicit spark: SparkSession): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     import spark.implicits._
-    def microsOf(t: java.sql.Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000
-    }
     events
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
@@ -196,10 +200,6 @@ object EventStreams {
       middle: Set[String], end: String)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    def microsOf(t: java.sql.Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000
-    }
     events
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
@@ -245,10 +245,6 @@ object EventStreams {
       conversionType: String)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    def microsOf(t: java.sql.Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000
-    }
     events
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
@@ -315,10 +311,6 @@ object EventStreams {
       val t = new java.sql.Timestamp(micros / 1000000 * 1000)
       t.setNanos((micros % 1000000).toInt * 1000)
       t
-    }
-    def microsOf(t: java.sql.Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000
     }
     def out(uid: Long, s: SessionState): SessionOut =
       SessionOut(uid, tsOf(s.startMicros), tsOf(s.endMicros), s.n)
