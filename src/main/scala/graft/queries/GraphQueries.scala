@@ -445,6 +445,22 @@ object GraphQueries {
           "IN_NATION", "IN_REGION")).localCheckpoint())
     })
 
+  /** The shared per-hop HyperBall run over the membership graph —
+    * gx06 reads hop 2's per-vertex estimates, gx08 the per-hop totals,
+    * gx11 all four hops; one sketch iteration serves all three
+    * (identical values: hopStep is the single round definition). */
+  private val membershipHopsMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]()
+
+  private def membershipHops(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    membershipHopsMemo.computeIfAbsent((s, dir), _ =>
+      graft.engine.Neighborhood
+        .hyperBallHops(membershipGraph(s, dir), 4)
+        .localCheckpoint())
+
   /** HARMONIC CENTRALITY via HyperBall (Boldi & Vigna's headline
     * application): H(v) = Σ_{u≠v} 1/d(v,u), computed here in EXACT
     * integer space as H×12 = 12·b₁ + 6·b₂ + 4·b₃ + 3·b₄ (b_k = #
@@ -476,8 +492,7 @@ object GraphQueries {
       |JOIN rg ON rg.rk = mn.rk
       |ORDER BY id""".stripMargin) { (s, dir) =>
     val t = Tables(s, dir)
-    val g = membershipGraph(s, dir)
-    val est = graft.engine.Neighborhood.hyperBallHops(g, 4)
+    val est = membershipHops(s, dir)
     // exact per-customer layer counts from the counting identities:
     // reach₁=2 (self+nation), reach₂=2+m, reach₃=1+m+kr, reach₄=1+kr+mr
     val mn = t.nation.select(col("n_nationkey").as("nk"),
@@ -567,7 +582,8 @@ object GraphQueries {
     // local[n] equivalent with lineage cut.
     val g = membershipGraph(s, dir)
     val exact = graft.engine.Neighborhood.exactSizes(g, hops = 2)
-    val est = graft.engine.Neighborhood.hyperBall(g, hops = 2)
+    val est = membershipHops(s, dir)
+      .select(col("id"), col("est_2").as("estimate"))
     exact.join(est, Seq("id"))
       .filter(col("id").startsWith("c:"))
       .select(col("id"), col("n_reach"),
@@ -676,8 +692,12 @@ object GraphQueries {
     val t = Tables(s, dir)
     val g = membershipGraph(s, dir)
     // HLL estimates (bounded: maxHops+1 rows, collected)
-    val est = graft.engine.Neighborhood.neighborhoodFunction(g, 4)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hopsDf = membershipHops(s, dir)
+    val estRow = hopsDf.agg(count(lit(1)).as("e0"),
+      sum(col("est_1")).as("e1"), sum(col("est_2")).as("e2"),
+      sum(col("est_3")).as("e3"), sum(col("est_4")).as("e4"))
+      .collect()(0)
+    val est = (0 to 4).map(i => i.toLong -> estRow.getLong(i)).toMap
     val est4 = est(4L)
     val effEst = (0L to 4L).filter(k => est(k) * 10 >= 9 * est4).min
     // exact N(k) from the same counting identities as the oracle
