@@ -124,6 +124,9 @@ object Ast {
     * import-WITH/RETURN); expands the outer rows with the subquery's
     * returned columns. */
   final case class CallClause(sub: CypherQuery) extends Clause
+  /** `CALL db.labels() [YIELD x]` — built-in catalog procedures. */
+  final case class ProcedureClause(name: String,
+    yieldAs: Option[String]) extends Clause
 
   /** `FOREACH (x IN list | update clauses)` — runs the update clauses
     * once per list element; `x` is visible only inside. Elements of

@@ -621,12 +621,44 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       case u: UnwindClause => frame = compileUnwind(frame, u)
       case w: WithClause   => frame = compileWith(frame, w)
       case c: CallClause   => frame = compileCall(frame, c)
+      case p: ProcedureClause => frame = compileProcedure(frame, p)
       case r: ReturnClause => ret = Some(r)
       case c => throw new ParseException(
         s"mutation clause in read query: $c")
     }
     compileReturn(frame,
       ret.getOrElse(throw new ParseException("missing RETURN")))
+  }
+
+  /** Built-in catalog procedures (`CALL db.labels()` /
+    * `db.relationshipTypes()` / `db.propertyKeys()`): the procedure's
+    * one-column result binds as a value variable (default name = the
+    * Neo4j yield column), cross-producting with the current frame —
+    * the uncorrelated-CALL semantics, with a catalog-sized (bounded)
+    * broadcast side. Labels split the ':'-joined multi-label column,
+    * so SET-added labels appear. */
+  def compileProcedure(frame: Frame, p: ProcedureClause): Frame = {
+    val (defaultCol, data) = p.name.toLowerCase match {
+      case "db.labels" =>
+        ("label", g.vertices
+          .select(explode(split(col("label"), ":")).as("v")).distinct())
+      case "db.relationshiptypes" =>
+        ("relationshipType",
+          g.edges.select(col("edge_type").as("v")).distinct())
+      case "db.propertykeys" =>
+        ("propertyKey", g.vertices
+          .select(explode(map_keys(col("properties"))).as("v"))
+          .unionByName(g.edges
+            .select(explode(map_keys(col("properties"))).as("v")))
+          .distinct())
+      case other =>
+        throw new ParseException(s"unknown procedure: $other")
+    }
+    val bind = p.yieldAs.getOrElse(defaultCol)
+    Frame(
+      frame.df.crossJoin(
+        broadcast(data.select(col("v").as(s"${bind}__val")))),
+      frame.vars + (bind -> ValueVar))
   }
 
   /** `CALL { … }` subquery: the sub-clauses extend the OUTER frame

@@ -249,10 +249,24 @@ final class Parser(toks: Vector[Parser.Tok],
           eatKw("RETURN")
           clauses += parseReturn()
         case TKw("CALL") =>
-          eatKw("CALL"); eatSym("{")
-          val sub = parseQueryInner(stopAtBrace = true)
-          eatSym("}")
-          clauses += CallClause(sub)
+          eatKw("CALL")
+          if (isSym("{")) {
+            eatSym("{")
+            val sub = parseQueryInner(stopAtBrace = true)
+            eatSym("}")
+            clauses += CallClause(sub)
+          } else {
+            // CALL db.labels() [YIELD x] — dotted procedure name
+            val parts = scala.collection.mutable.ArrayBuffer(ident())
+            while (trySym(".")) parts += ident()
+            eatSym("("); eatSym(")")
+            val y = peek match {
+              case TIdent(s) if s.equalsIgnoreCase("yield") =>
+                pos += 1; Some(ident())
+              case _ => None
+            }
+            clauses += ProcedureClause(parts.mkString("."), y)
+          }
         case TKw("FOREACH") =>
           eatKw("FOREACH"); eatSym("(")
           val v = ident()

@@ -487,6 +487,26 @@ object CypherDriven {
       .orderBy(col("user_id"), col("start_ms"), col("value"))
   }
 
+  /** Catalog procedures through the full Cypher stack: CALL db.labels()
+    * and db.relationshipTypes() with YIELD, composed under UNION ALL —
+    * the schema-discovery surface every interactive Cypher user touches
+    * first. The oracle states the projection's fixed catalog. */
+  val cy27 = QueryDef.sql("cy27_procedures",
+    """SELECT kind, name FROM (VALUES
+      |  ('label', 'customer'), ('label', 'nation'), ('label', 'order'),
+      |  ('label', 'part'), ('label', 'region'), ('label', 'supplier'),
+      |  ('reltype', 'CONTAINS'), ('reltype', 'IN_NATION'),
+      |  ('reltype', 'IN_REGION'), ('reltype', 'PLACED')) t(kind, name)
+      |ORDER BY kind, name""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
+    Cypher.query(TpchGraph(Tables(s, dir)),
+      """CALL db.labels() YIELD name RETURN 'label' AS kind, name
+        |UNION ALL
+        |CALL db.relationshipTypes() YIELD name
+        |RETURN 'reltype' AS kind, name""".stripMargin)
+      .orderBy(col("kind"), col("name"))
+  }
+
   /** CASE expression through the full Cypher stack: priority-bucketed
     * order counts (searched CASE feeding an aggregation). */
   val cy13 = QueryDef.sql("cy13_case_buckets",
@@ -986,6 +1006,6 @@ object CypherDriven {
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
-      cy23, cy24, cy25, cy26, st01, st02, st03, st04, st05, st06, st07,
+      cy23, cy24, cy25, cy26, cy27, st01, st02, st03, st04, st05, st06, st07,
       st09, st10, st12, st13, tj01, tj02, tj03, tj04, tj05, tj06)
 }

@@ -1044,4 +1044,28 @@ class CypherSpec extends SparkSpec {
     assert(Cypher.query(g,
       """MATCH (p:Person {id: "test1"}) RETURN p""").count() == 0)
   }
+
+  test("catalog procedures: labels, relationship types, property keys") {
+    val labels = q("CALL db.labels() RETURN label ORDER BY label")
+      .collect().map(_.getString(0)).toSeq
+    assert(labels == Seq("Person")) // default yield column name
+    val types = q(
+      """CALL db.relationshipTypes() YIELD t
+        |RETURN t ORDER BY t""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(types == Seq("KNOWS", "WORKS_WITH"))
+    val keys = q(
+      """CALL db.propertyKeys() YIELD k RETURN k ORDER BY k""")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("id", "name", "age", "since", "project").subsetOf(keys))
+    // SET-added labels appear in the catalog
+    val g2 = runScript(people,
+      """MATCH (p:Person {id: "alice"}) SET p:Admin""")
+    val labels2 = Cypher.query(g2,
+      "CALL db.labels() RETURN label ORDER BY label")
+      .collect().map(_.getString(0)).toSeq
+    assert(labels2 == Seq("Admin", "Person"))
+    // unknown procedures fail clearly
+    intercept[Exception] { q("CALL db.nonsense() RETURN x") }
+  }
 }

@@ -160,7 +160,9 @@ class ScaleSpec extends SparkSpec {
       "t16_importance_scores" ->
         "1-row histogram-totals scalar broadcast",
       "p19_dsir_selection" ->
-        "t16's 1-row histogram-totals broadcast (same scoring plan)")
+        "t16's 1-row histogram-totals broadcast (same scoring plan)",
+      "cy27_procedures" -> ("uncorrelated CALL db.* procedure is a " +
+        "cross-product by semantics; the catalog side is bounded"))
     val dir = sf("sf0.001")
     val offenders = graft.SparkEntry.allQueries.flatMap { q =>
       val plan = q.run(spark, dir).queryExecution.executedPlan.toString
