@@ -33,4 +33,25 @@ object VersionOps {
           .when(!(col("__fp_old") <=> col("__fp_new")), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** MERGE INTO (lakehouse CDC upsert): apply a change batch with an
+    * op column (`delete` / `update` / `insert`) to a keyed target
+    * snapshot. `source` carries the target's columns plus `opCol`;
+    * update/insert rows supply the full new payload.
+    *
+    * Scale shape: one key-hashed LEFT ANTI join (drop deleted/replaced
+    * target rows) plus a union with the surviving source payloads —
+    * the WHEN MATCHED/NOT MATCHED lattice without a wide full-outer
+    * join, and no shuffle wider than the key hash. */
+  def mergeInto(target: DataFrame, source: DataFrame, keyCol: String,
+      opCol: String): DataFrame = {
+    val touched = source
+      .filter(col(opCol).isin("delete", "update"))
+      .select(col(keyCol))
+    val applied = source
+      .filter(col(opCol).isin("update", "insert"))
+      .drop(opCol)
+    target.join(touched, Seq(keyCol), "left_anti")
+      .unionByName(applied)
+  }
 }

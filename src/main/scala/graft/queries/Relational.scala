@@ -819,8 +819,41 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** MERGE INTO (CDC upsert): a deterministic change batch — deletes
+    * (key % 10 = 0), status updates (% 10 = 1), re-keyed inserts
+    * (% 10 = 2) — applied to the orders snapshot through
+    * `VersionOps.mergeInto`; the oracle states the merged table in
+    * closed form, so the hash proves the anti-join + union MERGE
+    * lattice row-for-row. */
+  val q42 = QueryDef.sql("q42_merge_upsert",
+    """WITH merged AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 1 THEN 'X'
+      |         ELSE o_orderstatus END AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, 'N' FROM orders
+      |  WHERE o_orderkey % 10 = 2)
+      |SELECT o_orderkey, o_orderstatus FROM merged
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val target = Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val delta = target.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("op", lit("delete"))
+      .unionByName(target.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("op", lit("update")))
+      .unionByName(target.filter(col("o_orderkey") % 10 === 2)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"))
+        .withColumn("op", lit("insert")))
+    graft.functions.VersionOps
+      .mergeInto(target, delta, "o_orderkey", "op")
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41)
+    q38, q39, q40, q41, q42)
 }

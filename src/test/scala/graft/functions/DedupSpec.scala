@@ -280,6 +280,34 @@ class DedupSpec extends SparkSpec {
     assert(out == ((1L, 2L, 16L, 17L, 16L * 10000 / 17)))
   }
 
+  test("mergeInto applies delete/update/insert; upserts missing keys") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val delta = Seq(
+      (2L, "b2", "update"),   // replace
+      (3L, null, "delete"),   // drop
+      (4L, "d", "insert"),    // add
+      (9L, "z", "update"),    // update of a missing key = upsert
+      (8L, null, "delete")    // delete of a missing key = no-op
+    ).toDF("id", "v", "op")
+    val out = VersionOps.mergeInto(target, delta, "id", "op")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b2", 4L -> "d", 9L -> "z"))
+  }
+
+  test("datasetDiff classifies NULL-text rows by presence, not fp") {
+    import spark.implicits._
+    val v1 = Seq((1L, "same"), (2L, null), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, null), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = VersionOps.datasetDiff(v1, v2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // NULL text present in both versions is unchanged, not removed
+    assert(out == Map(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("hashedNgramImportance ranks target-like docs above off-target") {
     import spark.implicits._
     val corpus = Seq(
