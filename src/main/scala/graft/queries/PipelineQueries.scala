@@ -1104,6 +1104,27 @@ object PipelineQueries {
       .orderBy(col("id"))
   }
 
+  /** CSV sink/source round-trip with an explicit schema (the third
+    * interchange format after parquet and ORC; header + escaping are
+    * the codec surface being proven). Same shape as io01: read back
+    * from CSV, hash-match what the oracle reads from parquet. */
+  val io02 = QueryDef.sql("io02_csv_roundtrip",
+    """SELECT doc_id, md5(text) AS fp, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val stage = java.nio.file.Files.createTempDirectory("io02_csv")
+    Tables(s, dir).documents
+      .write.mode("overwrite").option("header", "true")
+      .csv(s"$stage/docs")
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, " +
+        "source STRING, n_chars BIGINT")
+      .option("header", "true")
+      .csv(s"$stage/docs")
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("lang"),
+        col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing (concat-and-chunk): each doc's global token
     * start offset and 512-token bin, in doc_id order. The oracle is a
     * plain running-sum window; the ENGINE side computes the same
@@ -2154,6 +2175,6 @@ object PipelineQueries {
       d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
       s08, s09, s10, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, p18, p19, p20, p21, in01, io01, t06, t07, t08, t09, t10,
+      p14, p15, p16, p17, p18, p19, p20, p21, in01, io01, io02, t06, t07, t08, t09, t10,
       t11, t12, t13, t14, t15, t16, t17)
 }
