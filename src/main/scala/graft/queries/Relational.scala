@@ -852,8 +852,32 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Explicit GROUPING SETS — the lattice rollup/cube can't express
+    * (flag-only and status-only subtotals, NO grand total and NO
+    * detail rows) — through the spark.sql entry point over a temp
+    * view: the SQL-string API surface of the engine, not just the
+    * Dataset DSL, inside the correctness gate. */
+  val q43 = QueryDef.sql("q43_grouping_sets",
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       |  coalesce(l_linestatus, 'ALL') AS status,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  ${Det.moneySumSql("l_extendedprice")} AS revenue
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+       |ORDER BY flag, status""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_q43")
+    s.sql(
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+         |  coalesce(l_linestatus, 'ALL') AS status,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  ${Det.moneySumSql("l_extendedprice")} AS revenue
+         |FROM lineitem_q43
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY flag, status""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42)
+    q38, q39, q40, q41, q42, q43)
 }
