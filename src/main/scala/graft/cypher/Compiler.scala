@@ -640,8 +640,11 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
   def compileProcedure(frame: Frame, p: ProcedureClause): Frame = {
     val (defaultCol, data) = p.name.toLowerCase match {
       case "db.labels" =>
+        // unlabeled nodes store "" — not a label, filter it (Neo4j
+        // returns no row for them)
         ("label", g.vertices
-          .select(explode(split(col("label"), ":")).as("v")).distinct())
+          .select(explode(split(col("label"), ":")).as("v"))
+          .filter(length(col("v")) > 0).distinct())
       case "db.relationshiptypes" =>
         ("relationshipType",
           g.edges.select(col("edge_type").as("v")).distinct())
@@ -655,6 +658,9 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         throw new ParseException(s"unknown procedure: $other")
     }
     val bind = p.yieldAs.getOrElse(defaultCol)
+    if (frame.vars.contains(bind))
+      throw new ParseException(
+        s"variable `$bind` already declared — YIELD it under another name")
     Frame(
       frame.df.crossJoin(
         broadcast(data.select(col("v").as(s"${bind}__val")))),

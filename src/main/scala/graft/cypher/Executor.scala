@@ -255,6 +255,8 @@ object Cypher {
         frame = compiler.compileWith(frame, w)
       case c: CallClause =>
         frame = compiler.compileCall(frame, c)
+      case p: ProcedureClause =>
+        frame = compiler.compileProcedure(frame, p)
     }
     CypherResult(result, state)
   }

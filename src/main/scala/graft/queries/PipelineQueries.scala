@@ -891,13 +891,20 @@ object PipelineQueries {
     * md5) to what the oracle reads from the original parquet — the
     * second columnar sink/source (beyond parquet, JSONL, CSV/FHIR/HL7
     * ingest) proven lossless end-to-end, not just spec-covered. */
+  /** Fixed per-dataset staging path: one overwritten copy per
+    * (format, source dir) instead of an unbounded fresh-tempdir per
+    * gate invocation (Verify + Bench + plan sweeps all call run). */
+  private def stagePath(tag: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
   val io01 = QueryDef.sql("io01_orc_roundtrip",
     """SELECT doc_id, md5(text) AS fp, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val stage = java.nio.file.Files.createTempDirectory("io01_orc")
+    val stage = stagePath("io01_orc", dir)
     Tables(s, dir).documents
-      .write.mode("overwrite").orc(s"$stage/docs")
-    s.read.orc(s"$stage/docs")
+      .write.mode("overwrite").orc(stage)
+    s.read.orc(stage)
       .select(col("doc_id"), md5(col("text")).as("fp"), col("lang"),
         col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
@@ -1105,21 +1112,28 @@ object PipelineQueries {
   }
 
   /** CSV sink/source round-trip with an explicit schema (the third
-    * interchange format after parquet and ORC; header + escaping are
-    * the codec surface being proven). Same shape as io01: read back
-    * from CSV, hash-match what the oracle reads from parquet. */
+    * interchange format after parquet and ORC). Spark's CSV DEFAULTS
+    * are lossy — whitespace trimming on both sides, single-line
+    * parsing — so the options here pin the lossless configuration
+    * (no trimming, multiLine) rather than relying on corpus content
+    * happening to avoid the hostile cases. */
   val io02 = QueryDef.sql("io02_csv_roundtrip",
     """SELECT doc_id, md5(text) AS fp, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val stage = java.nio.file.Files.createTempDirectory("io02_csv")
+    val stage = stagePath("io02_csv", dir)
     Tables(s, dir).documents
       .write.mode("overwrite").option("header", "true")
-      .csv(s"$stage/docs")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(stage)
     s.read
       .schema("doc_id BIGINT, text STRING, lang STRING, " +
         "source STRING, n_chars BIGINT")
       .option("header", "true")
-      .csv(s"$stage/docs")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("multiLine", "true")
+      .csv(stage)
       .select(col("doc_id"), md5(col("text")).as("fp"), col("lang"),
         col("source"), col("n_chars"))
       .orderBy(col("doc_id"))

@@ -857,23 +857,23 @@ object Relational {
     * detail rows) — through the spark.sql entry point over a temp
     * view: the SQL-string API surface of the engine, not just the
     * Dataset DSL, inside the correctness gate. */
-  val q43 = QueryDef.sql("q43_grouping_sets",
+  /** The q43 query text is dialect-identical on both engines — ONE
+    * template parameterized by table name keeps the oracle and the
+    * spark.sql form in lockstep (the Det "textually adjacent"
+    * discipline, taken to a shared string). */
+  private def q43Sql(table: String): String =
     s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
        |  coalesce(l_linestatus, 'ALL') AS status,
        |  CAST(count(*) AS BIGINT) AS n,
        |  ${Det.moneySumSql("l_extendedprice")} AS revenue
-       |FROM lineitem
+       |FROM $table
        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-       |ORDER BY flag, status""".stripMargin) { (s, dir) =>
-    Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_q43")
-    s.sql(
-      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
-         |  coalesce(l_linestatus, 'ALL') AS status,
-         |  CAST(count(*) AS BIGINT) AS n,
-         |  ${Det.moneySumSql("l_extendedprice")} AS revenue
-         |FROM lineitem_q43
-         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-         |ORDER BY flag, status""".stripMargin)
+       |ORDER BY flag, status""".stripMargin
+
+  val q43 = QueryDef.sql("q43_grouping_sets", q43Sql("lineitem")) {
+    (s, dir) =>
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_q43")
+      s.sql(q43Sql("lineitem_q43"))
   }
 
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,

@@ -1067,5 +1067,21 @@ class CypherSpec extends SparkSpec {
     assert(labels2 == Seq("Admin", "Person"))
     // unknown procedures fail clearly
     intercept[Exception] { q("CALL db.nonsense() RETURN x") }
+    // YIELD into an already-bound name is a clean error, not an
+    // ambiguous-column crash
+    intercept[Exception] {
+      q("UNWIND [1] AS x CALL db.labels() YIELD x RETURN x")
+    }
+    // procedures compose with mutation statements (per-label CREATE)
+    val g3 = Cypher.execute(people,
+      """CALL db.labels() YIELD l CREATE (:Catalog {name: l})""").state
+    assert(Cypher.query(g3,
+      "MATCH (c:Catalog) RETURN c.name AS n ORDER BY n")
+      .collect().map(_.getString(0)).toSeq == Seq("Person"))
+    // unlabeled nodes contribute no catalog row
+    val g4 = runScript(people, "CREATE (anon {id: \"x\"})")
+    assert(Cypher.query(g4,
+      "CALL db.labels() RETURN label ORDER BY label")
+      .collect().map(_.getString(0)).toSeq == Seq("Person"))
   }
 }
