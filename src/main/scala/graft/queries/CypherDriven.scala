@@ -1003,9 +1003,41 @@ object CypherDriven {
       .orderBy(col("conversion_id"))
   }
 
+  /** Streaming approximate percentile per window (quantile-sketch
+    * state in the streaming aggregation — fixed size per window at any
+    * cardinality, the quantile analogue of st10's HLL argument). Both
+    * sides use ELEMENT (discrete) percentile semantics: on these
+    * window sizes the sketch is in its exact regime, so the streamed
+    * median element must BE the oracle's quantile_disc element —
+    * the value itself is hash-pinned, not just a tolerance bit. */
+  val st14 = QueryDef.sql("st14_stream_approx_percentile",
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+       |    AS window_start,
+       |  quantile_disc(value, 0.5) AS p50_stream
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val tmp = java.nio.file.Files.createTempDirectory("st14_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      tmp.resolve("events.parquet"))
+    graft.streaming.EventStreams.runToMemory(s, tmp.toString,
+        s"st14_pct_${memSink.incrementAndGet()}",
+        df => df.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(expr("approx_percentile(value, 0.5, 10000)")
+            .as("p50_stream"))
+          .select(col("window.start").as("window_start"),
+            col("p50_stream")),
+        org.apache.spark.sql.streaming.OutputMode.Complete,
+        statePartitions = Some(4))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("p50_stream"))
+      .orderBy(col("window_start"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, cy27, st01, st02, st03, st04, st05, st06, st07,
-      st09, st10, st12, st13, tj01, tj02, tj03, tj04, tj05, tj06)
+      st09, st10, st12, st13, st14, tj01, tj02, tj03, tj04, tj05, tj06)
 }

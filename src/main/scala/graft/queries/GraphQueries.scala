@@ -529,6 +529,28 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** GraphXBridge.degrees in the gate (was spec-only): the customer
+    * degree histogram over the full TPC-H graph — a customer's degree
+    * is 1 (its nation edge) + its order count, so the histogram is
+    * relationally derivable; hash-matching it pins the GraphX degree
+    * computation and the vertex-id round-trip mapping. */
+  val gx12 = QueryDef.sql("gx12_degree_histogram",
+    """WITH d AS (
+      |  SELECT c_custkey, 1 + count(o_orderkey) AS degree
+      |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY c_custkey)
+      |SELECT CAST(degree AS BIGINT) AS degree,
+      |  CAST(count(*) AS BIGINT) AS n_customers
+      |FROM d GROUP BY degree ORDER BY degree""".stripMargin) {
+    (s, dir) =>
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    graft.engine.GraphXBridge.degrees(TpchGraph(Tables(s, dir)))
+      .filter(col("id").startsWith("c:"))
+      .groupBy(col("degree").cast("long").as("degree"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("degree"))
+  }
+
   private val storeId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The persistence round-trip IN the correctness gate: the graph
@@ -751,5 +773,5 @@ object GraphQueries {
 
   val all: Seq[QueryDef] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
-      gx03, gx04, gx05, gx06, gx07, gx08, gx09, gx10, gx11, gst01)
+      gx03, gx04, gx05, gx06, gx07, gx08, gx09, gx10, gx11, gx12, gst01)
 }
