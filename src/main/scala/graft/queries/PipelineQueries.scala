@@ -2184,10 +2184,74 @@ object PipelineQueries {
       .orderBy(col("rank"))
   }
 
+  /** Exact EUCLIDEAN top-5 — the L2 metric surface (cosine is the rest
+    * of the s-family): same broadcast-queries/one-corpus-scan plan as
+    * s01, distance stated as sqrt(‖a‖²+‖b‖²−2a·b) in lockstep between
+    * the native-dot Spark form and the list_dot_product oracle so the
+    * rounded doubles agree bit-for-bit. */
+  val s11 = QueryDef.sql("s11_l2_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |        round(sqrt(list_dot_product(cv, cv)
+      |          + list_dot_product(qv, qv)
+      |          - 2 * list_dot_product(cv, qv)), 6) AS dist
+      |      FROM c, q WHERE neighbor_id <> query_id)
+      |SELECT query_id, neighbor_id, dist, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dist ASC, neighbor_id) AS rank FROM s)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir).embeddings
+    SimilarityOps.l2TopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** BINARY-quantized retrieval quality (1-bit codes: 32 bytes/vector,
+    * an 8× scan cut — the cheapest quantization tier below int8 (s05)
+    * and PQ (s07)): Hamming on 256-bit hyperplane sign codes shortlists
+    * 60 candidates via native XOR+popcounts, exact cosine re-ranks, and
+    * recall@5 vs the exact top-5 is certified ≥ 0.6 INSIDE the hashed
+    * result (same contract as s07/s09; measured 0.94 at sf0.01). */
+  val s12 = QueryDef.sql("s12_binary_rerank",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |        round(list_dot_product(cv, qv) /
+      |          (sqrt(list_dot_product(cv, cv)) *
+      |           sqrt(list_dot_product(qv, qv))), 6) AS score
+      |      FROM c, q WHERE neighbor_id <> query_id),
+      |top5 AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+      |  WHERE rank <= 5)
+      |SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+      |       CAST(1 AS BIGINT) AS recall_ge_06
+      |FROM top5""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir).embeddings
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val bin = SimilarityOps.binaryQuantizedTopK(emb, q, "vec_id",
+        "embedding", 5, dim = 64, shortlist = 60, words = 4)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(bin, Seq("query_id", "neighbor_id"), "left_semi")
+    exact.agg(count(lit(1)).as("exact_pairs"))
+      .crossJoin(hits.agg(count(lit(1)).as("bin_hits")))
+      .select(col("exact_pairs"),
+        (col("bin_hits").cast("double") / col("exact_pairs") >= 0.6)
+          .cast("long").as("recall_ge_06"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
-      s08, s09, s10, m01, m02, m03, m04,
+      s08, s09, s10, s11, s12, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, in01, io01, io02, t06, t07, t08, t09, t10,
       t11, t12, t13, t14, t15, t16, t17)

@@ -1,6 +1,7 @@
 package graft.queries
 
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -876,8 +877,136 @@ object Relational {
       s.sql(q43Sql("lineitem_q43"))
   }
 
+  /** TPC-H Q17-shaped correlated scalar subquery (small-quantity
+    * orders): lineitems whose quantity is below 20% of their part's
+    * average quantity, for one brand. The correlated `avg` becomes one
+    * per-part aggregate joined back (broadcast after aggregation — the
+    * decorrelation Spark and every warehouse plan); the 0.2·avg
+    * comparison is cleared of float division entirely:
+    * qty < sum/cnt/5  ⟺  5·qty·cnt < sum in exact integers (quantities
+    * are integral), so the qualifying row set is pinned. */
+  val q44 = QueryDef.sql("q44_correlated_scalar",
+    s"""WITH pa AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(l_quantity AS BIGINT)) AS sq,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  ${Det.moneySumSql("l_extendedprice")} AS revenue
+      |FROM lineitem
+      |JOIN pa ON lineitem.l_partkey = pa.l_partkey
+      |JOIN part ON part.p_partkey = lineitem.l_partkey
+      |WHERE p_brand LIKE 'Brand#1%'
+      |  AND 5 * CAST(l_quantity AS BIGINT) * cnt < sq""".stripMargin) {
+      (s, dir) =>
+    val t = Tables(s, dir)
+    val pa = t.lineitem.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"),
+        count(lit(1)).as("cnt"))
+    t.lineitem
+      .join(pa, Seq("l_partkey"))
+      .join(t.part.filter(col("p_brand").like("Brand#1%"))
+        .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(lit(5) * col("l_quantity").cast("long") * col("cnt") <
+        col("sq"))
+      .agg(count(lit(1)).as("n"),
+        Det.moneySum(col("l_extendedprice")).as("revenue"))
+  }
+
+  /** RANGE-frame window (value-based frames — ROWS frames are pinned by
+    * q10/tj04): per-nation daily order counts with a rolling 3-day sum
+    * over the integer epoch-day ordering key, so days missing from the
+    * data fall out of the frame (the semantic ROWS frames can't
+    * express). Keyed windows, integer counts — deterministic. */
+  val q45 = QueryDef.sql("q45_range_frame",
+    """WITH d AS (
+      |  SELECT n_name AS nation,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |      AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT nation, day, n,
+      |  CAST(sum(n) OVER (PARTITION BY nation ORDER BY day
+      |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3day
+      |FROM d ORDER BY nation, day""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val d = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("day"))
+      .rangeBetween(-2, Window.currentRow)
+    d.withColumn("n_3day", sum(col("n")).over(w))
+      .orderBy(col("nation"), col("day"))
+  }
+
+  /** Statistical aggregates (corr / stddev_samp / var_samp) made
+    * cross-engine deterministic: native `corr()` accumulates doubles in
+    * shuffle order, so instead the moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    * are summed EXACTLY as DECIMAL(38,0) integers (quantity and
+    * linenumber are integral), cast once to double, and the textbook
+    * formulas evaluate in lockstep double arithmetic on both engines —
+    * the same Det recipe as moneySum, lifted to second moments. At
+    * 100 TB this is one partial-aggregated scan, identical cost to any
+    * other 6-accumulator agg. */
+  val q46 = QueryDef.sql("q46_exact_moments",
+    """WITH m AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(count(*) AS HUGEINT) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_quantity AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_linenumber AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS HUGEINT)
+      |      * CAST(l_linenumber AS HUGEINT)) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(l_quantity AS HUGEINT)
+      |      * CAST(l_quantity AS HUGEINT)) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_linenumber AS HUGEINT)
+      |      * CAST(l_linenumber AS HUGEINT)) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT flag,
+      |  CAST(n AS BIGINT) AS n,
+      |  CAST(floor(((n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+      |    * 10000) AS DOUBLE) / 10000 AS corr_qty_line,
+      |  CAST(floor(sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+      |    * 10000) AS DOUBLE) / 10000 AS stddev_qty,
+      |  CAST(floor(((n * syy - sy * sy) / (n * (n - 1)))
+      |    * 10000) AS DOUBLE) / 10000 AS var_line
+      |FROM m ORDER BY flag""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    def big(c: Column): Column = c.cast(DecimalType(38, 0))
+    val x = big(col("l_quantity"))
+    val y = big(col("l_linenumber"))
+    val m = Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+    def f4(c: Column): Column = floor(c * 10000).cast("double") / 10000
+    m.select(col("flag"),
+        col("n").cast("long").as("n"),
+        f4((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_line"),
+        f4(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1)))).as("stddev_qty"),
+        f4((col("n") * col("syy") - col("sy") * col("sy")) /
+          (col("n") * (col("n") - 1))).as("var_line"))
+      .orderBy(col("flag"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46)
 }

@@ -136,6 +136,40 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(ann == exact) // same ordering rule → identical top-5
   }
 
+  test("l2TopK ranks by true Euclidean distance, excludes self") {
+    val out = SimilarityOps.l2TopK(vecs, vecs.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // dist(1,2)=sqrt(0.02)≈0.141; dist(1,3)=dist(1,4)=sqrt(2)≈1.414,
+    // tie-break on neighbor id
+    assert(out.map(_._1).toSeq == Seq(2L, 3L, 4L))
+    assert(math.abs(out(0)._2 - math.sqrt(0.02)) < 1e-4)
+    assert(math.abs(out(1)._2 - math.sqrt(2)) < 1e-4)
+  }
+
+  test("binaryQuantizedTopK: full shortlist equals brute force; " +
+      "256-bit recall is usable") {
+    val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // shortlist = whole corpus → the rerank IS brute force
+    val full = SimilarityOps.binaryQuantizedTopK(emb, q, "vec_id",
+        "embedding", 5, dim = 64, shortlist = 1000)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    // gate configuration: bounded shortlist, recall stays usable
+    val bin = SimilarityOps.binaryQuantizedTopK(emb, q, "vec_id",
+        "embedding", 5, dim = 64, shortlist = 60, words = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect bin).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5 = $recall")
+  }
+
   test("ivfTopK with full probe equals brute force; partial probe subsets") {
     val emb = graft.sources.Tables(spark, sf("sf0.001")).embeddings
     val q = emb.filter(col("vec_id") < 3)
