@@ -306,4 +306,65 @@ object GraphXBridge {
     }
     r
   }
+
+  /** Per-edge TRIANGLE SUPPORT (the k-truss building block): for each
+    * canonical (src < dst) edge, |N(src) ∩ N(dst)| — the number of
+    * triangles the edge closes. Two equi-joins enumerate the wedges
+    * (edge × neighbors-of-src, matched against neighbors-of-dst on the
+    * shared endpoint) and a partial-aggregated count collapses them;
+    * Σ support = 3 × triangle count is the gx03 consistency identity.
+    * At 100 TB the standard refinement is degree orientation (enumerate
+    * each wedge from its lower-degree endpoint, bounding work by
+    * arboricity) plus salting the heavy hub keys — the join/agg shape
+    * below is unchanged by either. Input (src, dst) distinct canonical;
+    * output (src, dst, support) with zero-support edges preserved. */
+  def edgeTriangleSupport(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
+    val ns = sym.select(col("id").as("src"), col("nbr"))
+    val nd = sym.select(col("id").as("dst"), col("nbr"))
+    val sup = edges.join(ns, Seq("src")).join(nd, Seq("dst", "nbr"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("support"))
+    edges.join(sup, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Neighborhood-overlap LINK PREDICTION over non-adjacent candidate
+    * pairs: common-neighbor count, Jaccard overlap in integer basis
+    * points, and preferential attachment — the three classic exact-
+    * integer scores (Adamic-Adar's 1/log(deg) weighting is float and
+    * engine-order-dependent, deliberately not the gate surface).
+    * Candidates are exactly the pairs sharing ≥1 neighbor (one wedge
+    * self-join, never all-pairs), minus existing edges (an anti-join —
+    * prediction targets NEW links). Degrees join back post-aggregation
+    * (two small frames). Wedge work is Σ_w deg(w)²; at 100 TB the hub
+    * mitigation is the same degree-orientation/salting note as
+    * edgeTriangleSupport, plus capping hub wedge fan-out (top-degree
+    * vertices predict trivially and are dropped by rank anyway). */
+  def linkPredictionScores(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
+    val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val a = sym.select(col("nbr").as("w"), col("id").as("id1"))
+    val b = sym.select(col("nbr").as("w"), col("id").as("id2"))
+    val common = a.join(b, Seq("w"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("common"))
+    val cand = common.join(
+      edges.select(col("src").as("id1"), col("dst").as("id2")),
+      Seq("id1", "id2"), "left_anti")
+    cand
+      .join(deg.select(col("id").as("id1"), col("deg").as("d1")),
+        Seq("id1"))
+      .join(deg.select(col("id").as("id2"), col("deg").as("d2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"), col("common"),
+        floor(lit(10000) * col("common") /
+          (col("d1") + col("d2") - col("common"))).cast("long")
+          .as("jaccard_bp"),
+        (col("d1") * col("d2")).as("pref_attach"))
+  }
 }

@@ -771,7 +771,89 @@ object GraphQueries {
     }.toDF("k", "n_reach", "certified", "eff_diameter")
   }
 
+  /** The wedge-enumeration gates (gx13/gx14) run on the co-purchase
+    * subgraph induced by partkeys < 2000 (the FULL graph at the
+    * driver's sf0.01 gate, a 1/10 vertex slice at bench sf0.1): wedge
+    * work is Σ_w deg(w)², so an unbounded bench corpus would pay tens
+    * of seconds proving the same algebra the subgraph pins — the same
+    * bounded-gate discipline as the s-family's 10-query slices. The
+    * operators themselves take any edge list. */
+  private def coPurchaseSub(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    coPurchaseEdges(s, dir)
+      .filter(col("src") < 2000 && col("dst") < 2000)
+
+  /** Link prediction over the co-purchase subgraph: exact-integer
+    * common-neighbor / Jaccard-bp / preferential-attachment scores for
+    * non-adjacent pairs, top-50 by (common desc, id1, id2) — a total
+    * order, so every predicted pair and score is pinned. Shares the
+    * memoized projection with gx03/05/09/10. */
+  val gx13 = QueryDef.sql("gx13_link_prediction",
+    """WITH e AS (
+      |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey
+      |   AND l1.l_partkey < 2000 AND l2.l_partkey < 2000),
+      |sym AS (SELECT src AS id, dst AS nbr FROM e
+      |        UNION ALL SELECT dst, src FROM e),
+      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+      |        FROM sym GROUP BY id),
+      |common AS (
+      |  SELECT a.id AS id1, b.id AS id2, CAST(count(*) AS BIGINT)
+      |    AS common
+      |  FROM sym a JOIN sym b ON a.nbr = b.nbr AND a.id < b.id
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT c.* FROM common c
+      |  LEFT JOIN e ON e.src = c.id1 AND e.dst = c.id2
+      |  WHERE e.src IS NULL)
+      |SELECT id1, id2, common,
+      |  CAST(floor(10000 * common / (d1.deg + d2.deg - common))
+      |    AS BIGINT) AS jaccard_bp,
+      |  d1.deg * d2.deg AS pref_attach
+      |FROM cand
+      |JOIN deg d1 ON d1.id = id1
+      |JOIN deg d2 ON d2.id = id2
+      |ORDER BY common DESC, id1, id2 LIMIT 50""".stripMargin) { (s, dir) =>
+    graft.engine.GraphXBridge.linkPredictionScores(coPurchaseSub(s, dir))
+      .select(col("id1"), col("id2"), col("common"), col("jaccard_bp"),
+        col("pref_attach"))
+      .orderBy(col("common").desc, col("id1"), col("id2"))
+      .limit(50)
+  }
+
+  /** Per-edge triangle support histogram (the k-truss peeling input):
+    * support → edge count over every canonical co-purchase edge,
+    * zero-support edges included. Σ support·n_edges = 3 × gx03's
+    * triangle total — the cross-gate consistency identity. */
+  val gx14 = QueryDef.sql("gx14_triangle_support",
+    """WITH e AS (
+      |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey
+      |   AND l1.l_partkey < 2000 AND l2.l_partkey < 2000),
+      |sym AS (SELECT src AS id, dst AS nbr FROM e
+      |        UNION ALL SELECT dst, src FROM e),
+      |sup AS (
+      |  SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS support
+      |  FROM e
+      |  JOIN sym a ON a.id = e.src
+      |  JOIN sym b ON b.id = e.dst AND b.nbr = a.nbr
+      |  GROUP BY 1, 2)
+      |SELECT support, CAST(count(*) AS BIGINT) AS n_edges FROM (
+      |  SELECT e.src, e.dst, coalesce(sup.support, 0) AS support
+      |  FROM e LEFT JOIN sup ON sup.src = e.src AND sup.dst = e.dst)
+      |GROUP BY support ORDER BY support""".stripMargin) { (s, dir) =>
+    graft.engine.GraphXBridge.edgeTriangleSupport(coPurchaseSub(s, dir))
+      .groupBy(col("support"))
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("support"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
-      gx03, gx04, gx05, gx06, gx07, gx08, gx09, gx10, gx11, gx12, gst01)
+      gx03, gx04, gx05, gx06, gx07, gx08, gx09, gx10, gx11, gx12, gx13,
+      gx14, gst01)
 }

@@ -215,6 +215,47 @@ class TraversalSpec extends SparkSpec {
     assert(dfCount == gxCount)
   }
 
+  test("edgeTriangleSupport: hand fixture + 3×triangle-count identity") {
+    implicit val s = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val eSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    // K4 on {1..4} + pendant 4-5: every K4 edge closes 2 triangles,
+    // the pendant closes none
+    val fixture = df(eSchema,
+      Row(1L, 2L), Row(1L, 3L), Row(1L, 4L), Row(2L, 3L), Row(2L, 4L),
+      Row(3L, 4L), Row(4L, 5L))
+    val sup = GraphXBridge.edgeTriangleSupport(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(sup((4L, 5L)) == 0L)
+    assert(sup.filterNot(_._1 == (4L, 5L)).values.forall(_ == 2L))
+    // Σ support = 3 × #triangles (each triangle has 3 edges)
+    assert(sup.values.sum ==
+      3 * GraphXBridge.triangleTotalDF(fixture).collect().head.getLong(0))
+  }
+
+  test("linkPredictionScores: path fixture closed form, no existing edges") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val eSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    // path 1-2-3-4: candidates are the distance-2 pairs (1,3) and (2,4),
+    // each with exactly one common neighbor
+    val fixture = df(eSchema, Row(1L, 2L), Row(2L, 3L), Row(3L, 4L))
+    val out = GraphXBridge.linkPredictionScores(fixture)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet == Set((1L, 3L), (2L, 4L)))
+    // (1,3): common={2}, deg1=1, deg3=2 → jaccard 1/2 = 5000bp, pa=2
+    assert(out((1L, 3L)) == ((1L, 5000L, 2L)))
+    // (2,4): common={3}, deg2=2, deg4=1 → same by symmetry
+    assert(out((2L, 4L)) == ((1L, 5000L, 2L)))
+  }
+
   test("kCore peels a pendant chain over multiple rounds") {
     implicit val s = spark
     import org.apache.spark.sql.Row
