@@ -46,6 +46,29 @@ object TextOps {
     ((length(text) - length(replace(text, lit(needle), lit(""))))
       / needle.length).cast("long")
 
+  // --- Encoding-artifact (mojibake) detection ---
+  // The three standard symptoms of a broken decode pipeline, each a
+  // portable Java/RE2 regex count evaluated in the scan stage:
+  //  - U+FFFD replacement chars: the decoder already gave up;
+  //  - stray C0 control chars (not \t\n\r): binary junk in "text";
+  //  - UTF-8-read-as-Latin-1 lead bytes (Ã/Â/â€ sequences): the classic
+  //    double-encoding signature ("café" → "cafÃ©").
+
+  /** Count of U+FFFD replacement characters. */
+  def replacementCharCount(text: Column): Column =
+    (length(text) - length(replace(text, lit("�"), lit(""))))
+      .cast("long")
+
+  /** Count of C0 control characters excluding tab/newline/CR. */
+  def controlCharCount(text: Column): Column =
+    (length(text) -
+      length(regexp_replace(text,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+
+  /** Count of UTF-8-as-Latin-1 double-encoding markers. */
+  def mojibakeMarkerCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("Ã.|Â.|â€."), lit(0))).cast("long")
+
   /** Quality-scoring metrics: char/word counts, mean word length,
     * punctuation count, stopword count — the standard cheap filters for
     * pretraining-corpus curation. */

@@ -1035,9 +1035,36 @@ object CypherDriven {
       .orderBy(col("window_start"))
   }
 
+  /** STREAM-STATIC dimension join (the enrichment pattern every
+    * production stream runs): streamed events join the static customer
+    * dimension — broadcast, so each micro-batch pays a map-side lookup
+    * and no state — then aggregate per segment in Complete mode. The
+    * final table must equal the batch join+rollup. */
+  val st15 = QueryDef.sql("st15_stream_static_join",
+    """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_events
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
+    val stage = java.nio.file.Files.createTempDirectory("st15_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      stage.resolve("events.parquet"))
+    val cust = Tables(s, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val name = s"st15_enrich_${memSink.incrementAndGet()}"
+    graft.streaming.EventStreams.runToMemory(s, stage.toString, name,
+        ev => ev
+          .join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_events")),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Complete,
+        statePartitions = Some(8))
+      .orderBy(col("segment"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, cy27, st01, st02, st03, st04, st05, st06, st07,
-      st09, st10, st12, st13, st14, tj01, tj02, tj03, tj04, tj05, tj06)
+      st09, st10, st12, st13, st14, st15, tj01, tj02, tj03, tj04, tj05,
+      tj06)
 }

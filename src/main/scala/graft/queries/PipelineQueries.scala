@@ -1038,6 +1038,54 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Encoding-artifact (mojibake) detection: U+FFFD replacement chars,
+    * stray C0 controls, and UTF-8-as-Latin-1 double-encoding markers —
+    * the decode-pipeline health checks a web corpus runs before any
+    * content filter. The corpus is clean, so a deterministic
+    * augmentation plants each artifact class on doc_id%4∈{0,1,2}; the
+    * remaining quarter pins the no-false-positive path. All three
+    * counters are scan-stage regex/replace Columns; `is_clean` is the
+    * keep bit a curation pipeline would filter on. */
+  private val bell = "\u0007" // planted C0 control char (BEL)
+  val t18 = QueryDef.sql("t18_mojibake",
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN text || ' x��y'
+       |         WHEN doc_id % 4 = 1 THEN text || ' cafÃ© â€œquote'
+       |         WHEN doc_id % 4 = 2 THEN text || ' a${bell}b${bell}c'
+       |         ELSE text END AS t
+       |  FROM documents)
+       |SELECT doc_id, n_repl, n_ctrl, n_moji,
+       |  CAST(CASE WHEN n_repl = 0 AND n_ctrl = 0 AND n_moji = 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_clean
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(length(t) - length(replace(t, '�', '')) AS BIGINT)
+       |      AS n_repl,
+       |    CAST(length(t) - length(regexp_replace(t,
+       |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS BIGINT)
+       |      AS n_ctrl,
+       |    CAST(len(regexp_extract_all(t, 'Ã.|Â.|â€.'))
+       |      AS BIGINT) AS n_moji
+       |  FROM aug) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val aug = Tables(s, dir).documents.select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" x��y")))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" cafÃ© â€œquote")))
+        .when(col("doc_id") % 4 === 2,
+          concat(col("text"), lit(s" a${bell}b${bell}c")))
+        .otherwise(col("text")).as("t"))
+    aug.select(col("doc_id"),
+        TextOps.replacementCharCount(col("t")).as("n_repl"),
+        TextOps.controlCharCount(col("t")).as("n_ctrl"),
+        TextOps.mojibakeMarkerCount(col("t")).as("n_moji"))
+      .withColumn("is_clean",
+        ((col("n_repl") === 0) && (col("n_ctrl") === 0) &&
+          (col("n_moji") === 0)).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-epoch training-order shuffle, shard-local (the production
     * shape: corpora are sharded and each shard is shuffled internally —
     * a GLOBAL permutation would be a cluster-wide sort). Epoch e's
@@ -2254,5 +2302,5 @@ object PipelineQueries {
       s08, s09, s10, s11, s12, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, in01, io01, io02, t06, t07, t08, t09, t10,
-      t11, t12, t13, t14, t15, t16, t17)
+      t11, t12, t13, t14, t15, t16, t17, t18)
 }

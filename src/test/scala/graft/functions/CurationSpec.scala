@@ -199,4 +199,24 @@ class CurationSpec extends SparkSpec {
       .orderBy("id").as[(Long, Double)].collect().toSeq
     assert(out === Seq((1L, 0.6666), (2L, 0.0), (3L, 0.0)))
   }
+
+  test("encoding-artifact counters: planted artifacts found, clean text clean") {
+    val df = Seq(
+      (1L, "plain ascii text"),
+      (2L, "bad � decode �"),
+      (3L, "bellandjunk, tab\tand\nnewline ok"),
+      (4L, "cafÃ© and â€œquotedâ€"),
+      (5L, "café résumé")  // real accents, NOT mojibake
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextOps.replacementCharCount(col("text")).as("r"),
+        TextOps.controlCharCount(col("text")).as("c"),
+        TextOps.mojibakeMarkerCount(col("text")).as("m"))
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out(0) == ((1L, 0L, 0L, 0L)))
+    assert(out(1) == ((2L, 2L, 0L, 0L)))
+    assert(out(2) == ((3L, 0L, 2L, 0L)))  // \t and \n not counted
+    assert(out(3)._2 == 0L && out(3)._3 == 0L && out(3)._4 == 3L)
+    assert(out(4) == ((5L, 0L, 0L, 0L)))  // no false positive on accents
+  }
 }
