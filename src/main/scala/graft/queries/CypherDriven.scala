@@ -1061,10 +1061,52 @@ object CypherDriven {
       .orderBy(col("segment"))
   }
 
+  /** CHECKPOINT RECOVERY (exactly-once file sink): the stream processes
+    * half the input, STOPS, more files arrive, and a NEW query restarts
+    * from the same checkpoint — the sink must contain every event
+    * exactly once (no reprocessing of committed batches, no loss). This
+    * is the fault-tolerance contract a 100 TB ingest pipeline leans on;
+    * the gate pins it end-to-end through a real parquet sink. */
+  val st16 = QueryDef.sql("st16_checkpoint_recovery",
+    """SELECT CAST(event_id AS BIGINT) AS event_id
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val base = java.nio.file.Files.createTempDirectory("st16")
+    val stage = base.resolve("in")
+    val out = base.resolve("out")
+    val ckpt = base.resolve("ckpt")
+    java.nio.file.Files.createDirectories(stage)
+    val ev = Tables(s, dir).events.select(col("event_id"))
+    def stageHalf(even: Boolean, tag: String): Unit = {
+      val tmp = base.resolve(s"half_$tag").toString
+      ev.filter((col("event_id") % 2 === 0) === even)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.copy(part.toPath,
+        stage.resolve(s"$tag.parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = s.readStream.schema("event_id BIGINT")
+        .parquet(stage.toString)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stageHalf(even = true, "a")
+    runOnce() // first incarnation: commits half the input
+    stageHalf(even = false, "b")
+    runOnce() // restarted incarnation: must pick up ONLY the new file
+    s.read.parquet(out.toString).orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, cy27, st01, st02, st03, st04, st05, st06, st07,
-      st09, st10, st12, st13, st14, st15, tj01, tj02, tj03, tj04, tj05,
-      tj06)
+      st09, st10, st12, st13, st14, st15, st16, tj01, tj02, tj03, tj04,
+      tj05, tj06)
 }

@@ -910,6 +910,65 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** SCHEMA EVOLUTION on the lake (the 100 TB reality: shards written
+    * months apart carry different column sets): an early shard without
+    * `lang` and a later shard with an added `quality` column are read
+    * together via parquet mergeSchema — early rows surface NULL for
+    * late-added columns, no rewrite of old files. The oracle states the
+    * unified table in closed form. */
+  val io03 = QueryDef.sql("io03_schema_evolution",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+      |  CASE WHEN doc_id % 2 = 0 THEN NULL
+      |       ELSE CAST(n_chars % 100 AS BIGINT) END AS quality,
+      |  CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val stage = stagePath("io03_evo", dir)
+    val docs = Tables(s, dir).documents
+    // epoch-1 shard: no lang/quality columns yet
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$stage/shard=old")
+    // epoch-2 shard: lang survives, quality added later
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") % 100).as("quality"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$stage/shard=new")
+    s.read.option("mergeSchema", "true").parquet(stage)
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PARTITION-PRUNED reads: the corpus written hive-partitioned by
+    * `lang`, read back with a partition-column filter — the scan must
+    * touch only the matching directories (PartitionFilters, asserted in
+    * ScaleSpec; the pruning that makes a 100 TB lake queryable). The
+    * gate pins the read-back content equals the un-partitioned
+    * filter. */
+  val io04 = QueryDef.sql("io04_partition_pruning",
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents WHERE lang IN ('en', 'fr')
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val stage = io04Stage(s, dir)
+    s.read.parquet(stage)
+      .filter(col("lang").isin("en", "fr"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** io04's staged hive-partitioned write (once per (session, dir) —
+    * also exercised by ScaleSpec's PartitionFilters assert). */
+  def io04Stage(s: org.apache.spark.sql.SparkSession, dir: String)
+      : String = {
+    val stage = stagePath("io04_part", dir)
+    if (!new java.io.File(stage, "_SUCCESS").exists()) {
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(stage)
+    }
+    stage
+  }
+
   /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1, the
     * standard pretraining heuristics, re-thresholded for this corpus):
     * word count in [50, 100k], mean word length in [3, 10], symbol
@@ -2301,6 +2360,7 @@ object PipelineQueries {
       d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
       s08, s09, s10, s11, s12, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, p18, p19, p20, p21, in01, io01, io02, t06, t07, t08, t09, t10,
+      p14, p15, p16, p17, p18, p19, p20, p21, in01, io01, io02, io03,
+      io04, t06, t07, t08, t09, t10,
       t11, t12, t13, t14, t15, t16, t17, t18)
 }

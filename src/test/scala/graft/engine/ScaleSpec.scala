@@ -153,6 +153,11 @@ class ScaleSpec extends SparkSpec {
       "s08_hybrid_rrf" -> ("s01's broadcast-bounded-single-query shape " +
         "on the vector leg of the fusion"),
       "s09_ivfpq_rerank" -> "same broadcast-bounded-queries shape",
+      "s11_l2_topk" -> ("exact L2 baseline: same broadcast-bounded-" +
+        "queries, one-corpus-scan shape as s01"),
+      "s12_binary_rerank" -> ("Hamming shortlist scan joins the " +
+        "broadcast bounded query set (code column only; vectors " +
+        "touched per-shortlist)"),
       "t10_tfidf_topk" -> "1-row corpus-size scalar broadcast",
       "gx07_scc_transitions" -> "1-row transition-total scalar broadcast",
       "t13_lm_perplexity" -> "1-row vocab-size scalar broadcast",
@@ -194,5 +199,13 @@ class ScaleSpec extends SparkSpec {
       graft.SparkEntry.queries("t01_token_count")(spark, sf("sf0.001")))
     assert(t01.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       t01)
+    // hive-partitioned read: the partition-column filter prunes
+    // DIRECTORIES (PartitionFilters), it is not a data filter
+    val stage = graft.queries.PipelineQueries.io04Stage(spark,
+      sf("sf0.001"))
+    val pruned = formatted(spark.read.parquet(stage)
+      .filter(col("lang").isin("en", "fr")).select(col("doc_id")))
+    assert(pruned.contains("PartitionFilters: [lang#") &&
+      pruned.contains("IN (en,fr)"), pruned)
   }
 }

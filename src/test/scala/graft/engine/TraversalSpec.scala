@@ -236,6 +236,30 @@ class TraversalSpec extends SparkSpec {
       3 * GraphXBridge.triangleTotalDF(fixture).collect().head.getLong(0))
   }
 
+  test("kTruss peels to the cohesive core (K4 survives, bridge chain dies)") {
+    implicit val s = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val eSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    // K4 on {1..4} + a triangle {4,5,6} hanging off vertex 4 + pendant 6-7.
+    // 4-truss (support ≥ 2): only the K4 — but peeling must take TWO
+    // rounds for the pendant+triangle tail (the pendant first, then the
+    // weakened triangle), exercising the fixpoint loop.
+    val fixture = df(eSchema,
+      Row(1L, 2L), Row(1L, 3L), Row(1L, 4L), Row(2L, 3L), Row(2L, 4L),
+      Row(3L, 4L), Row(4L, 5L), Row(4L, 6L), Row(5L, 6L), Row(6L, 7L))
+    val truss4 = GraphXBridge.kTruss(fixture, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truss4 == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    // 3-truss (support ≥ 1): K4 plus the intact triangle, pendant gone
+    val truss3 = GraphXBridge.kTruss(fixture, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truss3 == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)))
+  }
+
   test("linkPredictionScores: path fixture closed form, no existing edges") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
