@@ -1061,6 +1061,23 @@ object CypherDriven {
       .orderBy(col("segment"))
   }
 
+  /** WITH … ORDER BY … LIMIT … WHERE through the full stack: per
+    * openCypher the grammar order is the EVALUATION order, so the WHERE
+    * sub-clause filters the post-pagination row set (top-5 by acctbal,
+    * then the filter runs WITHIN those 5). The wrong order — filter
+    * before LIMIT — admits lower-balance rows into the top-5 and
+    * hash-mismatches; this pins the round-3 advisor fix end-to-end. */
+  val cy28 = QueryDef.sql("cy28_with_pagination_where",
+    """SELECT c_name AS name FROM (
+      |  SELECT c_name, c_mktsegment FROM customer
+      |  ORDER BY c_name DESC LIMIT 5)
+      |WHERE c_mktsegment = 'HOUSEHOLD' ORDER BY name""".stripMargin) {
+    run("""MATCH (c:customer)
+          |WITH c ORDER BY c.name DESC LIMIT 5
+          |  WHERE c.mktsegment = 'HOUSEHOLD'
+          |RETURN c.name AS name ORDER BY name""".stripMargin)(_, _)
+  }
+
   /** CHECKPOINT RECOVERY (exactly-once file sink): the stream processes
     * half the input, STOPS, more files arrive, and a NEW query restarts
     * from the same checkpoint — the sink must contain every event
@@ -1106,7 +1123,7 @@ object CypherDriven {
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
-      cy23, cy24, cy25, cy26, cy27, st01, st02, st03, st04, st05, st06, st07,
+      cy23, cy24, cy25, cy26, cy27, cy28, st01, st02, st03, st04, st05, st06, st07,
       st09, st10, st12, st13, st14, st15, st16, tj01, tj02, tj03, tj04,
       tj05, tj06)
 }

@@ -910,6 +910,42 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document BOILERPLATE n-grams (the C4/Dolma template-removal
+    * signal — distinct from t09's within-doc repetition): per-doc
+    * DISTINCT 5-gram shingles, document frequency per shingle, top-20
+    * by (df desc, shingle) with corpus-coverage basis points. One
+    * explode + one partial-aggregated count; at 100 TB the shingle key
+    * becomes its 8-byte xxhash64 (same note as p04's decontamination
+    * join) and the top-k is a TakeOrdered, never a global sort. */
+  val p22 = QueryDef.sql("p22_boilerplate_ngrams",
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) < 5 THEN
+       |      [array_to_string(ws, ' ')]
+       |    ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |        || ' ' || ws[i+3] || ' ' || ws[i+4]
+       |      FOR i IN generate_series(1, len(ws) - 4)]) END) AS g
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents)),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT g AS ngram, CAST(count(*) AS BIGINT) AS df,
+       |  CAST(count(*) * 10000 // n_docs AS BIGINT) AS coverage_bp
+       |FROM sh, n GROUP BY g, n_docs
+       |ORDER BY df DESC, ngram LIMIT 20""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(DedupOps.shingles(col("text"), 5)))
+          .as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs)) // 1-row corpus-size broadcast
+      .select(col("ngram"), col("df"),
+        expr("df * 10000L div n_docs").as("coverage_bp"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(20)
+  }
+
   /** SCHEMA EVOLUTION on the lake (the 100 TB reality: shards written
     * months apart carry different column sets): an early shard without
     * `lang` and a later shard with an added `quality` column are read
@@ -2360,7 +2396,7 @@ object PipelineQueries {
       d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
       s08, s09, s10, s11, s12, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, p18, p19, p20, p21, in01, io01, io02, io03,
+      p14, p15, p16, p17, p18, p19, p20, p21, p22, in01, io01, io02, io03,
       io04, t06, t07, t08, t09, t10,
       t11, t12, t13, t14, t15, t16, t17, t18)
 }

@@ -159,6 +159,7 @@ class ScaleSpec extends SparkSpec {
         "broadcast bounded query set (code column only; vectors " +
         "touched per-shortlist)"),
       "t10_tfidf_topk" -> "1-row corpus-size scalar broadcast",
+      "p22_boilerplate_ngrams" -> "1-row corpus-size scalar broadcast",
       "gx07_scc_transitions" -> "1-row transition-total scalar broadcast",
       "t13_lm_perplexity" -> "1-row vocab-size scalar broadcast",
       "tj03_gapfill" -> "1-row global day-range broadcast (grid bounds)",
