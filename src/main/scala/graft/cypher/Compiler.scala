@@ -676,7 +676,19 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     * in scope). Aggregating subqueries are rejected: per-row grouping
     * is what COUNT {} / a WITH aggregation express. */
   def compileCall(outer: Frame, c: CallClause): Frame = {
-    var frame = outer
+    // Aggregating subqueries run per OUTER ROW (openCypher CALL
+    // semantics): detect them up front so the outer frame can be
+    // row-tagged before the inner pattern joins onto it.
+    val retAgg = c.sub.clauses
+      .collectFirst { case r: ReturnClause => r.items }
+      .exists(_.exists(i => containsAgg(i.expr)))
+    val outer0 =
+      if (!retAgg) outer
+      else Frame(outer.df
+          .withColumn("__call_row", monotonically_increasing_id())
+          .localCheckpoint(), // pin row tags across the join-back
+        outer.vars)
+    var frame = outer0
     var items = Seq.empty[ReturnItem]
     var first = true
     c.sub.clauses.foreach { cl =>
@@ -706,13 +718,45 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     }
     if (items.isEmpty)
       throw new ParseException("CALL subquery needs a RETURN")
+    if (retAgg) {
+      // Decorrelated per-row aggregation: group the joined sub-frame by
+      // the row tag, LEFT-join the aggregates back to every outer row
+      // (a non-OPTIONAL inner MATCH drops no-match rows from the
+      // grouped side; they resurface with Cypher's empty-aggregate
+      // values: count/sum 0, collect [], min/max/avg null). This is
+      // the same aggregate+equi-join shape as EXISTS{}/COUNT{}
+      // decorrelation — never a per-row probe.
+      if (items.exists(i => !containsAgg(i.expr)))
+        throw new ParseException("an aggregating CALL subquery must " +
+          "RETURN aggregates only (grouping keys live in the outer " +
+          "query)")
+      val named = items.map { i =>
+        (i.alias.getOrElse(defaultName(i.expr)), i.expr)
+      }
+      val aggCols = named.map { case (n, e) =>
+        compileExpr(e, frame).as(s"${n}__val")
+      }
+      val grouped = frame.df.groupBy(col("__call_row"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      var df = outer0.df.join(grouped, Seq("__call_row"), "left")
+      named.foreach { case (n, e) =>
+        val cname = s"${n}__val"
+        val dt = grouped.schema(cname).dataType
+        val default = e match {
+          case EFunc("count" | "sum", _, _) => Some(lit(0).cast(dt))
+          case EFunc("collect", _, _) =>
+            Some(array().cast(dt))
+          case _ => None // min/max/avg stay null over no matches
+        }
+        default.foreach(d =>
+          df = df.withColumn(cname, coalesce(col(cname), d)))
+      }
+      return Frame(df.drop("__call_row"),
+        outer.vars ++ named.map { case (n, _) => n -> (ValueVar: VarKind) })
+    }
     var df = frame.df
     var vars = frame.vars
     items.foreach { i =>
-      if (containsAgg(i.expr))
-        throw new ParseException(
-          "aggregating CALL subqueries are not supported " +
-            "(use COUNT {} or a WITH aggregation)")
       i.expr match {
         // bare variable with no alias: already bound under that name
         case EVar(v) if i.alias.isEmpty && frame.vars.contains(v) => ()

@@ -1078,6 +1078,25 @@ object CypherDriven {
           |RETURN c.name AS name ORDER BY name""".stripMargin)(_, _)
   }
 
+  /** Correlated AGGREGATING CALL subquery through the full stack: per
+    * outer row, the inner MATCH aggregates — decorrelated to one
+    * grouped aggregate + a LEFT join back on the row tag, with Cypher
+    * empty-aggregate semantics (regions with no NATION_7 get count 0,
+    * not a dropped row). The oracle is the equivalent outer-join
+    * conditional count. */
+  val cy29 = QueryDef.sql("cy29_call_aggregate",
+    """SELECT r_name AS region,
+      |  CAST(count(CASE WHEN n_name = 'NATION_7' THEN 1 END) AS BIGINT)
+      |    AS n7
+      |FROM region LEFT JOIN nation ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY region""".stripMargin) {
+    run("""MATCH (r:region)
+          |CALL { WITH r MATCH (n:nation)-[:IN_REGION]->(r)
+          |       WHERE n.name = 'NATION_7'
+          |       RETURN count(*) AS n7 }
+          |RETURN r.name AS region, n7 ORDER BY region""".stripMargin)(_, _)
+  }
+
   /** CHECKPOINT RECOVERY (exactly-once file sink): the stream processes
     * half the input, STOPS, more files arrive, and a NEW query restarts
     * from the same checkpoint — the sink must contain every event
@@ -1123,7 +1142,7 @@ object CypherDriven {
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
-      cy23, cy24, cy25, cy26, cy27, cy28, st01, st02, st03, st04, st05, st06, st07,
+      cy23, cy24, cy25, cy26, cy27, cy28, cy29, st01, st02, st03, st04, st05, st06, st07,
       st09, st10, st12, st13, st14, st15, st16, tj01, tj02, tj03, tj04,
       tj05, tj06)
 }

@@ -454,6 +454,35 @@ class CypherSpec extends SparkSpec {
     assert(rows.toSeq == Seq("Alice"))
   }
 
+  test("aggregating CALL subquery: per-row counts, empty-aggregate values") {
+    val rows = q(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:KNOWS]->(f:Person)
+        |       RETURN count(*) AS nf, collect(f.name) AS fnames,
+        |              min(f.age) AS minage }
+        |RETURN p.name AS name, nf, fnames, minage ORDER BY name"""
+        .stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[String](2).sorted, Option(r.get(3))))
+    assert(rows(0) == (("Alice", 2L, Seq("Bob", "Charlie"), Some("28"))))
+    // bob's only outgoing KNOWS is to alice (diana is WORKS_WITH)
+    assert(rows(1) == (("Bob", 1L, Seq("Alice"), Some("30"))))
+    // no outgoing KNOWS: count 0, collect [], min null
+    assert(rows(2) == (("Charlie", 0L, Seq.empty, None)))
+    assert(rows(3) == (("Diana", 0L, Seq.empty, None)))
+  }
+
+  test("aggregating CALL subquery rejects mixed agg + plain items") {
+    val err = intercept[ParseException] {
+      q("""MATCH (p:Person)
+          |CALL { WITH p MATCH (p)-[:KNOWS]->(f)
+          |       RETURN f.name AS fn, count(*) AS n }
+          |RETURN p.name, fn, n""".stripMargin)
+    }
+    assert(err.getMessage.contains("aggregates only"))
+  }
+
   test("WITH carries path vars usable by relationships() downstream") {
     val rows = q(
       """MATCH (alice:Person {id: "alice"}), (diana:Person {id: "diana"})
@@ -625,10 +654,13 @@ class CypherSpec extends SparkSpec {
       "bob" -> "bob", "bob" -> "diana"))
   }
 
-  test("CALL subquery rejects aggregates and unbound imports clearly") {
-    val e1 = intercept[ParseException](q(
-      "MATCH (p:Person) CALL { MATCH (x) RETURN count(x) AS c } RETURN c"))
-    assert(e1.getMessage.contains("aggregating CALL"))
+  test("CALL subquery: uncorrelated aggregate runs per row; unbound import rejected") {
+    // an uncorrelated aggregating subquery evaluates per outer row:
+    // every person sees the same count of all 4 vertices
+    val counts = q(
+      "MATCH (p:Person) CALL { MATCH (x) RETURN count(x) AS c } RETURN c")
+      .collect().map(_.getLong(0)).toSeq
+    assert(counts == Seq(4L, 4L, 4L, 4L))
     val e2 = intercept[ParseException](q(
       "MATCH (p:Person) CALL { WITH zz MATCH (zz)--(y) RETURN y } RETURN 1"))
     assert(e2.getMessage.contains("unbound"))
