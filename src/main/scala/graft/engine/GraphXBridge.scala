@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.graphx.{Edge => GxEdge, Graph, VertexId}
 import org.apache.spark.graphx.lib.ShortestPaths
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** GraphX bridge for whole-graph analytics (the BASELINE.json design
@@ -357,6 +357,39 @@ object GraphXBridge {
       round += 1
     }
     cur
+  }
+
+  /** DEGREE ASSORTATIVITY (Newman's r): the Pearson correlation of
+    * (deg(u), deg(v)) over the directed doubling of the edge list —
+    * positive when hubs attach to hubs. Degrees are exact integers, so
+    * the moments (n, Σx, Σy, Σxy, Σx², Σy²) sum EXACTLY as
+    * DECIMAL(38,0) and the correlation derives from one double cast in
+    * a fixed formula (the q46 Det-moment recipe on a graph input) —
+    * bit-identical under any aggregation order. One degree aggregate +
+    * two joins + one 6-accumulator agg; output a single
+    * (n_pairs, assortativity) row, truncated to 4dp. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
+    val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    def big(c: Column): Column = c.cast(DecimalType(38, 0))
+    val pairs = sym
+      .join(deg.select(col("id"), col("deg").as("dx")), Seq("id"))
+      .join(deg.select(col("id").as("nbr"), col("deg").as("dy")),
+        Seq("nbr"))
+    val m = pairs.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(big(col("dx"))).cast("double").as("sx"),
+      sum(big(col("dy"))).cast("double").as("sy"),
+      sum(big(col("dx")) * big(col("dy"))).cast("double").as("sxy"),
+      sum(big(col("dx")) * big(col("dx"))).cast("double").as("sxx"),
+      sum(big(col("dy")) * big(col("dy"))).cast("double").as("syy"))
+    m.select(col("n").cast("long").as("n_pairs"),
+      (floor((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+         sqrt(col("n") * col("syy") - col("sy") * col("sy"))) * 10000)
+        .cast("double") / 10000).as("assortativity"))
   }
 
   /** Neighborhood-overlap LINK PREDICTION over non-adjacent candidate

@@ -1139,10 +1139,78 @@ object CypherDriven {
     s.read.parquet(out.toString).orderBy(col("event_id"))
   }
 
+  /** WATERMARK LATE-DATA SEMANTICS, pinned end-to-end: batch 1 advances
+    * the watermark to max(ts₁) − 1h; batch 2 then arrives containing
+    * genuinely late rows — rows whose 15-minute window already closed
+    * are DROPPED (their counts must not change), while on-time rows
+    * still aggregate; Append emits exactly the windows the final
+    * watermark passed. The oracle replays the two-batch protocol in
+    * closed form (admitted = batch 1 ∪ {batch 2 | window end > wm₁},
+    * emitted = window end ≤ wm₂ — boundary relations verified
+    * empirically against Spark's eviction). This is the streaming
+    * correctness trap the 100 TB ingest design leans on: state is
+    * bounded BECAUSE late data is dropped, and the gate proves exactly
+    * what is lost. */
+  val st17 = QueryDef.sql("st17_watermark_late_drop",
+    """WITH a AS (SELECT ts, event_type FROM events
+      |           WHERE event_id % 2 = 0),
+      |wma AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM a),
+      |wmb AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+      |admitted AS (
+      |  SELECT ts, event_type FROM a
+      |  UNION ALL
+      |  SELECT e.ts, e.event_type FROM events e, wma
+      |  WHERE e.event_id % 2 = 1
+      |    AND time_bucket(INTERVAL '15 minutes', e.ts)
+      |        + INTERVAL 15 MINUTE > wma.wm),
+      |agg AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS ws,
+      |          event_type, CAST(count(*) AS BIGINT) AS n
+      |        FROM admitted GROUP BY 1, 2)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, n
+      |FROM agg, wmb WHERE ws + INTERVAL 15 MINUTE <= wmb.wm
+      |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+    val base = java.nio.file.Files.createTempDirectory("st17")
+    val stage = base.resolve("in")
+    java.nio.file.Files.createDirectories(stage)
+    val ev = Tables(s, dir).events
+      .select(col("event_id"), col("ts"), col("event_type"))
+    def stageHalf(even: Boolean, tag: String): Unit = {
+      val tmp = base.resolve(s"half_$tag").toString
+      ev.filter((col("event_id") % 2 === 0) === even)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(s"$tag.parquet"))
+    }
+    stageHalf(even = true, "a")
+    val name = s"st17_late_${memSink.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .parquet(stage.toString)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      q.processAllAvailable() // batch 1: advances the watermark
+      stageHalf(even = false, "b")
+      q.processAllAvailable() // batch 2: late rows must be dropped
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name).orderBy(col("window_start"), col("event_type"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, cy27, cy28, cy29, st01, st02, st03, st04, st05, st06, st07,
-      st09, st10, st12, st13, st14, st15, st16, tj01, tj02, tj03, tj04,
-      tj05, tj06)
+      st09, st10, st12, st13, st14, st15, st16, st17, tj01, tj02, tj03,
+      tj04, tj05, tj06)
 }

@@ -852,8 +852,43 @@ object GraphQueries {
       .orderBy(col("support"))
   }
 
+  /** Degree assortativity (Newman's r) of the co-purchase subgraph —
+    * exact-integer moment sums over the doubled edge list, one double
+    * cast, lockstep formula (the q46 recipe on a graph input). */
+  val gx15 = QueryDef.sql("gx15_assortativity",
+    """WITH e AS (
+      |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey
+      |   AND l1.l_partkey < 2000 AND l2.l_partkey < 2000),
+      |sym AS (SELECT src AS id, dst AS nbr FROM e
+      |        UNION ALL SELECT dst, src FROM e),
+      |deg AS (SELECT id, count(*) AS deg FROM sym GROUP BY id),
+      |pr AS (SELECT dx.deg AS x, dy.deg AS y FROM sym
+      |       JOIN deg dx ON dx.id = sym.id
+      |       JOIN deg dy ON dy.id = sym.nbr),
+      |m AS (SELECT
+      |  CAST(CAST(count(*) AS HUGEINT) AS DOUBLE) AS n,
+      |  CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+      |    AS sxy,
+      |  CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE)
+      |    AS sxx,
+      |  CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+      |    AS syy
+      |  FROM pr)
+      |SELECT CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(floor((n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 10000)
+      |    AS DOUBLE) / 10000 AS assortativity
+      |FROM m""".stripMargin) { (s, dir) =>
+    graft.engine.GraphXBridge.degreeAssortativity(coPurchaseSub(s, dir))
+  }
+
   val all: Seq[QueryDef] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
       gx03, gx04, gx05, gx06, gx07, gx08, gx09, gx10, gx11, gx12, gx13,
-      gx14, gst01)
+      gx14, gx15, gst01)
 }

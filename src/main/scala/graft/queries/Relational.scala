@@ -1029,8 +1029,35 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL — q24/q25
+    * pin the set-semantics forms): duplicates survive by multiplicity
+    * (min for intersect, difference for except). Both engines implement
+    * these as a count-per-group aggregate + generate, so the row
+    * multiplicities are the pinned claim. */
+  val q48 = QueryDef.sql("q48_bag_setops",
+    """WITH a AS (SELECT o_orderpriority AS p FROM orders
+      |           WHERE o_orderstatus = 'O'),
+      |b AS (SELECT o_orderpriority AS p FROM orders
+      |      WHERE o_totalprice > 100000)
+      |SELECT 'inter' AS op, p FROM (SELECT p FROM a INTERSECT ALL
+      |                              SELECT p FROM b)
+      |UNION ALL
+      |SELECT 'except', p FROM (SELECT p FROM a EXCEPT ALL
+      |                         SELECT p FROM b)
+      |ORDER BY op, p""".stripMargin) { (s, dir) =>
+    val o = Tables(s, dir).orders
+    val a = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderpriority").as("p"))
+    val b = o.filter(col("o_totalprice") > 100000)
+      .select(col("o_orderpriority").as("p"))
+    a.intersectAll(b).select(lit("inter").as("op"), col("p"))
+      .unionByName(a.exceptAll(b)
+        .select(lit("except").as("op"), col("p")))
+      .orderBy(col("op"), col("p"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }
