@@ -69,6 +69,21 @@ object TextOps {
   def mojibakeMarkerCount(text: Column): Column =
     size(regexp_extract_all(text, lit("Ã.|Â.|â€."), lit(0))).cast("long")
 
+  /** Hashing-trick bag-of-words featurization (the HashingTF shape —
+    * fixed `dim` regardless of vocabulary, no vocab table to build or
+    * broadcast): each word lands in bucket md5-prefix mod dim (the
+    * repo's cross-engine hash family, SamplingOps.shardKey on words),
+    * and the output is the dense ARRAY<BIGINT> of bucket counts.
+    * Per-row lambda evaluation — fine at document granularity, and the
+    * whole featurization is map-side: zero shuffle at any corpus
+    * size. */
+  def hashingFeatures(text: Column, dim: Int): Column = {
+    val buckets = transform(split(normalize(text), " "),
+      w => conv(substring(md5(w), 1, 8), 16, 10).cast("long") % dim)
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => size(filter(buckets, b => b === i.cast("long"))).cast("long"))
+  }
+
   /** Quality-scoring metrics: char/word counts, mean word length,
     * punctuation count, stopword count — the standard cheap filters for
     * pretraining-corpus curation. */

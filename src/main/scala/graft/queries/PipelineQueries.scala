@@ -1181,6 +1181,26 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashing-trick featurization (HashingTF): 32-bucket bag-of-words
+    * count vectors via the cross-engine md5-prefix-mod hash — no vocab
+    * build, no broadcast, map-side at any scale. Every doc's full
+    * vector is pinned element-for-element. */
+  val t19 = QueryDef.sql("t19_hashing_features",
+    s"""SELECT doc_id,
+       |  array_to_string([len(list_filter(bs, b -> b = i))
+       |    FOR i IN generate_series(0, 31)], ',') AS features
+       |FROM (SELECT doc_id,
+       |        list_transform(string_split($normSql, ' '),
+       |          w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % 32) AS bs
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        array_join(TextOps.hashingFeatures(col("text"), 32), ",")
+          .as("features")) // string-joined: the house pinned-vector form
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-epoch training-order shuffle, shard-local (the production
     * shape: corpora are sharded and each shard is shuffled internally —
     * a GLOBAL permutation would be a cluster-wide sort). Epoch e's
@@ -2398,5 +2418,5 @@ object PipelineQueries {
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, in01, io01, io02, io03,
       io04, t06, t07, t08, t09, t10,
-      t11, t12, t13, t14, t15, t16, t17, t18)
+      t11, t12, t13, t14, t15, t16, t17, t18, t19)
 }
