@@ -730,8 +730,25 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         throw new ParseException("an aggregating CALL subquery must " +
           "RETURN aggregates only (grouping keys live in the outer " +
           "query)")
+      // bare aggregate calls only: a composite like count(*)+1 would
+      // pass containsAgg but evade the empty-aggregate defaults below
+      // (NULL instead of 1 for no-match rows)
+      items.foreach { i =>
+        i.expr match {
+          case EFunc(n, _, _) if aggFns.contains(n) => ()
+          case other => throw new ParseException("an aggregating CALL " +
+            s"subquery item must be a bare aggregate call, got $other " +
+            "(compose in the outer RETURN instead)")
+        }
+      }
       val named = items.map { i =>
         (i.alias.getOrElse(defaultName(i.expr)), i.expr)
+      }
+      named.foreach { case (n, _) =>
+        if (outer.vars.contains(n))
+          throw new ParseException(
+            s"CALL subquery RETURN alias $n is already declared in the " +
+              "outer query")
       }
       val aggCols = named.map { case (n, e) =>
         compileExpr(e, frame).as(s"${n}__val")

@@ -385,10 +385,15 @@ object GraphXBridge {
       sum(big(col("dx")) * big(col("dy"))).cast("double").as("sxy"),
       sum(big(col("dx")) * big(col("dx"))).cast("double").as("sxx"),
       sum(big(col("dy")) * big(col("dy"))).cast("double").as("syy"))
+    // same degenerate guards as the q46 moment recipe: clamp 1-ulp-
+    // negative variances, NULL (not NaN) on a zero-variance graph
+    val varX = greatest(col("n") * col("sxx") - col("sx") * col("sx"),
+      lit(0.0))
+    val varY = greatest(col("n") * col("syy") - col("sy") * col("sy"),
+      lit(0.0))
     m.select(col("n").cast("long").as("n_pairs"),
       (floor((col("n") * col("sxy") - col("sx") * col("sy")) /
-        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-         sqrt(col("n") * col("syy") - col("sy") * col("sy"))) * 10000)
+        nullif(sqrt(varX) * sqrt(varY), lit(0.0)) * 10000)
         .cast("double") / 10000).as("assortativity"))
   }
 

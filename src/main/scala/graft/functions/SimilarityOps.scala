@@ -727,9 +727,14 @@ object SimilarityOps {
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
         else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        round(sqrt(dot(col("cvec"), col("cvec")) +
+        // greatest(…, 0): near-duplicate vectors can round the exact
+        // quantity a fraction of an ulp NEGATIVE — sqrt would then be
+        // NaN here (ranking the true nearest neighbor LAST) and a hard
+        // error in the DuckDB oracle; both sides clamp identically
+        round(sqrt(greatest(dot(col("cvec"), col("cvec")) +
             dot(col("qvec"), col("qvec")) -
-            lit(2) * dot(col("cvec"), col("qvec"))), 6).as("dist"))
+            lit(2) * dot(col("cvec"), col("qvec")), lit(0.0))), 6)
+          .as("dist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -750,7 +755,7 @@ object SimilarityOps {
     * measured; the s12 gate certifies ≥ 0.6 in-result). */
   def binaryQuantizedTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
-      shortlist: Int = 60, words: Int = 2): DataFrame = {
+      shortlist: Int = 60, words: Int = 4): DataFrame = {
     import graft.functions.HammingDistance.hamming64
     val code = (v: Column) =>
       hyperplaneBandValues(v, dim, planesPerBand = 64, bands = words)

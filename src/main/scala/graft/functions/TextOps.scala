@@ -65,23 +65,26 @@ object TextOps {
       length(regexp_replace(text,
         "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
 
-  /** Count of UTF-8-as-Latin-1 double-encoding markers. */
+  /** Count of UTF-8-as-Latin-1 double-encoding markers. Lead chars
+    * match WITHOUT requiring a following char, so a marker truncated
+    * at a snippet boundary ("…cafÃ") still counts. */
   def mojibakeMarkerCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("Ã.|Â.|â€."), lit(0))).cast("long")
+    size(regexp_extract_all(text, lit("Ã|Â|â€"), lit(0))).cast("long")
 
   /** Hashing-trick bag-of-words featurization (the HashingTF shape —
     * fixed `dim` regardless of vocabulary, no vocab table to build or
     * broadcast): each word lands in bucket md5-prefix mod dim (the
     * repo's cross-engine hash family, SamplingOps.shardKey on words),
-    * and the output is the dense ARRAY<BIGINT> of bucket counts.
-    * Per-row lambda evaluation — fine at document granularity, and the
-    * whole featurization is map-side: zero shuffle at any corpus
-    * size. */
+    * and the output is the dense ARRAY<BIGINT> of bucket counts. One
+    * native per-row pass (HashingFeaturesExpr) — O(words), not the
+    * O(dim·words) a per-bucket interpreted filter() sweep would cost —
+    * and the whole featurization is map-side: zero shuffle at any
+    * corpus size. Normalization stays in Spark's own functions so its
+    * semantics match every other TextOps consumer. */
   def hashingFeatures(text: Column, dim: Int): Column = {
-    val buckets = transform(split(normalize(text), " "),
-      w => conv(substring(md5(w), 1, 8), 16, 10).cast("long") % dim)
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => size(filter(buckets, b => b === i.cast("long"))).cast("long"))
+    import org.apache.spark.sql.graft.{shims, HashingFeaturesExpr}
+    shims.column(HashingFeaturesExpr(
+      shims.expression(normalize(text)), dim))
   }
 
   /** Quality-scoring metrics: char/word counts, mean word length,

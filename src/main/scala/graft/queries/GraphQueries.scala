@@ -881,7 +881,8 @@ object GraphQueries {
       |  FROM pr)
       |SELECT CAST(n AS BIGINT) AS n_pairs,
       |  CAST(floor((n * sxy - sx * sy) /
-      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 10000)
+      |    nullif(sqrt(greatest(n * sxx - sx * sx, 0))
+      |         * sqrt(greatest(n * syy - sy * sy, 0)), 0) * 10000)
       |    AS DOUBLE) / 10000 AS assortativity
       |FROM m""".stripMargin) { (s, dir) =>
     graft.engine.GraphXBridge.degreeAssortativity(coPurchaseSub(s, dir))

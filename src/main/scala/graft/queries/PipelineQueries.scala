@@ -961,15 +961,18 @@ object PipelineQueries {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val stage = stagePath("io03_evo", dir)
     val docs = Tables(s, dir).documents
-    // epoch-1 shard: no lang/quality columns yet
-    docs.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id"), col("n_chars"))
-      .write.mode("overwrite").parquet(s"$stage/shard=old")
-    // epoch-2 shard: lang survives, quality added later
-    docs.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") % 100).as("quality"), col("n_chars"))
-      .write.mode("overwrite").parquet(s"$stage/shard=new")
+    // deterministic output: stage once per (session, dir), like io04
+    if (!new java.io.File(s"$stage/shard=new", "_SUCCESS").exists()) {
+      // epoch-1 shard: no lang/quality columns yet
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$stage/shard=old")
+      // epoch-2 shard: lang survives, quality added later
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") % 100).as("quality"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$stage/shard=new")
+    }
     s.read.option("mergeSchema", "true").parquet(stage)
       .select(col("doc_id"), col("lang"), col("quality"), col("n_chars"))
       .orderBy(col("doc_id"))
@@ -1160,7 +1163,7 @@ object PipelineQueries {
        |    CAST(length(t) - length(regexp_replace(t,
        |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS BIGINT)
        |      AS n_ctrl,
-       |    CAST(len(regexp_extract_all(t, 'Ã.|Â.|â€.'))
+       |    CAST(len(regexp_extract_all(t, 'Ã|Â|â€'))
        |      AS BIGINT) AS n_moji
        |  FROM aug) ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val aug = Tables(s, dir).documents.select(col("doc_id"),
@@ -2358,9 +2361,9 @@ object PipelineQueries {
       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
       |      FROM embeddings),
       |s AS (SELECT query_id, neighbor_id,
-      |        round(sqrt(list_dot_product(cv, cv)
+      |        round(sqrt(greatest(list_dot_product(cv, cv)
       |          + list_dot_product(qv, qv)
-      |          - 2 * list_dot_product(cv, qv)), 6) AS dist
+      |          - 2 * list_dot_product(cv, qv), 0)), 6) AS dist
       |      FROM c, q WHERE neighbor_id <> query_id)
       |SELECT query_id, neighbor_id, dist, rank FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id

@@ -972,11 +972,14 @@ object Relational {
       |SELECT flag,
       |  CAST(n AS BIGINT) AS n,
       |  CAST(floor(((n * sxy - sx * sy) /
-      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+      |    nullif(sqrt(greatest(n * sxx - sx * sx, 0))
+      |         * sqrt(greatest(n * syy - sy * sy, 0)), 0))
       |    * 10000) AS DOUBLE) / 10000 AS corr_qty_line,
-      |  CAST(floor(sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+      |  CAST(floor(sqrt(greatest(n * sxx - sx * sx, 0)
+      |      / nullif(n * (n - 1), 0))
       |    * 10000) AS DOUBLE) / 10000 AS stddev_qty,
-      |  CAST(floor(((n * syy - sy * sy) / (n * (n - 1)))
+      |  CAST(floor((greatest(n * syy - sy * sy, 0)
+      |      / nullif(n * (n - 1), 0))
       |    * 10000) AS DOUBLE) / 10000 AS var_line
       |FROM m ORDER BY flag""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.types.DecimalType
@@ -992,16 +995,21 @@ object Relational {
         sum(x * x).cast("double").as("sxx"),
         sum(y * y).cast("double").as("syy"))
     def f4(c: Column): Column = floor(c * 10000).cast("double") / 10000
+    // Degenerate-group guards, identical on both engines: variance
+    // terms clamp at 0 (1-ulp-negative rounding would NaN the sqrt /
+    // abort the oracle), and single-row groups divide by NULL instead
+    // of 0 (Spark's NaN and DuckDB's NULL would hash-mismatch).
+    def pos(c: Column): Column = greatest(c, lit(0.0))
+    val varX = pos(col("n") * col("sxx") - col("sx") * col("sx"))
+    val varY = pos(col("n") * col("syy") - col("sy") * col("sy"))
+    val df = nullif(col("n") * (col("n") - 1), lit(0.0))
     m.select(col("flag"),
         col("n").cast("long").as("n"),
         f4((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-           sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          nullif(sqrt(varX) * sqrt(varY), lit(0.0)))
           .as("corr_qty_line"),
-        f4(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
-          (col("n") * (col("n") - 1)))).as("stddev_qty"),
-        f4((col("n") * col("syy") - col("sy") * col("sy")) /
-          (col("n") * (col("n") - 1))).as("var_line"))
+        f4(sqrt(varX / df)).as("stddev_qty"),
+        f4(varY / df).as("var_line"))
       .orderBy(col("flag"))
   }
 

@@ -594,3 +594,47 @@ case class HammingDistanceExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): HammingDistanceExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Single-pass hashing-trick featurization: NORMALIZED text (the caller
+  * applies TextOps.normalize, keeping lower/trim/whitespace semantics in
+  * Spark's own functions) → ARRAY<LONG> of `dim` bucket counts. Each
+  * space-separated word buckets by the house cross-engine hash — the
+  * first 4 md5 bytes as an unsigned int, mod dim, identical to
+  * SamplingOps.shardKey and the DuckDB
+  * `('0x' || substr(md5(w), 1, 8))::BIGINT % dim` oracle form — and the
+  * counts accumulate in ONE primitive loop. Replaces a dim× interpreted
+  * filter() sweep (O(dim·words) lambda dispatches per row) with
+  * O(words) digest work; same per-row CodegenFallback stance as
+  * MinHashSigExpr. */
+case class HashingFeaturesExpr(child: Expression, dim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  require(dim > 0, "dim must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashing_features"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.toString.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val d = md.digest(words(i).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      val bucket = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % dim
+      counts(bucket.toInt) += 1
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HashingFeaturesExpr = copy(child = newChild)
+}

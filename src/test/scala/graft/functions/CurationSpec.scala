@@ -206,7 +206,8 @@ class CurationSpec extends SparkSpec {
       (2L, "bad � decode �"),
       (3L, "bellandjunk, tab\tand\nnewline ok"),
       (4L, "cafÃ© and â€œquotedâ€"),
-      (5L, "café résumé")  // real accents, NOT mojibake
+      (5L, "café résumé"),  // real accents, NOT mojibake
+      (6L, "truncated cafÃ")  // marker at end-of-string still counts
     ).toDF("id", "text")
     val out = df.select(col("id"),
         TextOps.replacementCharCount(col("text")).as("r"),
@@ -218,5 +219,6 @@ class CurationSpec extends SparkSpec {
     assert(out(2) == ((3L, 0L, 2L, 0L)))  // \t and \n not counted
     assert(out(3)._2 == 0L && out(3)._3 == 0L && out(3)._4 == 3L)
     assert(out(4) == ((5L, 0L, 0L, 0L)))  // no false positive on accents
+    assert(out(5) == ((6L, 0L, 0L, 1L)))  // truncated trailing marker
   }
 }

@@ -136,6 +136,28 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(ann == exact) // same ordering rule → identical top-5
   }
 
+  test("hashingFeatures: native buckets match the md5-prefix hash, " +
+      "counts sum to word count") {
+    val d = df(schema, Row(1L, "a b a  C"), Row(2L, "   "), Row(3L, ""))
+    val out = d.select(col("id"),
+        TextOps.hashingFeatures(col("text"), 8).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def bucket(w: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(w.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h, 16) % 8).toInt
+    }
+    // normalize lowercases and collapses whitespace: words = a, b, a, c
+    val expect = new Array[Long](8)
+    Seq("a", "b", "a", "c").foreach(w => expect(bucket(w)) += 1)
+    assert(out(1L) == expect.toSeq)
+    assert(out(1L).sum == 4L)
+    // blank/empty text normalizes to "" → the single empty-string word
+    assert(out(2L).sum == 1L && out(3L).sum == 1L)
+    assert(out(2L) == out(3L).toSeq)
+  }
+
   test("l2TopK ranks by true Euclidean distance, excludes self") {
     val out = SimilarityOps.l2TopK(vecs, vecs.filter(col("vec_id") === 1),
         "vec_id", "embedding", k = 3)
