@@ -935,8 +935,9 @@ object PipelineQueries {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     docs
       .select(col("doc_id"),
-        explode(array_distinct(DedupOps.shingles(col("text"), 5)))
-          .as("ngram"))
+        // native one-pass distinct shingles (ShingleSetExpr) — the
+        // interpreted transform+array_distinct form dominated the gate
+        explode(DedupOps.shingleSet(col("text"), 5)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs)) // 1-row corpus-size broadcast
@@ -1181,6 +1182,44 @@ object PipelineQueries {
       .withColumn("is_clean",
         ((col("n_repl") === 0) && (col("n_ctrl") === 0) &&
           (col("n_moji") === 0)).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Flesch-style readability: sentence / word / syllable-surrogate
+    * counts (punctuation runs, whitespace tokens, vowel-group runs —
+    * all portable regex counts in the scan stage) and the reading-ease
+    * score derived from those exact integers in one lockstep double
+    * formula, floor4-truncated. The standard corpus-quality signal
+    * beside Gopher rules (p18) and perplexity (t13). */
+  val t20 = QueryDef.sql("t20_readability",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+       |      AS sents,
+       |    greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END, 1)
+       |      AS words,
+       |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+       |      , 1) AS syls
+       |  FROM documents)
+       |SELECT doc_id, CAST(sents AS BIGINT) AS sents,
+       |  CAST(words AS BIGINT) AS words, CAST(syls AS BIGINT) AS syls,
+       |  ${Det.floor4Sql(
+            "206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)" +
+            " - 84.6 * (CAST(syls AS DOUBLE) / words)")} AS flesch
+       |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables(s, dir).documents.select(col("doc_id"),
+      greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"),
+        lit(0))), lit(1)).cast("long").as("sents"),
+      greatest(TextOps.tokenCount(col("text")), lit(1)).cast("long")
+        .as("words"),
+      greatest(size(regexp_extract_all(lower(col("text")),
+        lit("[aeiouy]+"), lit(0))), lit(1)).cast("long").as("syls"))
+    d.select(col("doc_id"), col("sents"), col("words"), col("syls"),
+        Det.floor4(lit(206.835) -
+          lit(1.015) * (col("words").cast("double") / col("sents")) -
+          lit(84.6) * (col("syls").cast("double") / col("words")))
+          .as("flesch"))
       .orderBy(col("doc_id"))
   }
 
@@ -2421,5 +2460,5 @@ object PipelineQueries {
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, in01, io01, io02, io03,
       io04, t06, t07, t08, t09, t10,
-      t11, t12, t13, t14, t15, t16, t17, t18, t19)
+      t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
 }
