@@ -433,4 +433,100 @@ object GraphXBridge {
           .as("jaccard_bp"),
         (col("d1") * col("d2")).as("pref_attach"))
   }
+
+  /** Deterministic uniform random walks — the graph-ML sampling
+    * pre-pass (DeepWalk / node2vec p=q=1 corpus generation, GNN
+    * neighbor sampling). `rand()`-driven walks are irreproducible
+    * across reruns, engines, and cluster sizes, which makes the
+    * emitted walk corpus un-auditable; here the step-t choice from
+    * vertex c of walk (start, w) is
+    *
+    *   argmin over neighbors n of  md5("start:w:t:n") ++ lpad(n)
+    *
+    * — a pure function of the walk identity, uniform over neighbors
+    * (md5 prefix ordering is uniform), collision-free (the appended
+    * zero-padded n makes keys distinct per neighbor), and expressible
+    * identically in any engine with md5 (the [[SamplingOps.hashKey]]
+    * hex-space discipline).
+    *
+    * Input contract matches [[kCore]]: canonical undirected edges
+    * (src,dst), doubled internally; `starts` is a 1-column (`id`)
+    * frame. Emits one row per (start, w in [0, walksPerNode)):
+    * (start, w, final_node, path) with path the full "->"-joined
+    * vertex sequence. A dead-end vertex (possible only if `starts`
+    * contains isolated ids) holds the walk in place.
+    *
+    * Scale shape: per step, one equi-join of the walk frontier against
+    * the doubled edge list on the current vertex plus one per-walk
+    * argmin — the standard distributed frontier walk (|starts|·W rows
+    * per step, never materializing all length-t paths times fan-out).
+    * Hub vertices fan a frontier row out deg(hub) ways before the
+    * argmin collapses it back to one — the partial_min aggregation
+    * absorbs this map-side; extreme hubs would take the same salting
+    * note as edgeTriangleSupport. */
+  def deterministicWalks(edges: DataFrame, starts: DataFrame,
+      walksPerNode: Int, steps: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    require(walksPerNode >= 1 && steps >= 1,
+      "walksPerNode and steps must be positive")
+    val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
+      .localCheckpoint()
+    var walk = starts
+      .select(col("id").cast("bigint").as("start"))
+      .withColumn("w",
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))))
+      .withColumn("cur", col("start"))
+      .withColumn("path", col("start").cast("string"))
+    for (t <- 1 to steps) {
+      val key = concat(
+        md5(concat_ws(":",
+          col("start").cast("string"), col("w").cast("string"),
+          lit(t.toString), col("nbr").cast("string"))),
+        lpad(col("nbr").cast("string"), 20, "0"))
+      walk = walk
+        .join(sym.withColumnRenamed("id", "cur"), Seq("cur"), "left")
+        .groupBy(col("start"), col("w"), col("cur"), col("path"))
+        .agg(min_by(col("nbr"), key).as("next"))
+        .select(col("start"), col("w"),
+          coalesce(col("next"), col("cur")).as("cur"),
+          when(col("next").isNotNull,
+            concat(col("path"), lit("->"), col("next").cast("string")))
+            .otherwise(col("path")).as("path"))
+    }
+    walk.select(col("start"), col("w"),
+      col("cur").as("final_node"), col("path"))
+  }
+
+  /** Deterministic neighbor sampling — the GraphSAGE-style fan-out cap
+    * (keep at most k neighbors per vertex before aggregation /
+    * mini-batch construction). The kept subset is the k neighbors with
+    * the smallest md5("id:nbr") keys: a uniform k-subset that is a pure
+    * function of the edge, so resampling a grown graph keeps previously
+    * sampled neighbors stable (reservoir-like stability that `rand()`
+    * ordering cannot give), and any engine replays it exactly.
+    *
+    * Input contract matches [[kCore]]: canonical undirected edges,
+    * doubled internally. Returns (id, rk, nbr) with rk = 1..k in key
+    * order — callers wanting the plain sampled edge list drop rk.
+    *
+    * Scale shape: one ranking over the doubled edge list partitioned
+    * by vertex — Spark 4 plans the rank-≤-k filter as WindowGroupLimit
+    * (partial per-partition top-k before the shuffle), so hub vertices
+    * ship k rows, not deg(hub). */
+  def sampleNeighbors(edges: DataFrame, k: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
+    val key = concat(
+      md5(concat_ws(":", col("id").cast("string"),
+        col("nbr").cast("string"))),
+      lpad(col("nbr").cast("string"), 20, "0"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(key)
+    sym.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("rk"), col("nbr"))
+  }
 }

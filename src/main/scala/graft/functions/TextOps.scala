@@ -404,4 +404,87 @@ object TextOps {
           graft.queries.Det.moneySum(col("nll")) / count(lit(1)))
           .as("ce"))
   }
+
+  /** PMI collocations — corpus-level phrase mining (the tokenizer-merge
+    * / multi-word-expression scorer): for every adjacent word pair with
+    * count ≥ minCount,
+    *
+    *   pmi = ln( P(w1,w2) / (P(w1)·P(w2)) )
+    *       = ln( c12·N² / (B·c1·c2) )
+    *
+    * with c1/c2/N unigram counts over ALL tokens and c12/B bigram
+    * counts over docs with ≥ 2 tokens. All counts exact BIGINTs; the
+    * one double expression keeps a fixed association order so any
+    * IEEE-754 engine reproduces it bit-for-bit, then Det.floor4.
+    *
+    * Scale shape: two explode→count aggregations (map-side partial
+    * combine), the pair table joins the unigram table twice on word
+    * (post-min-count the pair table is small; the unigram join is
+    * broadcastable in practice), totals broadcast. No all-pairs
+    * anywhere — candidate pairs are only ADJACENT pairs. */
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame,
+      textCol: String, minCount: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val ws = split(normalize(col(textCol)), " ")
+    val uni = df.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTot = uni.agg(sum(col("c")).as("n_tot"))
+    val multi = df.filter(size(ws) >= 2)
+    val bTot = multi
+      .select((size(ws) - 1).cast("long").as("nb"))
+      .agg(sum(col("nb")).as("b_tot"))
+    val bg = multi
+      .select(explode(DedupOps.shingleList(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    bg
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .crossJoin(broadcast(bTot))
+      .select(col("w1"), col("w2"), col("c12"),
+        graft.queries.Det.floor4(log(
+          (col("c12").cast("double") * col("n_tot") * col("n_tot")) /
+            (col("b_tot").cast("double") * col("c1") * col("c2"))))
+          .as("pmi"))
+  }
+
+  /** Context-window chunking — split each document into fixed-size
+    * token windows with stride overlap (the LLM pre-training /
+    * RAG-indexing document splitter: window `chunkSize`, step
+    * `stride`, so consecutive chunks share `chunkSize − stride`
+    * tokens and no token is dropped). Tokens are the whitespace
+    * tokens of [[normalize]]d text. Chunk count is
+    * `1 + ceil((n − chunkSize) / stride)` for n > chunkSize, else 1 —
+    * the last chunk may be short, and a doc never emits a chunk that
+    * starts past its end.
+    *
+    * Emits (id, chunk_no, start_tok, n_tok, chunk_text); exact
+    * integer arithmetic throughout (the ceil-div runs in doubles only
+    * on values < 2⁵³ — exact). Pure per-row explode: map-side at any
+    * scale, output rows ≈ n_tokens/stride per doc, no shuffle. */
+  def contextChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkSize: Int, stride: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      "need 1 <= stride <= chunkSize")
+    val c = lit(chunkSize.toLong)
+    val toks = split(normalize(col(textCol)), " ")
+    val n = size(toks).cast("long")
+    val nChunks = when(n <= c, lit(1L)).otherwise(lit(1L) +
+      floor((n - c + stride - 1).cast("double") / stride).cast("long"))
+    val start = col("chunk_no") * stride
+    val len = least(c, col("__n") - start)
+    docs
+      .select(col(idCol), toks.as("__toks"), n.as("__n"),
+        nChunks.as("__nc"))
+      .withColumn("chunk_no",
+        explode(sequence(lit(0L), col("__nc") - 1)))
+      .select(col(idCol), col("chunk_no"), start.as("start_tok"),
+        len.as("n_tok"),
+        array_join(slice(col("__toks"), (start + 1).cast("int"),
+          len.cast("int")), " ").as("chunk_text"))
+  }
 }

@@ -888,8 +888,96 @@ object GraphQueries {
     graft.engine.GraphXBridge.degreeAssortativity(coPurchaseSub(s, dir))
   }
 
+  /** Deterministic uniform random walks (DeepWalk / GNN-sampling
+    * corpus) over the co-purchase subgraph: 2 walks × 3 steps from
+    * every vertex < 200, neighbor choice = argmin of
+    * md5("start:w:t:nbr") — reproducible on any engine, so the oracle
+    * replays the EXACT walks step-by-step (unrolled argmin CTEs) and
+    * every path string is pinned. */
+  val gx16 = QueryDef.sql("gx16_random_walks",
+    """WITH e AS (
+      |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey
+      |   AND l1.l_partkey < 2000 AND l2.l_partkey < 2000),
+      |sym AS (SELECT src AS id, dst AS nbr FROM e
+      |        UNION ALL SELECT dst, src FROM e),
+      |starts AS (SELECT DISTINCT id FROM sym WHERE id < 200),
+      |w0 AS (
+      |  SELECT id AS start, w, id AS cur, CAST(id AS VARCHAR) AS path
+      |  FROM starts,
+      |    (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) t(w)),
+      |s1 AS (
+      |  SELECT w0.start, w0.w, w0.path,
+      |    arg_min(sym.nbr,
+      |      md5(CAST(w0.start AS VARCHAR) || ':' ||
+      |          CAST(w0.w AS VARCHAR) || ':1:' ||
+      |          CAST(sym.nbr AS VARCHAR)) ||
+      |      lpad(CAST(sym.nbr AS VARCHAR), 20, '0')) AS nxt
+      |  FROM w0 JOIN sym ON sym.id = w0.cur GROUP BY 1, 2, 3),
+      |w1 AS (SELECT start, w, nxt AS cur,
+      |         path || '->' || CAST(nxt AS VARCHAR) AS path FROM s1),
+      |s2 AS (
+      |  SELECT w1.start, w1.w, w1.path,
+      |    arg_min(sym.nbr,
+      |      md5(CAST(w1.start AS VARCHAR) || ':' ||
+      |          CAST(w1.w AS VARCHAR) || ':2:' ||
+      |          CAST(sym.nbr AS VARCHAR)) ||
+      |      lpad(CAST(sym.nbr AS VARCHAR), 20, '0')) AS nxt
+      |  FROM w1 JOIN sym ON sym.id = w1.cur GROUP BY 1, 2, 3),
+      |w2 AS (SELECT start, w, nxt AS cur,
+      |         path || '->' || CAST(nxt AS VARCHAR) AS path FROM s2),
+      |s3 AS (
+      |  SELECT w2.start, w2.w, w2.path,
+      |    arg_min(sym.nbr,
+      |      md5(CAST(w2.start AS VARCHAR) || ':' ||
+      |          CAST(w2.w AS VARCHAR) || ':3:' ||
+      |          CAST(sym.nbr AS VARCHAR)) ||
+      |      lpad(CAST(sym.nbr AS VARCHAR), 20, '0')) AS nxt
+      |  FROM w2 JOIN sym ON sym.id = w2.cur GROUP BY 1, 2, 3),
+      |w3 AS (SELECT start, w, nxt AS cur,
+      |         path || '->' || CAST(nxt AS VARCHAR) AS path FROM s3)
+      |SELECT start, w, cur AS final_node, path
+      |FROM w3 ORDER BY start, w""".stripMargin) { (s, dir) =>
+    val e = coPurchaseSub(s, dir)
+    val starts = e
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .filter(col("id") < 200).distinct()
+    graft.engine.GraphXBridge.deterministicWalks(
+      e, starts, walksPerNode = 2, steps = 3)(s)
+      .orderBy(col("start"), col("w"))
+  }
+
+  /** Deterministic neighbor sampling (GraphSAGE fan-out cap, k = 3)
+    * over the co-purchase subgraph: per vertex, the 3 neighbors with
+    * the smallest md5("id:nbr") keys. Every (id, rk, nbr) row is
+    * pinned — the oracle replays the ranking with the same hash. */
+  val gx17 = QueryDef.sql("gx17_neighbor_sample",
+    """WITH e AS (
+      |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey
+      |   AND l1.l_partkey < 2000 AND l2.l_partkey < 2000),
+      |sym AS (SELECT src AS id, dst AS nbr FROM e
+      |        UNION ALL SELECT dst, src FROM e),
+      |r AS (
+      |  SELECT id, nbr, CAST(row_number() OVER (
+      |      PARTITION BY id
+      |      ORDER BY md5(CAST(id AS VARCHAR) || ':' ||
+      |                   CAST(nbr AS VARCHAR)) ||
+      |               lpad(CAST(nbr AS VARCHAR), 20, '0'))
+      |    AS BIGINT) AS rk
+      |  FROM sym)
+      |SELECT id, rk, nbr FROM r WHERE rk <= 3
+      |ORDER BY id, rk""".stripMargin) { (s, dir) =>
+    graft.engine.GraphXBridge.sampleNeighbors(coPurchaseSub(s, dir), 3)(s)
+      .orderBy(col("id"), col("rk"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
       gx03, gx04, gx05, gx06, gx07, gx08, gx09, gx10, gx11, gx12, gx13,
-      gx14, gx15, gst01)
+      gx14, gx15, gx16, gx17, gst01)
 }

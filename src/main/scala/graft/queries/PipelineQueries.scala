@@ -947,6 +947,123 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: near-duplicate documents MUST
+    * land in the same split (a near-dup of a training doc inside the
+    * eval set is contamination), so the split key is the d07 duplicate-
+    * CLUSTER canonical id, not the doc id — every cluster member
+    * inherits one assignment by construction, and the gate pins every
+    * (doc, cluster, split) row against the recursive-closure +
+    * hash-split oracle. */
+  val p23 = QueryDef.sql("p23_leakage_safe_split",
+    s"""WITH RECURSIVE s AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |    ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |      FOR i IN generate_series(1, len(ws) - 2)]) END AS sh
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents)),
+       |pairs AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |      ${graft.queries.Det.floor4Sql(
+                  """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    | / (len(a.sh) + len(b.sh)
+                    |    - len(list_intersect(a.sh, b.sh)))""".stripMargin)}
+       |        AS jaccard
+       |    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.8),
+       |und AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |        UNION ALL SELECT id2, id1 FROM pairs),
+       |reach(id, m) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT u.a, r.m FROM reach r JOIN und u ON u.b = r.id)
+       |SELECT doc_id, cluster_id,
+       |  ${SamplingOps.hashSplitSql("cluster_id", 0.8, 0.1)} AS split
+       |FROM (
+       |  SELECT CAST(id AS BIGINT) AS doc_id,
+       |    CAST(min(m) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val sig = DedupOps.minhashSignature(docs, "doc_id", "text", n = 3,
+      k = 64)
+    val cands = DedupOps.candidatePairsEstimated(
+      DedupOps.lshBands(sig, "doc_id", bands = 16), sig, "doc_id",
+      minEstimate = 0.5)
+    val pairs = DedupOps.jaccardVerify(cands, docs, "doc_id", "text",
+      n = 3, threshold = 0.8).select(col("id1"), col("id2"))
+    DedupOps.dupClusters(pairs, docs.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("cluster_id"),
+        SamplingOps.hashSplit(col("cluster_id"), 0.8, 0.1).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MALFORMED-ROW CSV ingestion (DROPMALFORMED): a staged CSV corpus
+    * plus a shard of corrupt lines (bad types, wrong column counts) —
+    * the read must keep every well-formed row and drop every corrupt
+    * one, pinned against the closed-form survivor set. The data-entry
+    * reality of lake ingestion; io02 pins the lossless round-trip,
+    * this pins the lossy-but-correct degradation mode. */
+  val io05 = QueryDef.sql("io05_malformed_csv",
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES (9000001, 'xx', 11), (9000002, 'yy', 22),
+      |                        (9000003, 'zz', 33)) t(doc_id, lang,
+      |                                               n_chars))
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val stage = stagePath("io05_csv", dir)
+    if (!new java.io.File(stage, "_SUCCESS").exists()) {
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").csv(stage)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(stage, "planted.csv"),
+        ("9000001,xx,11\n" +        // well-formed: survives
+         "notanumber,en,12\n" +     // bad doc_id type
+         "9000002,yy,22\n" +        // well-formed: survives
+         "7,en\n" +                 // too few columns
+         "8,en,xx\n" +              // bad n_chars type
+         "9,en,5,extra\n" +         // too many columns
+         "9000003,zz,33\n")         // well-formed: survives
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    s.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+      .option("mode", "DROPMALFORMED")
+      .csv(stage)
+      .orderBy(col("doc_id"))
+  }
+
+  /** CONTEXT-WINDOW CHUNKING (the LLM pre-training / RAG document
+    * splitter): every document split into 64-token windows with
+    * stride 48 (16-token overlap) — chunk boundaries, lengths, AND the
+    * chunk text itself all pinned against the oracle's unrolled
+    * slice arithmetic. Pure per-row explode: map-side at any scale. */
+  val p24 = QueryDef.sql("p24_context_chunks",
+    s"""WITH c1 AS (
+       |  SELECT doc_id, ws, len(ws) AS n,
+       |    CASE WHEN len(ws) <= 64 THEN 1
+       |         ELSE 1 + (len(ws) - 64 + 47) // 48 END AS nc
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents)),
+       |c2 AS (
+       |  SELECT doc_id, ws, n, UNNEST(generate_series(0, nc - 1)) AS k
+       |  FROM c1)
+       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_no,
+       |  CAST(k * 48 AS BIGINT) AS start_tok,
+       |  CAST(least(64, n - k * 48) AS BIGINT) AS n_tok,
+       |  array_to_string(
+       |    ws[k * 48 + 1 : k * 48 + least(64, n - k * 48)], ' ')
+       |    AS chunk_text
+       |FROM c2
+       |ORDER BY doc_id, chunk_no""".stripMargin) { (s, dir) =>
+    TextOps.contextChunks(Tables(s, dir).documents, "doc_id", "text",
+      chunkSize = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
   /** SCHEMA EVOLUTION on the lake (the 100 TB reality: shards written
     * months apart carry different column sets): an early shard without
     * `lang` and a later shard with an added `quality` column are read
@@ -1221,6 +1338,40 @@ object PipelineQueries {
           lit(84.6) * (col("syls").cast("double") / col("words")))
           .as("flesch"))
       .orderBy(col("doc_id"))
+  }
+
+  /** PMI collocations (phrase mining / tokenizer-merge scoring):
+    * top-20 adjacent word pairs with count ≥ 5 by pointwise mutual
+    * information — exact integer counts, ONE double log expression in
+    * fixed association order both engines, floor4, total-order
+    * tie-break. Candidates are adjacent pairs only (never all-pairs). */
+  val t21 = QueryDef.sql("t21_pmi_collocations",
+    s"""WITH d AS (SELECT string_split($normSql, ' ') AS ws
+       |           FROM documents),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+       |        FROM (SELECT UNNEST(ws) AS w FROM d) GROUP BY w),
+       |tot AS (SELECT sum(c) AS n_tot FROM uni),
+       |btot AS (SELECT sum(len(ws) - 1) AS b_tot FROM d
+       |         WHERE len(ws) >= 2),
+       |bg AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM (
+       |         SELECT UNNEST([ws[i] || ' ' || ws[i+1]
+       |                 FOR i IN generate_series(1, len(ws) - 1)]) AS bg
+       |         FROM d WHERE len(ws) >= 2) GROUP BY bg
+       |       HAVING count(*) >= 5),
+       |j AS (SELECT string_split(bg, ' ')[1] AS w1,
+       |             string_split(bg, ' ')[2] AS w2, c12 FROM bg)
+       |SELECT j.w1, j.w2, c12,
+       |  ${Det.floor4Sql(
+            """ln((CAST(c12 AS DOUBLE) * n_tot * n_tot)
+              | / (CAST(b_tot AS DOUBLE) * c1.c * c2.c))""".stripMargin)}
+       |    AS pmi
+       |FROM j JOIN uni c1 ON c1.w = j.w1
+       |       JOIN uni c2 ON c2.w = j.w2, tot, btot
+       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin) { (s, dir) =>
+    TextOps.pmiCollocations(Tables(s, dir).documents, "text",
+      minCount = 5)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
   }
 
   /** Hashing-trick featurization (HashingTF): 32-bucket bag-of-words
@@ -2458,7 +2609,7 @@ object PipelineQueries {
       d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
       s08, s09, s10, s11, s12, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, p18, p19, p20, p21, p22, in01, io01, io02, io03,
-      io04, t06, t07, t08, t09, t10,
-      t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
+      p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
+      io02, io03, io04, io05, t06, t07, t08, t09, t10,
+      t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
 }

@@ -419,4 +419,62 @@ class TraversalSpec extends SparkSpec {
       iters = 1, seedMass = 100L).collect().map(_.getLong(0)).toSet
       == Set(1L, 2L))
   }
+
+  test("deterministicWalks: forced edges, hash-argmin choice, dead end") {
+    implicit val s = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val eSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    // path 1-2-3: degree-1 endpoints force their step, vertex 2 makes
+    // the hash choice between 1 and 3; start 99 is isolated (dead end).
+    val edges = df(eSchema, Row(1L, 2L), Row(2L, 3L))
+    val starts = df(StructType(Seq(StructField("id", LongType))),
+      Row(1L), Row(99L))
+    val out = GraphXBridge
+      .deterministicWalks(edges, starts, walksPerNode = 2, steps = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(out.size == 4) // |starts| × walksPerNode
+    // replicate the operator's choice rule independently
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def key(start: Long, w: Long, t: Int, n: Long): String =
+      md5hex(s"$start:$w:$t:$n") + "%020d".format(n)
+    for (w <- 0L to 1L) {
+      // step 1 from 1 is forced to 2; step 2 from 2 is the argmin
+      // choice; step 3 from either endpoint is forced back to 2
+      val mid = Seq(1L, 3L).minBy(n => key(1L, w, 2, n))
+      assert(out((1L, w)) == ((2L, s"1->2->$mid->2")))
+      // isolated start: walk holds in place, path is the start alone
+      assert(out((99L, w)) == ((99L, "99")))
+    }
+  }
+
+  test("sampleNeighbors: hash-ranked k-subset, small degrees intact") {
+    implicit val s = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val eSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    // star: center 0 with leaves 1..5
+    val star = df(eSchema,
+      Row(0L, 1L), Row(0L, 2L), Row(0L, 3L), Row(0L, 4L), Row(0L, 5L))
+    val out = GraphXBridge.sampleNeighbors(star, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // each leaf keeps its single neighbor (deg < k emits deg rows)
+    for (leaf <- 1L to 5L) assert(out((leaf, 1L)) == 0L)
+    // the center keeps exactly the 3 smallest-keyed leaves, in order
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (1L to 5L)
+      .sortBy(n => md5hex(s"0:$n") + "%020d".format(n)).take(3)
+    assert(out.size == 5 + 3)
+    for ((n, i) <- want.zipWithIndex)
+      assert(out((0L, (i + 1).toLong)) == n)
+  }
 }

@@ -221,4 +221,29 @@ class CurationSpec extends SparkSpec {
     assert(out(4) == ((5L, 0L, 0L, 0L)))  // no false positive on accents
     assert(out(5) == ((6L, 0L, 0L, 1L)))  // truncated trailing marker
   }
+
+  test("contextChunks: stride windows cover all tokens, short tail") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks
+      (2L, "a b c d"),                                // exactly one window
+      (3L, "a b c d e")                               // 5 toks -> short tail
+    ).toDF("doc_id", "text")
+    val out = TextOps.contextChunks(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_no")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 1: n=10, nc = 1 + ceil(6/3) = 3
+    assert(out.filter(_._1 == 1L) == Seq(
+      (1L, 0L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 3L, 4L, "w4 w5 w6 w7"),
+      (1L, 2L, 6L, 4L, "w7 w8 w9 w10")))
+    // doc 2: n=4 <= chunkSize -> single full window
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0L, 0L, 4L, "a b c d")))
+    // doc 3: n=5 -> second window is the 2-token tail
+    assert(out.filter(_._1 == 3L) == Seq(
+      (3L, 0L, 0L, 4L, "a b c d"), (3L, 1L, 3L, 2L, "d e")))
+    // no token is dropped: every token index < n appears in >= 1 window
+    for ((_, k, st, nt, _) <- out) assert(st == k * 3 && nt >= 1)
+  }
 }
