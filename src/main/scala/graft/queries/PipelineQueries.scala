@@ -1036,6 +1036,59 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** JSONL PERMISSIVE quarantine (the other half of io05's lossy-mode
+    * contract): corrupt records are KEPT, routed whole into
+    * `_corrupt_record`, while well-formed rows parse — including the
+    * two permissive edge semantics worth pinning: a WRONG-TYPED field
+    * flags the record corrupt even though sibling fields parse, and a
+    * MISSING field is null, not corrupt. Survivors and the quarantine
+    * count are both pinned vs the closed-form oracle. */
+  val io06 = QueryDef.sql("io06_jsonl_quarantine",
+    """SELECT doc_id, n_chars, status FROM (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |         'ok' AS status FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (9100001, CAST(11 AS BIGINT), 'ok'),
+      |    (9100002, CAST(22 AS BIGINT), 'ok'),
+      |    (9100003, CAST(NULL AS BIGINT), 'ok'),
+      |    (-1, CAST(NULL AS BIGINT), 'quarantined'),
+      |    (-1, CAST(NULL AS BIGINT), 'quarantined'),
+      |    (-1, CAST(NULL AS BIGINT), 'quarantined'))
+      |    t(doc_id, n_chars, status))
+      |ORDER BY doc_id, n_chars""".stripMargin) { (s, dir) =>
+    val stage = stagePath("io06_jsonl", dir)
+    if (!new java.io.File(stage, "_SUCCESS").exists()) {
+      Tables(s, dir).documents
+        .select(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars")), Map("ignoreNullFields" -> "false"))
+          .as("value"))
+        .write.mode("overwrite").text(stage)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(stage, "planted.json"),
+        ("""{"doc_id":9100001,"lang":"xx","n_chars":11}""" + "\n" +
+         """{"doc_id":"notanum","lang":"en","n_chars":12}""" + "\n" + // wrong type: quarantined
+         """{bad""" + "\n" +                                          // malformed: quarantined
+         """hello world""" + "\n" +                                   // not JSON: quarantined
+         """{"doc_id":9100002,"lang":"yy","n_chars":22}""" + "\n" +
+         """{"doc_id":9100003,"lang":"zz"}""" + "\n")                 // missing field: ok, null
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    s.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, " +
+        "_corrupt_record STRING")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(stage)
+      .select(
+        when(col("_corrupt_record").isNotNull, lit(-1L))
+          .otherwise(col("doc_id")).as("doc_id"),
+        when(col("_corrupt_record").isNotNull, lit(null).cast("long"))
+          .otherwise(col("n_chars")).as("n_chars"),
+        when(col("_corrupt_record").isNotNull, lit("quarantined"))
+          .otherwise(lit("ok")).as("status"))
+      .orderBy(col("doc_id"), col("n_chars"))
+  }
+
   /** CONTEXT-WINDOW CHUNKING (the LLM pre-training / RAG document
     * splitter): every document split into 64-token windows with
     * stride 48 (16-token overlap) — chunk boundaries, lengths, AND the
@@ -2604,12 +2657,43 @@ object PipelineQueries {
           .cast("long").as("recall_ge_06"))
   }
 
+  /** Matryoshka-style truncated-dimension retrieval: cosine top-5 on
+    * the FIRST 32 of 64 dims (the MRL efficiency path — half the
+    * dot-product work and half the vector bytes at shortlist time).
+    * Every rank is pinned; the oracle runs the identical slice +
+    * rounded-cosine arithmetic. Same broadcast-queries × one-corpus-
+    * scan shape as s01. */
+  val s13 = QueryDef.sql("s13_matryoshka_topk",
+    """WITH q AS (SELECT vec_id AS query_id,
+      |             (embedding::DOUBLE[])[1:32] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id,
+      |        (embedding::DOUBLE[])[1:32] AS cv
+      |      FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |        round(list_dot_product(cv, qv) /
+      |          (sqrt(list_dot_product(cv, cv)) *
+      |           sqrt(list_dot_product(qv, qv))), 6) AS score
+      |      FROM c, q WHERE neighbor_id <> query_id)
+      |SELECT query_id, neighbor_id, score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val tr = Tables(s, dir).embeddings
+      .select(col("vec_id"), slice(col("embedding"), 1, 32)
+        .as("embedding"))
+    SimilarityOps.cosineTopK(
+        corpus = tr, queries = tr.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
-      s08, s09, s10, s11, s12, m01, m02, m03, m04,
+      s08, s09, s10, s11, s12, s13, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
-      io02, io03, io04, io05, t06, t07, t08, t09, t10,
+      io02, io03, io04, io05, io06, t06, t07, t08, t09, t10,
       t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
 }

@@ -1064,8 +1064,38 @@ object Relational {
       .orderBy(col("op"), col("p"))
   }
 
+  /** RECURSIVE CTE through the spark.sql entry point (Spark 4 SQL
+    * surface): an 84-month calendar generated by integer recursion,
+    * LEFT-joined to monthly order counts so empty months surface as
+    * zero rows — the gap-filling report shape that is inexpressible
+    * without recursion (or a generator function) in pure SQL. The
+    * recursion is integer-only and dialect-split ONLY on the floor-div
+    * operator (Spark `DIV`, DuckDB `//`). */
+  private def q49Sql(table: String, floorDiv: (String, String) => String)
+      : String = {
+    val yr = floorDiv("n", "12")
+    s"""WITH RECURSIVE t(n) AS (
+       |  SELECT 0 UNION ALL SELECT n + 1 FROM t WHERE n < 83),
+       |cal AS (SELECT CAST(1992 + ($yr) AS BIGINT) AS yr,
+       |               CAST((n % 12) + 1 AS BIGINT) AS mo FROM t),
+       |m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |             CAST(month(o_orderdate) AS BIGINT) AS mo,
+       |             CAST(count(*) AS BIGINT) AS n_orders
+       |      FROM $table GROUP BY 1, 2)
+       |SELECT cal.yr, cal.mo,
+       |  CAST(coalesce(m.n_orders, 0) AS BIGINT) AS n_orders
+       |FROM cal LEFT JOIN m ON m.yr = cal.yr AND m.mo = cal.mo
+       |ORDER BY cal.yr, cal.mo""".stripMargin
+  }
+
+  val q49 = QueryDef.sql("q49_recursive_calendar",
+    q49Sql("orders", (a, b) => s"$a // $b")) { (s, dir) =>
+    Tables(s, dir).orders.createOrReplaceTempView("orders_q49")
+    s.sql(q49Sql("orders_q49", (a, b) => s"$a DIV $b"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }
