@@ -36,9 +36,6 @@ object Bench {
       // a failed query must not masquerade as a fast one
       q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // 3-decimal (ms) precision keeps the whole JSON line under the
-    // harness's output-tail capture window — full nanosecond reprs
-    // pushed the line past it, truncating the line's head
     def fmt(v: Double): String =
       if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -47,7 +44,27 @@ object Bench {
     val passed = results.collect { case (_, v) if v >= 0 => v }
     val nFailed = results.size - passed.size
     val total = fmt(passed.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    val median = fmt(if (passed.isEmpty) 0.0 else {
+      val s = passed.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    })
+    // worst-5 by time, so the headline line carries the hot spots even
+    // when the full dict doesn't fit the harness's 2KB tail capture
+    val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    // full per-query dict: an EARLIER stdout line + a file — the LAST
+    // line is a compact summary that always fits the driver's tail
+    // capture window (round 4's per-query line exceeded it → parsed:null)
+    println(full)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-dict write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"median":$median,"worst":$worst,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -24,7 +24,23 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A crashed gate must NEVER vanish from the driver's correctness
+        // file (round 4 silently hid 24 red gates this way): create the
+        // query dir with an ERROR sentinel and no parquet, so the
+        // driver's scan sees the name and records a failure for it.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val d = Paths.get(outDir, name)
+        try {
+          if (Files.exists(d))
+            Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.delete(p))
+          Files.createDirectories(d)
+          Files.writeString(d.resolve("ERROR.txt"),
+            s"$name\n${e.getClass.getName}: ${e.getMessage}\n")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: " +
+            e2.getMessage)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

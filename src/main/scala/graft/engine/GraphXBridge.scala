@@ -309,22 +309,49 @@ object GraphXBridge {
 
   /** Per-edge TRIANGLE SUPPORT (the k-truss building block): for each
     * canonical (src < dst) edge, |N(src) ∩ N(dst)| — the number of
-    * triangles the edge closes. Two equi-joins enumerate the wedges
-    * (edge × neighbors-of-src, matched against neighbors-of-dst on the
-    * shared endpoint) and a partial-aggregated count collapses them;
-    * Σ support = 3 × triangle count is the gx03 consistency identity.
-    * At 100 TB the standard refinement is degree orientation (enumerate
-    * each wedge from its lower-degree endpoint, bounding work by
-    * arboricity) plus salting the heavy hub keys — the join/agg shape
-    * below is unchanged by either. Input (src, dst) distinct canonical;
+    * triangles the edge closes. DEGREE-ORIENTED (Suri–Vassilvitskii,
+    * same orientation as [[triangleTotalDF]]): every undirected edge
+    * points from its smaller (deg, id) endpoint, making an acyclic
+    * orientation whose out-degree is O(√m) even at heavy hubs; each
+    * triangle a≺b≺c is discovered exactly ONCE, on edge a→b with
+    * c ∈ adj⁺(a) ∩ adj⁺(b), and then credits all three of its edges.
+    * Wedge work is arboricity-bounded — the unoriented formulation's
+    * Σ_w deg(w)² blow-up on hot hubs never happens, which is what
+    * survives a 100× scale-up. Σ support = 3 × triangle count is the
+    * gx03 consistency identity. Input (src, dst) distinct canonical;
     * output (src, dst, support) with zero-support edges preserved. */
   def edgeTriangleSupport(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
-      .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
-    val ns = sym.select(col("id").as("src"), col("nbr"))
-    val nd = sym.select(col("id").as("dst"), col("nbr"))
-    val sup = edges.join(ns, Seq("src")).join(nd, Seq("dst", "nbr"))
-      .groupBy(col("src"), col("dst"))
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("id").as("src"), col("deg").as("sdeg")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("ddeg")), "dst")
+    val srcFirst = col("sdeg") < col("ddeg") ||
+      (col("sdeg") === col("ddeg") && col("src") < col("dst"))
+    val oriented = withDeg.select(
+      when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
+      when(srcFirst, col("dst")).otherwise(col("src")).as("v"))
+    val adj = oriented.groupBy(col("u"))
+      .agg(collect_list(col("v")).as("nbrs"))
+    // one row per TRIANGLE (u≺v≺w in orientation order) …
+    val tri = oriented
+      .join(adj.select(col("u"), col("nbrs").as("un")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("vn")), Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("un"), col("vn"))).as("w"))
+    // … credits its three edges in canonical ID order, one pass
+    val credits = tri
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("src"),
+          greatest(col("u"), col("v")).as("dst")),
+        struct(least(col("u"), col("w")).as("src"),
+          greatest(col("u"), col("w")).as("dst")),
+        struct(least(col("v"), col("w")).as("src"),
+          greatest(col("v"), col("w")).as("dst")))).as("t"))
+      .select(col("t.src").as("src"), col("t.dst").as("dst"))
+    val sup = credits.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("support"))
     edges.join(sup, Seq("src", "dst"), "left")
       .select(col("src"), col("dst"),
@@ -402,21 +429,34 @@ object GraphXBridge {
     * points, and preferential attachment — the three classic exact-
     * integer scores (Adamic-Adar's 1/log(deg) weighting is float and
     * engine-order-dependent, deliberately not the gate surface).
-    * Candidates are exactly the pairs sharing ≥1 neighbor (one wedge
-    * self-join, never all-pairs), minus existing edges (an anti-join —
-    * prediction targets NEW links). Degrees join back post-aggregation
-    * (two small frames). Wedge work is Σ_w deg(w)²; at 100 TB the hub
-    * mitigation is the same degree-orientation/salting note as
-    * edgeTriangleSupport, plus capping hub wedge fan-out (top-degree
-    * vertices predict trivially and are dropped by rank anyway). */
+    * Candidates are exactly the pairs sharing ≥1 neighbor (never
+    * all-pairs), minus existing edges (an anti-join — prediction
+    * targets NEW links). Degrees join back post-aggregation (two small
+    * frames).
+    *
+    * Wedge enumeration: ONE adjacency aggregation per center vertex,
+    * then ordered pairs explode map-side from the sorted neighbor list
+    * — exactly C(deg(w), 2) rows per center, with map-side partial
+    * aggregation before the (id1, id2) shuffle. The sym⋈sym self-join
+    * this replaces shuffled Σ deg(w)² wedge rows and generated both
+    * orders only to filter half away. Exact all-pairs common-neighbor
+    * counts are intrinsically Σ_w C(deg(w), 2) — every wedge must be
+    * counted, unlike triangle counting where orientation dedups — so
+    * at 100 TB the hub mitigation is capping hub wedge fan-out
+    * (top-degree centers add near-zero Jaccard evidence and their
+    * pairs predict trivially). */
   def linkPredictionScores(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
     val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val a = sym.select(col("nbr").as("w"), col("id").as("id1"))
-    val b = sym.select(col("nbr").as("w"), col("id").as("id2"))
-    val common = a.join(b, Seq("w"))
-      .filter(col("id1") < col("id2"))
+    val adj = sym.groupBy(col("nbr").as("w"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    // (ids[i], ids[j]) for i<j: posexplode anchors id1, slice emits its
+    // ordered partners — C(deg,2) rows, generated inside the scan stage
+    val common = adj
+      .select(posexplode(col("ids")).as(Seq("i", "id1")), col("ids"))
+      .select(col("id1"),
+        explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("common"))
     val cand = common.join(

@@ -259,7 +259,7 @@ object GraphQueries {
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]()
 
-  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     coPurchaseMemo.computeIfAbsent((s, dir), _ => {
       val l = Tables(s, dir).lineitem
@@ -771,13 +771,16 @@ object GraphQueries {
     }.toDF("k", "n_reach", "certified", "eff_diameter")
   }
 
-  /** The wedge-enumeration gates (gx13/gx14) run on the co-purchase
-    * subgraph induced by partkeys < 2000 (the FULL graph at the
-    * driver's sf0.01 gate, a 1/10 vertex slice at bench sf0.1): wedge
-    * work is Σ_w deg(w)², so an unbounded bench corpus would pay tens
-    * of seconds proving the same algebra the subgraph pins — the same
-    * bounded-gate discipline as the s-family's 10-query slices. The
-    * operators themselves take any edge list. */
+  /** gx13 runs on the co-purchase subgraph induced by partkeys < 2000
+    * (the FULL graph at the driver's sf0.01 gate — sf0.01 has exactly
+    * 2000 parts — so correctness covers the whole graph; the slice only
+    * bounds bench sf0.1). The bound is INTRINSIC to exact all-pairs
+    * link prediction, not a plan defect: the full sf0.1 answer is
+    * ~100M candidate pairs (measured via graft.dev.TimeFullWedges —
+    * 1.196M edges → 99.9M pairs, 43 s warm), i.e. the output itself is
+    * wedge-sized. Same bounded-gate discipline as the s-family's
+    * 10-query slices. gx14 is UN-pinned: the degree-oriented support
+    * operator runs the full sf0.1 graph in ~0.4 s. */
   private def coPurchaseSub(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     coPurchaseEdges(s, dir)
@@ -824,16 +827,17 @@ object GraphQueries {
   }
 
   /** Per-edge triangle support histogram (the k-truss peeling input):
-    * support → edge count over every canonical co-purchase edge,
-    * zero-support edges included. Σ support·n_edges = 3 × gx03's
-    * triangle total — the cross-gate consistency identity. */
+    * support → edge count over every canonical co-purchase edge of the
+    * FULL graph (un-pinned — the degree-oriented operator runs the
+    * whole sf0.1 graph in ~0.4 s), zero-support edges included.
+    * Σ support·n_edges = 3 × gx03's triangle total — the cross-gate
+    * consistency identity. */
   val gx14 = QueryDef.sql("gx14_triangle_support",
     """WITH e AS (
       |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
       |  FROM lineitem l1 JOIN lineitem l2
       |    ON l1.l_orderkey = l2.l_orderkey
-      |   AND l1.l_partkey < l2.l_partkey
-      |   AND l1.l_partkey < 2000 AND l2.l_partkey < 2000),
+      |   AND l1.l_partkey < l2.l_partkey),
       |sym AS (SELECT src AS id, dst AS nbr FROM e
       |        UNION ALL SELECT dst, src FROM e),
       |sup AS (
@@ -846,7 +850,8 @@ object GraphQueries {
       |  SELECT e.src, e.dst, coalesce(sup.support, 0) AS support
       |  FROM e LEFT JOIN sup ON sup.src = e.src AND sup.dst = e.dst)
       |GROUP BY support ORDER BY support""".stripMargin) { (s, dir) =>
-    graft.engine.GraphXBridge.edgeTriangleSupport(coPurchaseSub(s, dir))
+    graft.engine.GraphXBridge.edgeTriangleSupport(
+        coPurchaseEdges(s, dir))
       .groupBy(col("support"))
       .agg(count(lit(1)).as("n_edges"))
       .orderBy(col("support"))

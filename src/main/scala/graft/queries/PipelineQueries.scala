@@ -1089,6 +1089,29 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("n_chars"))
   }
 
+  /** TESTDATA CONTRACT smoke gate: the engine's entire view of the
+    * events table — row count, min/max timestamp as epoch MICROS, a
+    * modular checksum over every timestamp, distinct users — must
+    * hash-match DuckDB reading the same parquet natively. The ts unit
+    * has regressed between testdata generations before (TIMESTAMP
+    * NANOS → timestamp[us], round 4's 29-gate casualty); a unit drift
+    * moves min/max/checksum by ~1000× and fails HERE, loudly, in one
+    * obvious place, instead of in 29 confusing downstream gates. */
+  val io07 = QueryDef.sql("io07_events_ts_contract",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+      |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_us,
+      |  CAST(sum(epoch_us(ts) % 1000000007) AS BIGINT) AS ts_checksum,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events.agg(
+      count(lit(1)).as("n"),
+      min(unix_micros(col("ts"))).as("min_us"),
+      max(unix_micros(col("ts"))).as("max_us"),
+      sum(unix_micros(col("ts")) % 1000000007L).as("ts_checksum"),
+      countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** CONTEXT-WINDOW CHUNKING (the LLM pre-training / RAG document
     * splitter): every document split into 64-token windows with
     * stride 48 (16-token overlap) — chunk boundaries, lengths, AND the
@@ -2694,6 +2717,6 @@ object PipelineQueries {
       s08, s09, s10, s11, s12, s13, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
-      io02, io03, io04, io05, io06, t06, t07, t08, t09, t10,
+      io02, io03, io04, io05, io06, io07, t06, t07, t08, t09, t10,
       t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
 }

@@ -2,8 +2,51 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.engine.GraphState
+
+/** Schema-adaptive `events.ts` handling. The driver's testdata has shipped
+  * the column both as TIMESTAMP(NANOS) (which Spark's parquet reader only
+  * accepts as a long under the legacy `nanosAsLong` conf) and as plain
+  * timestamp[us] (arriving as TIMESTAMP_NTZ). Neither unit may be assumed:
+  * detect it from the loaded schema and normalize to a session-TZ
+  * microsecond TIMESTAMP — the one downstream contract. Sessions run UTC,
+  * so the NTZ→TZ cast is value-preserving.
+  */
+object EventTs {
+  def enableNanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Normalize however `ts` arrived into a microsecond TIMESTAMP. */
+  def normalize(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      // nanos-as-long: integer `div`, not `/` — nanos epochs (~1.7e18)
+      // exceed double's 53-bit mantissa, float division can be off ±1µs
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType => df
+    case other => throw new IllegalStateException(
+      s"events.ts arrived as unsupported type $other — expected " +
+        "long (TIMESTAMP NANOS under nanosAsLong), timestamp_ntz, or timestamp")
+  }
+
+  /** Batch read + normalize. */
+  def readBatch(spark: SparkSession, path: String): DataFrame = {
+    enableNanosAsLong(spark)
+    normalize(spark.read.parquet(path))
+  }
+
+  /** Streaming source over an events parquet dir with the same unit
+    * detection: a one-time batch footer probe supplies the source schema
+    * (readStream requires one), then the identical normalization applies
+    * — batch and streaming can never disagree on the unit again. */
+  def readStream(spark: SparkSession, sourceDir: String): DataFrame = {
+    enableNanosAsLong(spark)
+    val probed = spark.read.parquet(sourceDir).schema
+    normalize(spark.readStream.schema(probed).parquet(sourceDir))
+  }
+}
 
 /** Loaders for the driver testdata (TESTDATA.md): TPC-H-ish star schema +
   * `events` stream table + `documents`/`embeddings` for the LLM-pipeline
@@ -21,16 +64,9 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default — read nanos as long (legacy conf) and convert to a
-    * microsecond timestamp column, keeping the schema downstream-friendly.
-    */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, not `/`: nanos epochs (~1.7e18) exceed double's
-    // 53-bit mantissa, so float division can be off by ±1µs
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** The events table's `ts` unit is NOT fixed across testdata
+    * generations — see [[EventTs]] for the schema-adaptive contract. */
+  def events: DataFrame = EventTs.readBatch(spark, s"$dir/events.parquet")
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

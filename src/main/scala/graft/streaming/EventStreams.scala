@@ -26,14 +26,6 @@ object EventStreams {
     i.getEpochSecond * 1000000L + i.getNano / 1000
   }
 
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Tumbling-window counts/sums per event type with a watermark for late
     * data. Works identically on a batch or streaming input. */
   def windowedAggregates(events: DataFrame,
@@ -367,14 +359,7 @@ object EventStreams {
   def graphUpsertSink(spark: SparkSession, sourceDir: String,
       session: graft.api.GraftSession,
       toVertices: DataFrame => DataFrame): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(StructType(eventSchema.map {
-        case f if f.name == "ts" => StructField("ts", LongType)
-        case f => f
-      }))
-      .parquet(sourceDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.sources.EventTs.readStream(spark, sourceDir)
     val q = raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         session.bulkInsert(vertices = toVertices(batch).localCheckpoint())
@@ -420,18 +405,11 @@ object EventStreams {
       transform: DataFrame => DataFrame,
       outputMode: OutputMode = OutputMode.Append,
       statePartitions: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     try {
-      val raw = spark.readStream
-        .schema(StructType(eventSchema.map {
-          case f if f.name == "ts" => StructField("ts", LongType)
-          case f => f
-        }))
-        .parquet(sourceDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = graft.sources.EventTs.readStream(spark, sourceDir)
       val q = transform(raw).writeStream
         .format("memory")
         .queryName(queryName)

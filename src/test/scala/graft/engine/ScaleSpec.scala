@@ -158,6 +158,10 @@ class ScaleSpec extends SparkSpec {
       "s12_binary_rerank" -> ("Hamming shortlist scan joins the " +
         "broadcast bounded query set (code column only; vectors " +
         "touched per-shortlist)"),
+      "s13_matryoshka_topk" -> ("s01's broadcast-bounded-queries, " +
+        "one-corpus-scan shape on the truncated-dim slice"),
+      "t21_pmi_collocations" -> ("two 1-row corpus-totals scalar " +
+        "broadcasts (n_tot, b_tot)"),
       "t10_tfidf_topk" -> "1-row corpus-size scalar broadcast",
       "p22_boilerplate_ngrams" -> "1-row corpus-size scalar broadcast",
       "gx07_scc_transitions" -> "1-row transition-total scalar broadcast",
