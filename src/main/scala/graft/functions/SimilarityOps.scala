@@ -661,48 +661,55 @@ object SimilarityOps {
     *
     * Scale shape: the corpus-sized work is the exact shortlist
     * (broadcast query × one corpus scan, TakeOrdered top-`shortlist`);
-    * the greedy phase touches only the shortlist (≤ `shortlist`² pair
-    * sims, computed distributed, then a BOUNDED driver collect of
-    * ≤ shortlist + shortlist² small rows — the centroid/landmark
-    * precedent). NOTE: the collects make this operator EAGER — the
-    * shortlist scan and the two bounded joins (s01's allowlisted
-    * broadcast-query shape; a shortlist×shortlist nested-loop pair
-    * join, ≤ shortlist² rows by construction) execute at call time and
-    * the returned frame is a LocalRelation, so plan sweeps see only
-    * the final result; the joins' scale-safety argument lives here,
-    * mirroring the ScaleSpec allowlist. Returns
-    * (rank, neighbor_id, mmr_score). */
+    * the greedy phase is k DISTRIBUTED argmax jobs — each iteration
+    * joins the remaining candidates against the ≤ k selected vectors
+    * (broadcast, ≤ shortlist × k sim rows, never shortlist²) and
+    * collects exactly ONE winner row. The driver holds only the k
+    * selected (id, score) pairs, so the operator scales to arbitrary
+    * shortlists — the full pairwise sim matrix is never materialized
+    * anywhere. NOTE: the per-iteration collects make this operator
+    * EAGER — the scan and the bounded broadcast joins (s01's
+    * allowlisted shape; a candidates × ≤ k-selected nested loop)
+    * execute at call time and the returned frame is a LocalRelation,
+    * so plan sweeps see only the final result; the joins'
+    * scale-safety argument lives here, mirroring the ScaleSpec
+    * allowlist. Returns (rank, neighbor_id, mmr_score). */
   def mmrDiversifiedTopK(corpus: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, shortlist: Int = 20, k: Int = 5,
       lambda: Double = 0.5): DataFrame = {
     val spark = corpus.sparkSession
     val cand = cosineTopK(corpus, query, idCol, vecCol, shortlist)
       .select(col("neighbor_id").as("id"), col("score").as("rel"))
-    val vecs = corpus.join(broadcast(cand.select(col("id"))),
-        corpus(idCol) === col("id"))
-      .select(col("id"), asDouble(col(vecCol)).as("v"))
-    val sims = vecs.alias("a")
-      .join(broadcast(vecs.alias("b")),
-        col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("ia"), col("b.id").as("ib"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("s"))
-    val candRows = cand.collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val simRows = sims.collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // (id, rel, v): the shortlist with its vectors, materialized once
+    // (bounded: `shortlist` rows)
+    val short = corpus.join(broadcast(cand), corpus(idCol) === cand("id"))
+      .select(cand("id"), col("rel"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint()
+    val nCand = short.count()
     var selected = Vector.empty[(Long, Double)] // (id, mmr score)
-    while (selected.size < k && selected.size < candRows.size) {
-      val chosen = candRows.keysIterator
-        .filterNot(id => selected.exists(_._1 == id))
-        .map { id =>
-          val maxSim =
-            if (selected.isEmpty) 0.0
-            else selected.map(s => simRows((id, s._1))).max
-          id -> (lambda * candRows(id) - (1 - lambda) * maxSim)
+    while (selected.size < k && selected.size < nCand) {
+      val selectedIds = selected.map(_._1)
+      val remaining = short.filter(!col("id").isInCollection(
+        selectedIds :+ Long.MinValue)) // non-empty list for isin
+      val scored =
+        if (selected.isEmpty)
+          remaining.select(col("id"),
+            (lit(lambda) * col("rel")).as("ms"))
+        else {
+          val sel = short.filter(col("id").isInCollection(selectedIds))
+            .select(col("v").as("sv"))
+          remaining.crossJoin(broadcast(sel))
+            .groupBy(col("id"), col("rel"))
+            .agg(max(round(cosine(col("v"), col("sv")), 6))
+              .as("max_sim"))
+            .select(col("id"),
+              (lit(lambda) * col("rel")
+                - lit(1 - lambda) * col("max_sim")).as("ms"))
         }
-        // argmax by (score desc, id asc) — the oracle's ORDER BY
-        .minBy { case (id, ms) => (-ms, id) }
-      selected :+= chosen
+      // argmax by (score desc, id asc) — the oracle's ORDER BY
+      val w = scored.orderBy(col("ms").desc, col("id")).limit(1)
+        .collect()(0)
+      selected :+= (w.getLong(0) -> w.getDouble(1))
     }
     import spark.implicits._
     selected.zipWithIndex

@@ -1112,6 +1112,44 @@ object PipelineQueries {
       countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** TESTDATA CONTRACT gate #2 — documents + embeddings (the other
+    * tables a regeneration could silently reshape): row counts, exact
+    * id/n_chars sums, a per-row md5 checksum over every text byte,
+    * embedding dimensionality (min = max = pinned), and an exact
+    * integer checksum over the floor-quantized first component of
+    * every vector (float32 values are exact in double, so the
+    * quantization is engine-independent). Any content, schema, or
+    * encoding drift in either table fails this one row loudly. */
+  val io08 = QueryDef.sql("io08_corpus_contract",
+    """SELECT * FROM
+      |  (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |     CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      |     CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+      |     CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT)
+      |       AS BIGINT) AS text_checksum
+      |   FROM documents),
+      |  (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+      |     CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+      |     CAST(max(len(embedding)) AS BIGINT) AS dim_max,
+      |     CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+      |       AS BIGINT)) AS BIGINT) AS vec_checksum
+      |   FROM embeddings)""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val d = t.documents.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("doc_id")).as("sum_doc_id"),
+      sum(col("n_chars").cast("long")).as("sum_n_chars"),
+      sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+        .as("text_checksum"))
+    val e = t.embeddings.agg(
+      count(lit(1)).as("n_vecs"),
+      min(size(col("embedding"))).cast("long").as("dim_min"),
+      max(size(col("embedding"))).cast("long").as("dim_max"),
+      sum(floor(element_at(col("embedding"), 1).cast("double")
+        * 1000000).cast("long")).as("vec_checksum"))
+    d.crossJoin(e)
+  }
+
   /** CONTEXT-WINDOW CHUNKING (the LLM pre-training / RAG document
     * splitter): every document split into 64-token windows with
     * stride 48 (16-token overlap) — chunk boundaries, lengths, AND the
@@ -2717,6 +2755,6 @@ object PipelineQueries {
       s08, s09, s10, s11, s12, s13, m01, m02, m03, m04,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
-      io02, io03, io04, io05, io06, io07, t06, t07, t08, t09, t10,
+      io02, io03, io04, io05, io06, io07, io08, t06, t07, t08, t09, t10,
       t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
 }

@@ -162,6 +162,8 @@ class ScaleSpec extends SparkSpec {
         "one-corpus-scan shape on the truncated-dim slice"),
       "t21_pmi_collocations" -> ("two 1-row corpus-totals scalar " +
         "broadcasts (n_tot, b_tot)"),
+      "io08_corpus_contract" -> ("cross join of two 1-row " +
+        "table-contract aggregates"),
       "t10_tfidf_topk" -> "1-row corpus-size scalar broadcast",
       "p22_boilerplate_ngrams" -> "1-row corpus-size scalar broadcast",
       "gx07_scc_transitions" -> "1-row transition-total scalar broadcast",
