@@ -31,9 +31,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         val d = Paths.get(outDir, name)
         try {
-          if (Files.exists(d))
-            Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          if (Files.exists(d)) {
+            val walk = Files.walk(d)
+            try walk.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.delete(p))
+            finally walk.close()
+          }
           Files.createDirectories(d)
           Files.writeString(d.resolve("ERROR.txt"),
             s"$name\n${e.getClass.getName}: ${e.getMessage}\n")

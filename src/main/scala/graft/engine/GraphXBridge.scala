@@ -172,6 +172,23 @@ object GraphXBridge {
     * (src < dst, distinct). */
   def triangleTotalDF(edges: DataFrame)
       (implicit spark: SparkSession): DataFrame = {
+    // per-edge adjacency intersection: triangle a≺b≺c is found exactly
+    // once, on edge a→b (c ∈ adj⁺(a) ∩ adj⁺(b)). Wedges are never
+    // materialized — the 41M-wedge shuffle the join formulation pays at
+    // sf0.1 becomes a per-row array_intersect over ≤√(2m)-sized lists.
+    withOrientedIntersections(edges)
+      .select(size(array_intersect(col("un"), col("vn"))).as("c"))
+      .agg(sum(col("c")).cast("long").as("n_triangles"))
+  }
+
+  /** Shared degree-orientation core of [[triangleTotalDF]] and
+    * [[edgeTriangleSupport]]: orient every undirected edge from the
+    * smaller (deg, id) endpoint — the tie-break makes the orientation
+    * acyclic, which the once-per-triangle guarantee depends on — and
+    * return one row per ORIENTED edge (u, v) carrying both endpoints'
+    * out-neighbor lists (un, vn). Out-degree under this orientation is
+    * O(√m), bounding the intersection work at heavy hubs. */
+  private def withOrientedIntersections(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
@@ -184,17 +201,11 @@ object GraphXBridge {
     val oriented = withDeg.select(
       when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
       when(srcFirst, col("dst")).otherwise(col("src")).as("v"))
-    // per-edge adjacency intersection: triangle a≺b≺c is found exactly
-    // once, on edge a→b (c ∈ adj⁺(a) ∩ adj⁺(b)). Wedges are never
-    // materialized — the 41M-wedge shuffle the join formulation pays at
-    // sf0.1 becomes a per-row array_intersect over ≤√(2m)-sized lists.
     val adj = oriented.groupBy(col("u"))
       .agg(collect_list(col("v")).as("nbrs"))
     oriented
       .join(adj.select(col("u"), col("nbrs").as("un")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("nbrs").as("vn")), Seq("v"))
-      .select(size(array_intersect(col("un"), col("vn"))).as("c"))
-      .agg(sum(col("c")).cast("long").as("n_triangles"))
   }
 
   /** k-core: the maximal subgraph where every vertex keeps degree ≥ k,
@@ -321,24 +332,8 @@ object GraphXBridge {
     * gx03 consistency identity. Input (src, dst) distinct canonical;
     * output (src, dst, support) with zero-support edges preserved. */
   def edgeTriangleSupport(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    val deg = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    val withDeg = e
-      .join(deg.select(col("id").as("src"), col("deg").as("sdeg")), "src")
-      .join(deg.select(col("id").as("dst"), col("deg").as("ddeg")), "dst")
-    val srcFirst = col("sdeg") < col("ddeg") ||
-      (col("sdeg") === col("ddeg") && col("src") < col("dst"))
-    val oriented = withDeg.select(
-      when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
-      when(srcFirst, col("dst")).otherwise(col("src")).as("v"))
-    val adj = oriented.groupBy(col("u"))
-      .agg(collect_list(col("v")).as("nbrs"))
     // one row per TRIANGLE (u≺v≺w in orientation order) …
-    val tri = oriented
-      .join(adj.select(col("u"), col("nbrs").as("un")), Seq("u"))
-      .join(adj.select(col("u").as("v"), col("nbrs").as("vn")), Seq("v"))
+    val tri = withOrientedIntersections(edges)
       .select(col("u"), col("v"),
         explode(array_intersect(col("un"), col("vn"))).as("w"))
     // … credits its three edges in canonical ID order, one pass

@@ -487,4 +487,73 @@ object TextOps {
         array_join(slice(col("__toks"), (start + 1).cast("int"),
           len.cast("int")), " ").as("chunk_text"))
   }
+
+  /** TOKENIZER TRAINING — distributed BPE merge learning (Sennrich et
+    * al. 2016, the `tokenizers`-library word-level regime): learn the
+    * top `nMerges` byte-pair merges over the corpus's alpha words.
+    *
+    * Engine-independent formulation: each word is a DOUBLE-SPACE-
+    * separated symbol string `'  h  e  l  l  o  _  '` (`_` =
+    * end-of-word marker, two leading/trailing spaces). Applying merge
+    * (l, r) is the literal `replace(' l  r ', ' lr ')`: the pattern
+    * consumes ONE of the two spaces on each side, so after a match the
+    * scan resumes with the remaining space still leading the next
+    * symbol — literal left-to-right non-overlapping replace then
+    * EQUALS canonical greedy BPE application (consecutive occurrences
+    * like `papa`+(p,a) and odd runs like `aaa`+(a,a) come out
+    * exactly as the tokenizers library merges them), the double-space
+    * invariant is restored by the replacement, and a one-space-flanked
+    * pattern can never false-match inside a multi-char symbol. Both
+    * engines' literal replace share these semantics byte-for-byte,
+    * which is what makes an exact SQL oracle possible (t22 unrolls the
+    * iterations as CTEs with scalar subqueries for the data-dependent
+    * pair).
+    *
+    * Scale shape: ONE corpus-scale shuffle (word→freq); every
+    * iteration after that runs on the BOUNDED vocab aggregate (rows =
+    * |distinct words|, the tokenizers-library shape) — adjacent pairs
+    * via native slice/zip (codegen, no lambdas), exact integer
+    * freq-weighted counts with map-side partial aggregation, one
+    * 1-row argmax collect per merge (count desc, pair asc — a total
+    * order), merge applied via literal replace, vocab
+    * localCheckpointed per round to keep plans flat. Emits one row
+    * per learned merge: (merge_rank, left, right, pair_count). */
+  def bpeMergeLearn(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, nMerges: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1, "need nMerges >= 1")
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(regexp_extract_all(normalize(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit("  "),
+        regexp_replace(col("word"), "(.)", "$1  "), lit("_  "))
+        .as("repr"), col("freq"))
+      .localCheckpoint()
+    val learned = Seq.newBuilder[(Long, String, String, Long)]
+    (1 to nMerges).foreach { i =>
+      val syms = split(trim(col("repr")), "  ")
+      val top = vocab
+        .select(col("freq"), explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1))).as("pr"))
+        .groupBy(col("pr.0").as("lhs"), col("pr.1").as("rhs"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        learned += ((i.toLong, l, r, c))
+        vocab = vocab
+          .withColumn("repr", replace(col("repr"),
+            lit(s" $l  $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    learned.result()
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
 }

@@ -1112,6 +1112,54 @@ object PipelineQueries {
       countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** TOKENIZER TRAINING gate — the top-8 BPE merges learned over the
+    * corpus's alpha words, every (rank, pair, exact freq-weighted
+    * count) pinned. The oracle unrolls the 8 iterations as CTE blocks:
+    * each computes the adjacent-pair argmax (count desc, pair asc) of
+    * the current vocab representation, then applies the data-dependent
+    * merge via scalar-subquery literal `replace` — the double-space
+    * scheme that makes literal replace EQUAL canonical greedy BPE
+    * application in both engines (TextOps.bpeMergeLearn doc). */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val steps = (1 to nMerges).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""p$i AS MATERIALIZED (SELECT s, freq,
+         |  UNNEST(generate_series(1, len(s) - 1)) AS j
+         |  FROM (SELECT string_split(trim(repr), '  ') AS s, freq
+         |        FROM $prev)),
+         |c$i AS MATERIALIZED (SELECT s[j] AS lhs, s[j+1] AS rhs,
+         |  CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM p$i GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM c$i
+         |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |r$i AS MATERIALIZED (SELECT replace(repr,
+         |    ' ' || (SELECT lhs FROM m$i) || '  ' ||
+         |      (SELECT rhs FROM m$i) || ' ',
+         |    ' ' || (SELECT lhs FROM m$i) ||
+         |      (SELECT rhs FROM m$i) || ' ') AS repr, freq
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to nMerges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs," +
+        s" pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT UNNEST(regexp_extract_all($normSql, '[a-z]+')) AS word
+       |    FROM documents) GROUP BY word),
+       |r0 AS MATERIALIZED (
+       |  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
+       |         || '_  ' AS repr, freq FROM w),
+       |$steps
+       |$finals
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  val t22 = QueryDef.sql("t22_bpe_merges", bpeOracleSql(8)) { (s, dir) =>
+    TextOps.bpeMergeLearn(Tables(s, dir).documents, "text", nMerges = 8)
+      .orderBy(col("merge_rank"))
+  }
+
   /** TESTDATA CONTRACT gate #2 — documents + embeddings (the other
     * tables a regeneration could silently reshape): row counts, exact
     * id/n_chars sums, a per-row md5 checksum over every text byte,
@@ -2756,5 +2804,5 @@ object PipelineQueries {
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
       io02, io03, io04, io05, io06, io07, io08, t06, t07, t08, t09, t10,
-      t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
+      t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
 }

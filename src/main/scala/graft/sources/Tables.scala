@@ -15,8 +15,13 @@ import graft.engine.GraphState
   * so the NTZ→TZ cast is value-preserving.
   */
 object EventTs {
-  def enableNanosAsLong(spark: SparkSession): Unit =
+  def enableNanosAsLong(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the events contract — and every Det-disciplined gate — is defined
+    // under UTC; the NTZ→TZ cast below is only value-preserving there.
+    // All repo mains set it at build time; enforce for ad-hoc sessions.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 
   /** Normalize however `ts` arrived into a microsecond TIMESTAMP. */
   def normalize(df: DataFrame): DataFrame = df.schema("ts").dataType match {
@@ -37,14 +42,37 @@ object EventTs {
     normalize(spark.read.parquet(path))
   }
 
+  /** The streaming source schema when the directory has no files yet
+    * to probe (the standard file-source pattern: the stream starts,
+    * files arrive later): the CURRENT testdata contract, timestamp[us]
+    * arriving as TIMESTAMP_NTZ. A populated dir always wins via the
+    * footer probe. */
+  private val defaultStreamSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("event_id", LongType),
+      org.apache.spark.sql.types.StructField("ts", TimestampNTZType),
+      org.apache.spark.sql.types.StructField("user_id", LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+
   /** Streaming source over an events parquet dir with the same unit
     * detection: a one-time batch footer probe supplies the source schema
     * (readStream requires one), then the identical normalization applies
-    * — batch and streaming can never disagree on the unit again. */
+    * — batch and streaming can never disagree on the unit again. An
+    * empty (not-yet-populated) dir falls back to the current-contract
+    * default schema instead of crashing at stream start. */
   def readStream(spark: SparkSession, sourceDir: String): DataFrame = {
     enableNanosAsLong(spark)
-    val probed = spark.read.parquet(sourceDir).schema
-    normalize(spark.readStream.schema(probed).parquet(sourceDir))
+    val schema =
+      try spark.read.parquet(sourceDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        defaultStreamSchema
+      }
+    normalize(spark.readStream.schema(schema).parquet(sourceDir))
   }
 }
 

@@ -17,6 +17,26 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("bpeMergeLearn: hand-computed merges, canonical greedy application") {
+    // corpus: "papa" ×3, "pap" ×1 — chars p,a with end marker _
+    // pair counts round 1 over [p,a,p,a,_]×3 + [p,a,p,_]×1:
+    //   (p,a): 2×3 + 1 = 7; (a,p): 3+1 = 4; (a,_): 3; (p,_): 1
+    // → merge 1 = (p,a) c=7. CANONICAL greedy application on papa
+    // gives [pa,pa,_] (both occurrences merge — the consecutive-
+    // occurrence case a naive single-space replace gets wrong);
+    // pap → [pa,p,_]. Round 2: (pa,pa):3, (pa,_):3+0=3, (pa,p):1,
+    // (p,_):1 → tie (pa,_) vs (pa,pa) at 3 broken by rhs asc:
+    // '_'(0x5f) < 'p' → merge 2 = (pa,_) c=3? compare rhs strings
+    // '_' vs 'pa': '_' < 'p' lexicographically → (pa,_) wins.
+    val d = df(schema, Row(1L, "papa papa"), Row(2L, "papa pap"))
+    val out = TextOps.bpeMergeLearn(d, "text", nMerges = 2)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out(0) == ((1L, "p", "a", 7L)), out.mkString(";"))
+    assert(out(1) == ((2L, "pa", "_", 3L)), out.mkString(";"))
+  }
+
   test("two-pass globalCumsum equals the single-window running sum") {
     val ids = spark.range(0, 5000)
       .select(col("id"), (col("id") % 37 + 1).as("v"))
