@@ -521,8 +521,40 @@ object TextOps {
   def bpeMergeLearn(docs: org.apache.spark.sql.DataFrame,
       textCol: String, nMerges: Int)
       : org.apache.spark.sql.DataFrame = {
-    require(nMerges >= 1, "need nMerges >= 1")
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLearn(docs, textCol, nMerges)._2
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Corpus COMPRESSION achieved by the learned BPE merges — the
+    * tokenizer-training acceptance metric (tokens before vs after
+    * applying the top `nMerges` merges; freq-weighted over the same
+    * word-level regime as [[bpeMergeLearn]]). One row:
+    * (n_words, tokens_before, tokens_after). */
+  def bpeCompression(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, nMerges: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val (finalVocab, _) = bpeLearn(docs, textCol, nMerges)
+    val nToks = size(split(trim(col("repr")), "  ")).cast("long")
+    finalVocab.agg(
+      count(lit(1)).as("n_words"),
+      // repr0 length is recoverable from the final repr: merged
+      // symbols are concatenations of single chars + '_', so
+      // before-count = Σ freq × total chars across symbols
+      sum(col("freq") *
+        length(regexp_replace(trim(col("repr")), "  ", "")))
+        .as("tokens_before"),
+      sum(col("freq") * nToks).as("tokens_after"))
+  }
+
+  /** Shared learn loop: returns (final vocab frame (repr, freq),
+    * learned merges). See [[bpeMergeLearn]] for the contract. */
+  private def bpeLearn(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, nMerges: Int)
+      : (org.apache.spark.sql.DataFrame,
+         Seq[(Long, String, String, Long)]) = {
+    require(nMerges >= 1, "need nMerges >= 1")
     var vocab = docs
       .select(explode(regexp_extract_all(normalize(col(textCol)),
         lit("[a-z]+"), lit(0))).as("word"))
@@ -552,8 +584,6 @@ object TextOps {
           .localCheckpoint()
       }
     }
-    import spark.implicits._
-    learned.result()
-      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    (vocab, learned.result())
   }
 }

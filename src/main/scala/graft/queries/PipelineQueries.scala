@@ -1120,7 +1120,14 @@ object PipelineQueries {
     * merge via scalar-subquery literal `replace` — the double-space
     * scheme that makes literal replace EQUAL canonical greedy BPE
     * application in both engines (TextOps.bpeMergeLearn doc). */
-  private def bpeOracleSql(nMerges: Int): String = {
+  private def bpeOracleSql(nMerges: Int): String =
+    bpeOracleSql(nMerges,
+      (1 to nMerges)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs," +
+          s" pair_count FROM m$i")
+        .mkString("\nUNION ALL ") + "\nORDER BY merge_rank")
+
+  private def bpeOracleSql(nMerges: Int, finalSelect: String): String = {
     val steps = (1 to nMerges).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
       s"""p$i AS MATERIALIZED (SELECT s, freq,
@@ -1139,10 +1146,6 @@ object PipelineQueries {
          |      (SELECT rhs FROM m$i) || ' ') AS repr, freq
          |  FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to nMerges)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs," +
-        s" pair_count FROM m$i")
-      .mkString("\nUNION ALL ")
     s"""WITH w AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT UNNEST(regexp_extract_all($normSql, '[a-z]+')) AS word
@@ -1151,13 +1154,26 @@ object PipelineQueries {
        |  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
        |         || '_  ' AS repr, freq FROM w),
        |$steps
-       |$finals
-       |ORDER BY merge_rank""".stripMargin
+       |$finalSelect""".stripMargin
   }
 
   val t22 = QueryDef.sql("t22_bpe_merges", bpeOracleSql(8)) { (s, dir) =>
     TextOps.bpeMergeLearn(Tables(s, dir).documents, "text", nMerges = 8)
       .orderBy(col("merge_rank"))
+  }
+
+  /** Tokenizer-training acceptance metric: the freq-weighted corpus
+    * token count before vs after applying the 8 learned merges — the
+    * compression the tokenizer buys, exact integers both engines. */
+  val t23 = QueryDef.sql("t23_bpe_compression", bpeOracleSql(8,
+    """SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_words,
+      |  (SELECT CAST(sum(freq * (strlen(word) + 1)) AS BIGINT) FROM w)
+      |    AS tokens_before,
+      |  (SELECT CAST(sum(freq * len(string_split(trim(repr), '  ')))
+      |     AS BIGINT) FROM r8) AS tokens_after""".stripMargin)) {
+    (s, dir) =>
+    TextOps.bpeCompression(Tables(s, dir).documents, "text", nMerges = 8)
   }
 
   /** TESTDATA CONTRACT gate #2 — documents + embeddings (the other
@@ -2804,5 +2820,5 @@ object PipelineQueries {
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
       io02, io03, io04, io05, io06, io07, io08, t06, t07, t08, t09, t10,
-      t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
+      t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
 }
