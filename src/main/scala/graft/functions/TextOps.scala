@@ -534,8 +534,14 @@ object TextOps {
     * (n_words, tokens_before, tokens_after). */
   def bpeCompression(docs: org.apache.spark.sql.DataFrame,
       textCol: String, nMerges: Int)
+      : org.apache.spark.sql.DataFrame =
+    bpeCompressionAgg(bpeLearn(docs, textCol, nMerges)._1)
+
+  /** The compression aggregate over a learned vocab frame — split out
+    * so gate code holding a memoized learn result can reuse it. */
+  private[graft] def bpeCompressionAgg(
+      finalVocab: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val (finalVocab, _) = bpeLearn(docs, textCol, nMerges)
     val nToks = size(split(trim(col("repr")), "  ")).cast("long")
     finalVocab.agg(
       count(lit(1)).as("n_words"),
@@ -549,8 +555,12 @@ object TextOps {
   }
 
   /** Shared learn loop: returns (final vocab frame (repr, freq),
-    * learned merges). See [[bpeMergeLearn]] for the contract. */
-  private def bpeLearn(docs: org.apache.spark.sql.DataFrame,
+    * learned merges). Exposed within the library so the t22/t23 gates
+    * can memoize one run per (session, dir). Stops early when no
+    * adjacent pair remains (every word a single symbol) instead of
+    * re-running an identical empty aggregation per leftover iteration.
+    * See [[bpeMergeLearn]] for the contract. */
+  private[graft] def bpeLearn(docs: org.apache.spark.sql.DataFrame,
       textCol: String, nMerges: Int)
       : (org.apache.spark.sql.DataFrame,
          Seq[(Long, String, String, Long)]) = {
@@ -564,7 +574,10 @@ object TextOps {
         .as("repr"), col("freq"))
       .localCheckpoint()
     val learned = Seq.newBuilder[(Long, String, String, Long)]
-    (1 to nMerges).foreach { i =>
+    var i = 0
+    var dry = false
+    while (i < nMerges && !dry) {
+      i += 1
       val syms = split(trim(col("repr")), "  ")
       val top = vocab
         .select(col("freq"), explode(arrays_zip(
@@ -574,7 +587,8 @@ object TextOps {
         .agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
-      if (top.nonEmpty) {
+      if (top.isEmpty) dry = true
+      else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         learned += ((i.toLong, l, r, c))

@@ -19,8 +19,15 @@ object EventTs {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the events contract — and every Det-disciplined gate — is defined
     // under UTC; the NTZ→TZ cast below is only value-preserving there.
-    // All repo mains set it at build time; enforce for ad-hoc sessions.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // All repo mains set it at build time; an ad-hoc session in another
+    // zone fails LOUDLY here rather than silently shifting timestamps
+    // (and rather than this reader hijacking the session's zone, which
+    // would silently change unrelated queries mid-session).
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC" || tz == "Etc/UTC",
+      s"events reads require spark.sql.session.timeZone=UTC (got $tz): " +
+        "the ts normalization and every deterministic gate are " +
+        "UTC-defined — set it at session construction")
   }
 
   /** Normalize however `ts` arrived into a microsecond TIMESTAMP. */
@@ -63,14 +70,22 @@ object EventTs {
     * detection: a one-time batch footer probe supplies the source schema
     * (readStream requires one), then the identical normalization applies
     * — batch and streaming can never disagree on the unit again. An
-    * empty (not-yet-populated) dir falls back to the current-contract
-    * default schema instead of crashing at stream start. */
+    * EXISTING but not-yet-populated dir falls back to the
+    * current-contract default schema (files that later arrive in the
+    * legacy nanos layout would need the stream restarted once a file
+    * exists to probe — a documented limit of schema-pinned file
+    * sources); a nonexistent path still fails loudly. */
   def readStream(spark: SparkSession, sourceDir: String): DataFrame = {
     enableNanosAsLong(spark)
     val schema =
       try spark.read.parquet(sourceDir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        defaultStreamSchema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(
+                sourceDir.stripPrefix("file:"))) =>
+          defaultStreamSchema
+        case e: Throwable => throw e
       }
     normalize(spark.readStream.schema(schema).parquet(sourceDir))
   }

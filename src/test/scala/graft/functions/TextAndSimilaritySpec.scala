@@ -37,6 +37,20 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(out(1) == ((2L, "pa", "_", 3L)), out.mkString(";"))
   }
 
+  test("bpeMergeLearn: dry corpus stops early; compression consistent") {
+    // only word 'a': merge 1 = (a, _) c=3, then every word is one
+    // symbol — no pair remains, the loop must stop (not emit junk)
+    val d = df(schema, Row(1L, "a a"), Row(2L, "a"))
+    val merges = TextOps.bpeMergeLearn(d, "text", nMerges = 4).collect()
+    assert(merges.length == 1, merges.mkString(";"))
+    assert(merges(0).getString(1) == "a" && merges(0).getString(2) == "_")
+    val c = TextOps.bpeCompression(d, "text", nMerges = 4).collect()(0)
+    // 1 distinct word, before = freq 3 × (1 char + marker) = 6,
+    // after the (a,_) merge each word is a single symbol: 3
+    assert((c.getLong(0), c.getLong(1), c.getLong(2)) == ((1L, 6L, 3L)),
+      c.toString)
+  }
+
   test("two-pass globalCumsum equals the single-window running sum") {
     val ids = spark.range(0, 5000)
       .select(col("id"), (col("id") % 37 + 1).as("v"))
