@@ -437,14 +437,29 @@ object GraphXBridge {
     * orders only to filter half away. Exact all-pairs common-neighbor
     * counts are intrinsically Σ_w C(deg(w), 2) — every wedge must be
     * counted, unlike triangle counting where orientation dedups — so
-    * at 100 TB the hub mitigation is capping hub wedge fan-out
-    * (top-degree centers add near-zero Jaccard evidence and their
-    * pairs predict trivially). */
-  def linkPredictionScores(edges: DataFrame): DataFrame = {
+    * at 100 TB the hub mitigation is `maxCenterDegree`: centers with
+    * more than that many neighbors contribute NO wedges (top-degree
+    * centers add near-zero Jaccard evidence per pair — a center of
+    * degree d spreads evidence 1/C(d,2) thin — and their pairs predict
+    * trivially by preferential attachment alone). With the cap,
+    * `common` is a documented LOWER bound for pairs whose only shared
+    * neighbors are super-hubs; degrees and pref_attach stay exact.
+    * Default = no cap (exact — the gate-checked configuration). */
+  def linkPredictionScores(edges: DataFrame,
+      maxCenterDegree: Int = Int.MaxValue): DataFrame = {
     val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
     val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val adj = sym.groupBy(col("nbr").as("w"))
+    // cap applied BEFORE the adjacency aggregation (semi-join on the
+    // center's degree) so a super-hub's neighbor array never
+    // materializes anywhere
+    val centers = sym.select(col("nbr").as("w"), col("id"))
+    val bounded =
+      if (maxCenterDegree == Int.MaxValue) centers
+      else centers.join(
+        deg.filter(col("deg") <= maxCenterDegree)
+          .select(col("id").as("w")), Seq("w"), "left_semi")
+    val adj = bounded.groupBy(col("w"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     // (ids[i], ids[j]) for i<j: posexplode anchors id1, slice emits its
     // ordered partners — C(deg,2) rows, generated inside the scan stage

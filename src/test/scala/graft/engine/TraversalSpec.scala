@@ -280,6 +280,36 @@ class TraversalSpec extends SparkSpec {
     assert(out((2L, 4L)) == ((1L, 5000L, 2L)))
   }
 
+  test("linkPredictionScores: maxCenterDegree drops hub-mediated wedges") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val eSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    // star hub 0 with leaves 1..4, plus path 1-5-2: uncapped, every
+    // leaf pair is a candidate via the hub; capped at degree 2, only
+    // the center 5 (degree 2) survives → sole candidate (1,2), and
+    // DEGREES stay exact (deg1 = 2: hub edge still counts)
+    val fixture = df(eSchema, Row(0L, 1L), Row(0L, 2L), Row(0L, 3L),
+      Row(0L, 4L), Row(1L, 5L), Row(5L, 2L))
+    val un = GraphXBridge.linkPredictionScores(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(un.contains((3L, 4L)) && un.contains((1L, 2L)), un.toString)
+    val capped = GraphXBridge
+      .linkPredictionScores(fixture, maxCenterDegree = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // (1,2): common={5} (hub 0 contributes nothing under the cap),
+    // deg1=deg2=2 → jaccard 1/(2+2-1)=3333bp, pref_attach 4.
+    // (0,5): via the degree-2 centers 1 AND 2 → common=2,
+    // deg0=4 (hub degree EXACT despite the cap), deg5=2 →
+    // jaccard 2/(4+2-2)=5000bp, pref_attach 8. Leaf pairs (3,4) etc.
+    // existed only through the hub center and are gone.
+    assert(capped == Map(
+      (1L, 2L) -> ((1L, 3333L, 4L)),
+      (0L, 5L) -> ((2L, 5000L, 8L))), capped.toString)
+  }
+
   test("kCore peels a pendant chain over multiple rounds") {
     implicit val s = spark
     import org.apache.spark.sql.Row
