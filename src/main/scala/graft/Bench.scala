@@ -60,12 +60,20 @@ object Bench {
     // line is a compact summary that always fits the driver's tail
     // capture window (round 4's per-query line exceeded it → parsed:null)
     println(full)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] full-dict write failed: ${e.getMessage}")
-    }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"median":$median,"worst":$worst,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+    // the summary's "full" pointer must not advertise a file that
+    // failed to write — a consumer would silently read a PREVIOUS
+    // run's artifact
+    val fullRef =
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+        "\"BENCH_FULL.json\""
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] full-dict write failed: ${e.getMessage}")
+        "null"
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"median":$median,"worst":$worst,"sf":"$sfDir","full":$fullRef}""")
     spark.stop()
   }
 }

@@ -678,8 +678,12 @@ object SimilarityOps {
       idCol: String, vecCol: String, shortlist: Int = 20, k: Int = 5,
       lambda: Double = 0.5): DataFrame = {
     val spark = corpus.sparkSession
+    // DISTINCT candidate ids (a multi-query shortlist repeats
+    // neighbor ids — the loop bound and termination depend on the
+    // deduped count); rel dedup by max is deterministic
     val cand = cosineTopK(corpus, query, idCol, vecCol, shortlist)
-      .select(col("neighbor_id").as("id"), col("score").as("rel"))
+      .groupBy(col("neighbor_id").as("id"))
+      .agg(max(col("score")).as("rel"))
     // (id, rel, v): the shortlist with its vectors, materialized once
     // (bounded: `shortlist` rows)
     val short = corpus.join(broadcast(cand), corpus(idCol) === cand("id"))
@@ -689,8 +693,9 @@ object SimilarityOps {
     var selected = Vector.empty[(Long, Double)] // (id, mmr score)
     while (selected.size < k && selected.size < nCand) {
       val selectedIds = selected.map(_._1)
-      val remaining = short.filter(!col("id").isInCollection(
-        selectedIds :+ Long.MinValue)) // non-empty list for isin
+      val remaining =
+        if (selectedIds.isEmpty) short
+        else short.filter(!col("id").isInCollection(selectedIds))
       val scored =
         if (selected.isEmpty)
           remaining.select(col("id"),
@@ -706,9 +711,15 @@ object SimilarityOps {
               (lit(lambda) * col("rel")
                 - lit(1 - lambda) * col("max_sim")).as("ms"))
         }
-      // argmax by (score desc, id asc) — the oracle's ORDER BY
-      val w = scored.orderBy(col("ms").desc, col("id")).limit(1)
-        .collect()(0)
+      // argmax by (score desc, id asc) — the oracle's ORDER BY. Spark
+      // sorts NaN as LARGEST, which would make a degenerate candidate
+      // (zero-norm vector → NaN cosine) win; rank NaN below every
+      // finite score instead (the old driver-side minBy behavior),
+      // while still recording the raw ms of whatever is chosen.
+      val w = scored
+        .orderBy(nanvl(col("ms"), lit(Double.NegativeInfinity)).desc,
+          col("id"))
+        .limit(1).collect()(0)
       selected :+= (w.getLong(0) -> w.getDouble(1))
     }
     import spark.implicits._

@@ -473,4 +473,23 @@ class TextAndSimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     assert(plain == Seq(1L, 2L, 3L))
   }
+
+  test("mmrDiversifiedTopK: multi-query shortlist dedups; k > candidates") {
+    import spark.implicits._
+    // two queries shortlist the SAME 3 corpus ids (duplicate shortlist
+    // rows); k=5 > 3 distinct candidates — the loop must dedup ids,
+    // terminate at 3 picks, and never index an empty argmax
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.8, 0.6, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val query = Seq(
+      (10L, Seq(1.0, 0.0, 0.0)),
+      (11L, Seq(0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.mmrDiversifiedTopK(corpus, query,
+        "vec_id", "embedding", shortlist = 3, k = 5, lambda = 0.5)
+      .collect()
+    assert(out.length == 3, out.mkString(";"))
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+  }
 }
