@@ -24,7 +24,15 @@ object EventTs {
     // (and rather than this reader hijacking the session's zone, which
     // would silently change unrelated queries mid-session).
     val tz = spark.conf.get("spark.sql.session.timeZone")
-    require(tz == "UTC" || tz == "Etc/UTC",
+    // semantic check: any fixed zero-offset zone id (UTC, GMT, Z,
+    // +00:00, Etc/UTC) qualifies
+    val isUtc =
+      try {
+        val rules = java.time.ZoneId.of(tz).getRules
+        rules.isFixedOffset &&
+          rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+      } catch { case _: Throwable => false }
+    require(isUtc,
       s"events reads require spark.sql.session.timeZone=UTC (got $tz): " +
         "the ts normalization and every deterministic gate are " +
         "UTC-defined — set it at session construction")
