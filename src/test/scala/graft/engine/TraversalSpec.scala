@@ -310,6 +310,24 @@ class TraversalSpec extends SparkSpec {
       (0L, 5L) -> ((2L, 5000L, 8L))), capped.toString)
   }
 
+  test("wedge operators are partitioning-invariant") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    implicit val s = spark
+    val eSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    // K4 ∪ triangle ∪ path — enough structure for nonzero supports
+    val fixture = df(eSchema,
+      Row(1L, 2L), Row(1L, 3L), Row(1L, 4L), Row(2L, 3L), Row(2L, 4L),
+      Row(3L, 4L), Row(4L, 5L), Row(4L, 6L), Row(5L, 6L), Row(6L, 7L))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(canon(GraphXBridge.edgeTriangleSupport(fixture)) ==
+      canon(GraphXBridge.edgeTriangleSupport(fixture.repartition(5))))
+    assert(canon(GraphXBridge.linkPredictionScores(fixture)) ==
+      canon(GraphXBridge.linkPredictionScores(fixture.repartition(5))))
+  }
+
   test("kCore peels a pendant chain over multiple rounds") {
     implicit val s = spark
     import org.apache.spark.sql.Row

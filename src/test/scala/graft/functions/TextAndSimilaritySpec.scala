@@ -51,6 +51,22 @@ class TextAndSimilaritySpec extends SparkSpec {
       c.toString)
   }
 
+  test("bpeMergeLearn is partitioning-invariant") {
+    // the cluster-correctness property: learned merges must not depend
+    // on how the input happens to be split across partitions
+    val rows = (1 to 40).map { i =>
+      Row(i.toLong, Seq("the cat", "a cat sat", "the hat", "a bat",
+        "the cat sat on a mat")(i % 5))
+    }
+    val d = df(schema, rows: _*)
+    val a = TextOps.bpeMergeLearn(d, "text", nMerges = 5)
+      .collect().map(_.toSeq).toSeq
+    val b = TextOps.bpeMergeLearn(d.repartition(7), "text", nMerges = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, s"$a vs $b")
+    assert(a.length == 5)
+  }
+
   test("two-pass globalCumsum equals the single-window running sum") {
     val ids = spark.range(0, 5000)
       .select(col("id"), (col("id") % 37 + 1).as("v"))
