@@ -554,6 +554,39 @@ object TextOps {
       sum(col("freq") * nToks).as("tokens_after"))
   }
 
+  /** Tokenize the corpus WITH the learned merges — the apply step a
+    * production pipeline runs at full scale after the bounded learn:
+    * per document, the number of BPE tokens its alpha words produce
+    * under the merge table. The corpus-scale work is one explode +
+    * equi-join against the vocab (broadcastable: |distinct words|
+    * rows) + one per-doc sum; docs with no alpha words count 0. */
+  def bpeTokenizeCounts(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, nMerges: Int)
+      : org.apache.spark.sql.DataFrame =
+    bpeTokenizeCountsWith(docs, idCol, textCol,
+      bpeLearn(docs, textCol, nMerges)._1)
+
+  /** The apply step against an already-learned vocab (gate code holds
+    * a memoized learn result). Recovers each vocab row's word from its
+    * repr (symbol chars concatenated = word + '_'). */
+  private[graft] def bpeTokenizeCountsWith(
+      docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, finalVocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val chars = regexp_replace(trim(col("repr")), "  ", "")
+    val wordTable = finalVocab.select(
+      chars.substr(lit(1), length(chars) - 1).as("word"),
+      size(split(trim(col("repr")), "  ")).cast("long").as("n_tok"))
+    val docWords = docs.select(col(idCol),
+      explode(regexp_extract_all(normalize(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+    val counts = docWords.join(wordTable, Seq("word"))
+      .groupBy(col(idCol)).agg(sum(col("n_tok")).as("n"))
+    docs.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** Shared learn loop: returns (final vocab frame (repr, freq),
     * learned merges). Exposed within the library so the t22/t23 gates
     * can memoize one run per (session, dir). Stops early when no

@@ -1127,7 +1127,10 @@ object PipelineQueries {
           s" pair_count FROM m$i")
         .mkString("\nUNION ALL ") + "\nORDER BY merge_rank")
 
-  private def bpeOracleSql(nMerges: Int, finalSelect: String): String = {
+  /** `extraCte` = true when `finalSelect` begins with further CTE
+    * definitions (the generated prefix then ends with a comma). */
+  private def bpeOracleSql(nMerges: Int, finalSelect: String,
+      extraCte: Boolean = false): String = {
     val steps = (1 to nMerges).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
       s"""p$i AS MATERIALIZED (SELECT s, freq,
@@ -1155,7 +1158,7 @@ object PipelineQueries {
        |r0 AS MATERIALIZED (
        |  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
        |         || '_  ' AS repr, freq FROM w),
-       |$steps
+       |$steps${if (extraCte) "," else ""}
        |$finalSelect""".stripMargin
   }
 
@@ -1192,6 +1195,31 @@ object PipelineQueries {
        |     AS BIGINT) FROM r$bpeNMerges) AS tokens_after""".stripMargin)) {
     (s, dir) =>
     TextOps.bpeCompressionAgg(bpeLearned(s, dir)._1)
+  }
+
+  /** Tokenizer APPLY gate: per-document BPE token count under the
+    * learned merges — the corpus-scale map step (explode + vocab
+    * equi-join + per-doc sum); every doc's count pinned. */
+  val t24 = QueryDef.sql("t24_bpe_tokenize", bpeOracleSql(bpeNMerges,
+    s"""wt AS MATERIALIZED (SELECT
+       |    substr(replace(trim(repr), '  ', ''), 1,
+       |      strlen(replace(trim(repr), '  ', '')) - 1) AS word,
+       |    CAST(len(string_split(trim(repr), '  ')) AS BIGINT)
+       |      AS n_tok
+       |  FROM r$bpeNMerges),
+       |dw AS (SELECT doc_id,
+       |    UNNEST(regexp_extract_all($normSql, '[a-z]+')) AS word
+       |  FROM documents),
+       |cnt AS (SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n
+       |  FROM dw JOIN wt USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN cnt USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin, extraCte = true)) { (s, dir) =>
+    TextOps.bpeTokenizeCountsWith(
+        Tables(s, dir).documents, "doc_id", "text",
+        bpeLearned(s, dir)._1)
+      .orderBy(col("doc_id"))
   }
 
   /** TESTDATA CONTRACT gate #2 — documents + embeddings (the other
@@ -2838,5 +2866,6 @@ object PipelineQueries {
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
       io02, io03, io04, io05, io06, io07, io08, t06, t07, t08, t09, t10,
-      t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
+      t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23,
+      t24)
 }
