@@ -447,6 +447,14 @@ object GraphXBridge {
     * Default = no cap (exact — the gate-checked configuration). */
   def linkPredictionScores(edges: DataFrame,
       maxCenterDegree: Int = Int.MaxValue): DataFrame = {
+    val (cand, deg) = linkCandidates(edges, maxCenterDegree)
+    scoreCandidates(cand, deg)
+  }
+
+  /** Shared candidate generation for the link-prediction family:
+    * returns (cand = non-adjacent (id1, id2, common) pairs, deg). */
+  private def linkCandidates(edges: DataFrame, maxCenterDegree: Int)
+      : (DataFrame, DataFrame) = {
     val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
     val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -472,6 +480,10 @@ object GraphXBridge {
     val cand = common.join(
       edges.select(col("src").as("id1"), col("dst").as("id2")),
       Seq("id1", "id2"), "left_anti")
+    (cand, deg)
+  }
+
+  private def scoreCandidates(cand: DataFrame, deg: DataFrame): DataFrame =
     cand
       .join(deg.select(col("id").as("id1"), col("deg").as("d1")),
         Seq("id1"))
@@ -482,6 +494,26 @@ object GraphXBridge {
           (col("d1") + col("d2") - col("common"))).cast("long")
           .as("jaccard_bp"),
         (col("d1") * col("d2")).as("pref_attach"))
+
+  /** FULL-GRAPH top-k new-edge candidates — the production link-
+    * prediction ask ("the k most likely missing edges"), shaped so the
+    * ~Σ C(deg,2) candidate-pair set is AGGREGATED but never sorted,
+    * joined wide, or materialized past the top-k: the limit runs
+    * directly on (id1, id2, common) via TakeOrderedAndProject
+    * (partition-local top-k, then a k-row driver merge — no global
+    * sort exchange), and the degree/Jaccard/pref-attach score columns
+    * join AFTER the cut, against k rows instead of ~100M. Ranking is
+    * by common desc with (id1, id2) tie-breaks — a total order, fully
+    * pinned. Ordering only needs `common`, so deferring the degree
+    * joins is lossless. */
+  def topLinkPredictions(edges: DataFrame, k: Int,
+      maxCenterDegree: Int = Int.MaxValue): DataFrame = {
+    val (cand, deg) = linkCandidates(edges, maxCenterDegree)
+    val top = cand
+      .orderBy(col("common").desc, col("id1"), col("id2"))
+      .limit(k)
+    scoreCandidates(broadcast(top), deg)
+      .orderBy(col("common").desc, col("id1"), col("id2"))
   }
 
   /** Deterministic uniform random walks — the graph-ML sampling

@@ -427,6 +427,45 @@ object DedupOps {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
+  /** Cross-engine (md5-family) SimHash: (id, simhash_bits) where
+    * simhash_bits is the 64-char bit string of [[SimHashMd5Expr]]'s
+    * signature (bit 63 first). The bit-string form sidesteps
+    * signed/unsigned 64-bit representation differences between engines;
+    * the production near-dup path stays on the xxhash64 [[simhash]]. */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.{shims, SimHashMd5Expr}
+    df.select(col(idCol),
+      lpad(bin(shims.column(SimHashMd5Expr(shims.expression(col(textCol))))),
+        64, "0").as("simhash_bits"))
+  }
+
+  /** Cross-engine (md5-family) MinHash signature — [[MinHashMd5SigExpr]]
+    * over the native shingle list; value-reproducible in DuckDB (d03). */
+  def minhashMd5Signature(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.{shims, MinHashMd5SigExpr}
+    df.select(col(idCol), shims.column(MinHashMd5SigExpr(
+      shims.expression(shingleList(col(textCol), n)), k)).as("signature"))
+  }
+
+  /** LSH banding with a cross-engine band key: (id, band BIGINT,
+    * band_key STRING) where band_key = first 16 hex chars of
+    * md5("m₀,m₁,…") over the band's minima — reproducible by any engine
+    * with md5, unlike [[lshBands]]'s seeded xxhash64. Pins the ENTIRE
+    * signature (16 bands × 4 minima cover all k=64 values). */
+  def lshBandsMd5(sig: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val r = size(col("signature")) / bands
+    sig.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => substring(md5(concat_ws(",",
+            transform(slice(col("signature"), b * r + 1, r),
+              x => x.cast("string"))).cast("binary")), 1, 16)))
+          .as(Seq("band", "band_key")))
+      .select(col(idCol), col("band").cast("long").as("band"),
+        col("band_key"))
+  }
+
   /** Duplicate-CLUSTER assignment: the near-dup pair graph closed into
     * connected components. Near-dup similarity is not transitive — A≈B
     * and B≈C does not imply A≈C — but a training-data dedup must still

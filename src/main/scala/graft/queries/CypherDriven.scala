@@ -1097,6 +1097,48 @@ object CypherDriven {
           |RETURN r.name AS region, n7 ORDER BY region""".stripMargin)(_, _)
   }
 
+  /** D4 MULTI-LABEL MATCH through the full stack: a second label is
+    * added by predicate (SET n:audited), then `(n:nation:audited)`
+    * must match only vertices carrying BOTH labels — the conjunctive
+    * multi-label semantics of reference cypher_parser.rs:167-189. The
+    * oracle reproduces the predicate relationally. */
+  val cy30 = QueryDef.sql("cy30_multi_label_match",
+    """SELECT n_name AS name FROM nation
+      |WHERE substr(n_name, 1, 8) = 'NATION_1' ORDER BY name""".stripMargin) {
+    (s, dir) =>
+      implicit val sp: SparkSession = s
+      val g1 = Cypher.execute(TpchGraph(Tables(s, dir)),
+        """MATCH (n:nation) WHERE n.name STARTS WITH 'NATION_1'
+          |SET n:audited""".stripMargin).state
+      Cypher.query(g1,
+        "MATCH (n:nation:audited) RETURN n.name AS name ORDER BY name")
+  }
+
+  /** D13 BIDIRECTIONAL/CYCLIC PATTERN through the full stack
+    * (reference QE:89-92 `(a)-[:KNOWS]->(b), (b)-[:KNOWS]->(a)`): PEER
+    * edges are first CREATEd between same-nation suppliers (both
+    * directions, one per matched ordered pair), then the comma-joined
+    * cyclic pattern must bind (a,b) only where BOTH directed edges
+    * exist — the reversed-pair self-join. The oracle is the same-nation
+    * supplier self-join on the base table. */
+  val cy31 = QueryDef.sql("cy31_bidirectional_pattern",
+    """SELECT 's:' || s1.s_suppkey AS a_id, 's:' || s2.s_suppkey AS b_id
+      |FROM supplier s1 JOIN supplier s2
+      |  ON s1.s_nationkey = s2.s_nationkey
+      | AND s1.s_suppkey <> s2.s_suppkey
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
+    val g1 = Cypher.execute(TpchGraph(Tables(s, dir)),
+      """MATCH (s1:supplier)-[:IN_NATION]->(n:nation)
+        |        <-[:IN_NATION]-(s2:supplier)
+        |WHERE id(s1) <> id(s2)
+        |CREATE (s1)-[:PEER]->(s2)""".stripMargin).state
+    Cypher.query(g1,
+      """MATCH (a:supplier)-[:PEER]->(b:supplier), (b)-[:PEER]->(a)
+        |RETURN id(a) AS a_id, id(b) AS b_id
+        |ORDER BY a_id, b_id""".stripMargin)
+  }
+
   /** CHECKPOINT RECOVERY (exactly-once file sink): the stream processes
     * half the input, STOPS, more files arrive, and a NEW query restarts
     * from the same checkpoint — the sink must contain every event
@@ -1210,7 +1252,8 @@ object CypherDriven {
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
-      cy23, cy24, cy25, cy26, cy27, cy28, cy29, st01, st02, st03, st04, st05, st06, st07,
+      cy23, cy24, cy25, cy26, cy27, cy28, cy29, cy30, cy31,
+      st01, st02, st03, st04, st05, st06, st07,
       st09, st10, st12, st13, st14, st15, st16, st17, tj01, tj02, tj03,
       tj04, tj05, tj06)
 }

@@ -981,8 +981,47 @@ object GraphQueries {
       .orderBy(col("id"), col("rk"))
   }
 
+  /** FULL-GRAPH top-50 link prediction (no partkey slice — the whole
+    * co-purchase graph at whatever SF the driver runs): the plan keeps
+    * the ~Σ C(deg,2) candidate set un-sorted and un-widened — the
+    * top-50 cut is TakeOrderedAndProject straight off the
+    * (id1, id2, common) aggregate, and degree/score columns join after
+    * the cut against 50 rows (ScaleSpec pins this plan shape). On
+    * sf0.1's 1.2M-edge graph the candidate set is ~100M pairs; this is
+    * the operator a 100 TB "predict missing edges" job would run. */
+  val gx18 = QueryDef.sql("gx18_top_link_prediction",
+    """WITH e AS (
+      |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey),
+      |sym AS (SELECT src AS id, dst AS nbr FROM e
+      |        UNION ALL SELECT dst, src FROM e),
+      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+      |        FROM sym GROUP BY id),
+      |common AS (
+      |  SELECT a.id AS id1, b.id AS id2, CAST(count(*) AS BIGINT)
+      |    AS common
+      |  FROM sym a JOIN sym b ON a.nbr = b.nbr AND a.id < b.id
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT c.* FROM common c
+      |  LEFT JOIN e ON e.src = c.id1 AND e.dst = c.id2
+      |  WHERE e.src IS NULL)
+      |SELECT id1, id2, common,
+      |  CAST(floor(10000 * common / (d1.deg + d2.deg - common))
+      |    AS BIGINT) AS jaccard_bp,
+      |  d1.deg * d2.deg AS pref_attach
+      |FROM cand
+      |JOIN deg d1 ON d1.id = id1
+      |JOIN deg d2 ON d2.id = id2
+      |ORDER BY common DESC, id1, id2 LIMIT 50""".stripMargin) { (s, dir) =>
+    graft.engine.GraphXBridge.topLinkPredictions(coPurchaseEdges(s, dir),
+      k = 50)
+  }
+
   val all: Seq[QueryDef] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
       gx03, gx04, gx05, gx06, gx07, gx08, gx09, gx10, gx11, gx12, gx13,
-      gx14, gx15, gx16, gx17, gst01)
+      gx14, gx15, gx16, gx17, gx18, gst01)
 }

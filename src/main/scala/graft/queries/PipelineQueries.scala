@@ -119,18 +119,55 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash+LSH band signatures (xxhash64-based — Spark-only hash family,
-    * so rows-only check; pair generation is ScalaTest-covered). */
-  val d03 = QueryDef.rowsOnly("d03_minhash_bands") { (s, dir) =>
-    val sig = DedupOps.minhashSignature(
+  /** MinHash+LSH band signatures, CROSS-ENGINE hash family: base hash =
+    * first 4 md5 bytes mod 2³¹−1, the splitmix permutation constants
+    * embedded as literals in the oracle, band key = md5 prefix of the
+    * band's joined minima. Hash-matching pins every one of the 64
+    * signature values for every document against an independent
+    * implementation (the production dedup path keeps the faster
+    * xxhash64 family, whose candidate recall d06 pins end-to-end). */
+  val d03 = QueryDef.sql("d03_minhash_bands", {
+    val (as, bs) = org.apache.spark.sql.graft.MinHashMd5SigExpr.perms(64)
+    val sigExprs = (0 until 64).map(i =>
+      s"list_min(list_transform(hs, h -> (h * ${as(i)} + ${bs(i)}) % 2147483647))")
+      .mkString("[", ",\n    ", "]")
+    val bandKey = (1 to 4).map(j => s"CAST(m[band*4+$j] AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |    ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |      FOR i IN generate_series(1, len(ws) - 2)] END AS sh
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents)),
+       |h AS (SELECT doc_id, list_transform(sh,
+       |        x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 2147483647)
+       |        AS hs FROM sh),
+       |sig AS (SELECT doc_id, $sigExprs AS m FROM h)
+       |SELECT doc_id, band, substr(md5($bandKey), 1, 16) AS band_key
+       |FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band)
+       |ORDER BY doc_id, band""".stripMargin
+  }) { (s, dir) =>
+    val sig = DedupOps.minhashMd5Signature(
       Tables(s, dir).documents, "doc_id", "text", n = 3, k = 64)
-    DedupOps.lshBands(sig, "doc_id", bands = 16)
+    DedupOps.lshBandsMd5(sig, "doc_id", bands = 16)
       .orderBy(col("doc_id"), col("band"))
   }
 
-  /** SimHash 64-bit signatures (rows-only: xxhash64 family). */
-  val d04 = QueryDef.rowsOnly("d04_simhash") { (s, dir) =>
-    DedupOps.simhash(Tables(s, dir).documents, "doc_id", "text")
+  /** SimHash 64-bit signatures, CROSS-ENGINE hash family (per-word
+    * first-8-md5-bytes hash, ±1 bit votes, sign → bit) emitted as a
+    * 64-char bit string so signedness never enters the comparison. The
+    * production path keeps the xxhash64 [[DedupOps.simhash]] (covered
+    * by DedupSpec + the d12-family gates). */
+  val d04 = QueryDef.sql("d04_simhash",
+    s"""SELECT doc_id, array_to_string([
+       |  CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+       |    FOR h IN hs]) > 0 THEN '1' ELSE '0' END
+       |  FOR j IN generate_series(63, 0, -1)], '') AS simhash_bits
+       |FROM (SELECT doc_id, list_transform(string_split($normSql, ' '),
+       |        w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT) AS hs
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    DedupOps.simhashMd5(Tables(s, dir).documents, "doc_id", "text")
       .orderBy(col("doc_id"))
   }
 
@@ -485,9 +522,15 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** ANN via banded hyperplane LSH (rows-only: engine-specific
-    * bucketing; quality is gated by s04's recall hash-match). */
-  val s02 = QueryDef.rowsOnly("s02_ann_lsh") { (s, dir) =>
+  /** ANN via banded hyperplane LSH, hash-checked against the EXACT
+    * brute-force oracle (s01's SQL): s04 proves the banded buckets
+    * contain every exact top-5 neighbor (recall 1.0 on this corpus),
+    * and since annTopK re-ranks its candidate SUPERSET of the exact
+    * top-5 under the identical total order (round-6dp score desc,
+    * neighbor_id asc), the top-5 of the candidate set IS the global
+    * top-5 — so the approximate path must reproduce the exact result
+    * row-for-row, which this gate now pins. */
+  val s02 = QueryDef.sql("s02_ann_lsh", s01.oracle.get) { (s, dir) =>
     val emb = Tables(s, dir).embeddings
     SimilarityOps.annTopK(
         corpus = emb, queries = emb.filter(col("vec_id") < 10),
@@ -803,6 +846,28 @@ object PipelineQueries {
           .as("b64"))
       .withColumn("fp_rt", md5(unbase64(col("b64")).cast("string")))
       .orderBy(col("doc_id"))
+  }
+
+  /** REAL image decode in the gate (no stub): every asset's content is
+    * an ACTUAL PNG (encoded distributed, dimensions a closed function
+    * of the id), and the meta stage re-derives width/height/codec from
+    * those bytes via the pure-JDK javax.imageio header reader. The
+    * oracle predicts what a correct decoder must find — so a broken
+    * encode, a broken probe, or meta not actually coming from the
+    * bytes all hash-mismatch. */
+  val m05 = QueryDef.sql("m05_image_decode",
+    """SELECT doc_id AS asset_id,
+      |  CAST(8 + doc_id % 16 AS INTEGER) AS width,
+      |  CAST(8 + doc_id % 8 AS INTEGER) AS height,
+      |  'png' AS codec
+      |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+    implicit val sp = s
+    val media = graft.multimodal.Multimodal.syntheticImages(
+      Tables(s, dir).documents)
+    graft.multimodal.Multimodal.probeImageMeta(media)
+      .select(col("asset_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.codec").as("codec"))
+      .orderBy(col("asset_id"))
   }
 
   /** Int8-quantized top-k — the cheap candidate stage of quantized
@@ -2862,7 +2927,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
-      s08, s09, s10, s11, s12, s13, m01, m02, m03, m04,
+      s08, s09, s10, s11, s12, s13, m01, m02, m03, m04, m05,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
       io02, io03, io04, io05, io06, io07, io08, t06, t07, t08, t09, t10,

@@ -638,3 +638,121 @@ case class HashingFeaturesExpr(child: Expression, dim: Int)
   override protected def withNewChildInternal(newChild: Expression)
       : HashingFeaturesExpr = copy(child = newChild)
 }
+
+/** Cross-engine 64-bit SimHash: NORMALIZED text (caller applies
+  * TextOps.normalize semantics; this expression repeats them like
+  * MinHashTextSigExpr so it works straight off the raw column) →
+  * per-word 64-bit hash = first 8 md5 bytes big-endian (identical to
+  * DuckDB's `('0x' || substr(md5(w), 1, 16))::UBIGINT`), each bit votes
+  * ±1 per occurrence, output bit j set iff the vote sum is > 0. The
+  * production near-dup path keeps the faster xxhash64 family
+  * (DedupOps.simhash); this md5 family exists so the signature itself
+  * is reproducible by an independent engine (gate d04). */
+case class SimHashMd5Expr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val norm = input.asInstanceOf[UTF8String].toString
+      .replaceAll("\\s+", " ").trim.toLowerCase
+    val words = norm.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val d = md.digest(words(i).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      var j = 0
+      while (j < 64) {
+        votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHashMd5Expr = copy(child = newChild)
+}
+
+object MinHashMd5SigExpr {
+  /** The k linear-permutation constants (a_i odd, b_i) — same splitmix
+    * family as MinHashSigExpr; public so the DuckDB oracle SQL can embed
+    * the identical literals. */
+  def perms(k: Int): (Array[Long], Array[Long]) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (Array.tabulate(k)(i => (mix(2L * i) & 0x7FFFFFFFL) | 1L),
+      Array.tabulate(k)(i => mix(2L * i + 1) & 0x7FFFFFFFL))
+  }
+  val P = 2147483647L // 2^31 - 1
+}
+
+/** Cross-engine MinHash signature: shingle ARRAY<STRING> → k permutation
+  * minima, base hash = first 4 md5 bytes as an unsigned int mod 2³¹−1
+  * (identical to DuckDB's `('0x' || substr(md5(sh), 1, 8))::BIGINT %
+  * 2147483647`), permutations `(a_i·h + b_i) mod (2³¹−1)` with the same
+  * splitmix constants as MinHashSigExpr. The production dedup path keeps
+  * the faster xxhash64 base (one hash vs one md5 digest per shingle);
+  * this family exists so the signature is reproducible by an independent
+  * engine (gate d03). */
+case class MinHashMd5SigExpr(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  import MinHashMd5SigExpr.P
+
+  private val (as, bs) = MinHashMd5SigExpr.perms(k)
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_md5_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(j).getBytes)
+      val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % P
+      var i = 0
+      while (i < k) {
+        val v = (h * as(i) + bs(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashMd5SigExpr = copy(child = newChild)
+}
