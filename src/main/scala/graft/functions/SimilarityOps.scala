@@ -661,17 +661,18 @@ object SimilarityOps {
     *
     * Scale shape: the corpus-sized work is the exact shortlist
     * (broadcast query × one corpus scan, TakeOrdered top-`shortlist`);
-    * the greedy phase is k DISTRIBUTED argmax jobs — each iteration
-    * joins the remaining candidates against the ≤ k selected vectors
-    * (broadcast, ≤ shortlist × k sim rows, never shortlist²) and
-    * collects exactly ONE winner row. The driver holds only the k
-    * selected (id, score) pairs, so the operator scales to arbitrary
-    * shortlists — the full pairwise sim matrix is never materialized
-    * anywhere. NOTE: the per-iteration collects make this operator
-    * EAGER — the scan and the bounded broadcast joins (s01's
-    * allowlisted shape; a candidates × ≤ k-selected nested loop)
-    * execute at call time and the returned frame is a LocalRelation,
-    * so plan sweeps see only the final result; the joins'
+    * the greedy phase is k DISTRIBUTED argmax jobs over a running
+    * per-candidate max_sim column — each iteration folds ONLY the
+    * newest pick's vector (inlined as a literal, no join) into
+    * max_sim via `greatest`, then collects exactly ONE winner row:
+    * O(k·shortlist) total sim evals, never shortlist² and never
+    * k²·shortlist. The driver holds only the k selected (id, score)
+    * pairs plus one winner vector at a time, so the operator scales
+    * to arbitrary shortlists — the full pairwise sim matrix is never
+    * materialized anywhere. NOTE: the per-iteration collects make
+    * this operator EAGER — the scan and the bounded per-iteration
+    * jobs execute at call time and the returned frame is a
+    * LocalRelation, so plan sweeps see only the final result; the
     * scale-safety argument lives here, mirroring the ScaleSpec
     * allowlist. Returns (rank, neighbor_id, mmr_score). */
   def mmrDiversifiedTopK(corpus: DataFrame, query: DataFrame,
@@ -691,26 +692,28 @@ object SimilarityOps {
       .localCheckpoint()
     val nCand = short.count()
     var selected = Vector.empty[(Long, Double)] // (id, mmr score)
+    // Running-penalty state: (id, rel, v, max_sim) where max_sim is the
+    // 6dp-rounded max cosine against the picks SO FAR (null before the
+    // first pick). Max over rounded sims is associative, so updating
+    // against ONLY the newest pick each iteration — `greatest` skips the
+    // initial null and propagates NaN exactly like the old `max`
+    // aggregate — selects the identical sequence as recomputing
+    // candidate-vs-all-selected, at O(k·shortlist) total sim evals
+    // instead of O(k²·shortlist), with no joins in the loop (the
+    // newest vector is inlined as a literal array). localCheckpoint
+    // keeps each argmax reading materialized state, not a growing
+    // projection chain.
+    var state = short.withColumn("max_sim", lit(null).cast("double"))
+      .localCheckpoint()
     while (selected.size < k && selected.size < nCand) {
       val selectedIds = selected.map(_._1)
       val remaining =
-        if (selectedIds.isEmpty) short
-        else short.filter(!col("id").isInCollection(selectedIds))
-      val scored =
-        if (selected.isEmpty)
-          remaining.select(col("id"),
-            (lit(lambda) * col("rel")).as("ms"))
-        else {
-          val sel = short.filter(col("id").isInCollection(selectedIds))
-            .select(col("v").as("sv"))
-          remaining.crossJoin(broadcast(sel))
-            .groupBy(col("id"), col("rel"))
-            .agg(max(round(cosine(col("v"), col("sv")), 6))
-              .as("max_sim"))
-            .select(col("id"),
-              (lit(lambda) * col("rel")
-                - lit(1 - lambda) * col("max_sim")).as("ms"))
-        }
+        if (selectedIds.isEmpty) state
+        else state.filter(!col("id").isInCollection(selectedIds))
+      val scored = remaining.select(col("id"), col("v"),
+        when(col("max_sim").isNull, lit(lambda) * col("rel"))
+          .otherwise(lit(lambda) * col("rel")
+            - lit(1 - lambda) * col("max_sim")).as("ms"))
       // argmax by (score desc, id asc) — the oracle's ORDER BY. Spark
       // sorts NaN as LARGEST, which would make a degenerate candidate
       // (zero-norm vector → NaN cosine) win; rank NaN below every
@@ -720,7 +723,13 @@ object SimilarityOps {
         .orderBy(nanvl(col("ms"), lit(Double.NegativeInfinity)).desc,
           col("id"))
         .limit(1).collect()(0)
-      selected :+= (w.getLong(0) -> w.getDouble(1))
+      selected :+= (w.getLong(0) -> w.getDouble(2))
+      if (selected.size < k && selected.size < nCand) {
+        val winVec = array(w.getSeq[Double](1).map(lit): _*)
+        state = state.withColumn("max_sim",
+          greatest(col("max_sim"), round(cosine(col("v"), winVec), 6)))
+          .localCheckpoint()
+      }
     }
     import spark.implicits._
     selected.zipWithIndex

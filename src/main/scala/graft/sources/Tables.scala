@@ -15,8 +15,25 @@ import graft.engine.GraphState
   * so the NTZ→TZ cast is value-preserving.
   */
 object EventTs {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Session-wide legacy switch that lets the parquet reader accept
+    * TIMESTAMP(NANOS) columns (as LongType). Side effect is deliberate
+    * and session-wide: once set, OTHER parquet reads in the session with
+    * nanos columns also arrive as LongType instead of erroring. To keep
+    * the common case clean, [[readBatch]]/[[readStream]] only flip it
+    * lazily — after a probe read actually failed on a nanos column — so
+    * a session that never touches legacy-layout events never carries the
+    * conf. */
   def enableNanosAsLong(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    log.warn("events read: enabling spark.sql.legacy.parquet.nanosAsLong " +
+      "session-wide (legacy TIMESTAMP(NANOS) events layout detected); " +
+      "unrelated parquet reads with nanos columns now arrive as LongType")
+  }
+
+  /** Fail fast unless the session runs in a fixed zero-offset zone. */
+  def requireUtc(spark: SparkSession): Unit = {
     // the events contract — and every Det-disciplined gate — is defined
     // under UTC; the NTZ→TZ cast below is only value-preserving there.
     // All repo mains set it at build time; an ad-hoc session in another
@@ -51,10 +68,31 @@ object EventTs {
         "long (TIMESTAMP NANOS under nanosAsLong), timestamp_ntz, or timestamp")
   }
 
+  /** A parquet probe failure that means "TIMESTAMP(NANOS) column without
+    * the legacy conf" — the only failure the lazy conf flip should
+    * swallow-and-retry. */
+  private def isNanosTypeError(e: Throwable): Boolean = {
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).take(8)
+    msgs.exists(m => m.contains("NANOS"))
+  }
+
+  /** Read parquet, flipping the legacy nanos conf only if the first
+    * attempt fails on a TIMESTAMP(NANOS) column (schema inference for
+    * file sources is eager, so the failure surfaces here, not at an
+    * action). */
+  private def readAdaptive(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Throwable if isNanosTypeError(e) =>
+        enableNanosAsLong(spark)
+        spark.read.parquet(path)
+    }
+
   /** Batch read + normalize. */
   def readBatch(spark: SparkSession, path: String): DataFrame = {
-    enableNanosAsLong(spark)
-    normalize(spark.read.parquet(path))
+    requireUtc(spark)
+    normalize(readAdaptive(spark, path))
   }
 
   /** The streaming source schema when the directory has no files yet
@@ -84,14 +122,19 @@ object EventTs {
     * exists to probe — a documented limit of schema-pinned file
     * sources); a nonexistent path still fails loudly. */
   def readStream(spark: SparkSession, sourceDir: String): DataFrame = {
-    enableNanosAsLong(spark)
+    requireUtc(spark)
     val schema =
-      try spark.read.parquet(sourceDir).schema
+      try readAdaptive(spark, sourceDir).schema
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if java.nio.file.Files.isDirectory(
               java.nio.file.Paths.get(
                 sourceDir.stripPrefix("file:"))) =>
+          log.warn(s"events stream source $sourceDir has no files to " +
+            "probe — pinning the current-contract timestamp[us] schema. " +
+            "If files later arrive in the legacy TIMESTAMP(NANOS) " +
+            "layout, this stream will fail on schema mismatch and must " +
+            "be restarted once a file exists to probe.")
           defaultStreamSchema
         case e: Throwable => throw e
       }
