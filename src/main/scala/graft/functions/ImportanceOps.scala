@@ -55,4 +55,57 @@ object ImportanceOps {
       .agg(sum(col("t_cnt") * col("r_tot") - col("r_cnt") * col("t_tot"))
         .as("score"))
   }
+
+  /** The repo's portable integer-from-hash: first 8 hex chars of md5,
+    * as a BIGINT (DuckDB: `('0x' || substr(md5(x),1,8))::BIGINT`). */
+  private def md5Int(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic pseudo-weight table for [[hashedLinearScore]]'s
+    * correctness gate: weight(b) = md5int("w:" + b) % 2001 − 1000, an
+    * integer in [−1000, 1000] reproducible in any engine. A production
+    * deployment passes its LEARNED weights instead — the inference
+    * operator is identical. */
+  def pseudoWeights(spark: org.apache.spark.sql.SparkSession,
+      buckets: Int): DataFrame =
+    spark.range(buckets).select(col("id").as("b"),
+      (pmod(md5Int(concat(lit("w:"), col("id").cast("string"))),
+        lit(2001L)) - lit(1000L)).as("w"))
+
+  /** Linear text-classifier INFERENCE over hashed bag-of-words features
+    * — the fastText-style quality/domain filter every production
+    * curation pipeline runs at full corpus scale (CCNet, Gopher, FineWeb
+    * all gate on one). The model is a `weights` table (bucket → integer
+    * weight, vocabulary-free by hashing); a document's margin is
+    *
+    *   margin(d) = Σ_{word w ∈ norm(d)} weights[b(w)],   b = md5 % buckets
+    *
+    * and `keep = margin > 0` is the filter decision. Integer weights
+    * keep the margin exact under any aggregation order (a float model
+    * would be order-sensitive; quantizing learned weights to ints is
+    * standard for exactly this reason).
+    *
+    * Scale shape: ONE narrow explode pass over the corpus; the model is
+    * broadcast (buckets rows — a few KB even at 2²⁰ buckets); the only
+    * shuffle is the per-doc margin sum, partially aggregated map-side.
+    * Zero-token docs survive with margin 0 inside the same pass:
+    * explode_outer keeps one row per empty doc, its null bucket misses
+    * the LEFT broadcast join, and coalesce scores it 0 — no second
+    * corpus scan, no id-restoring sort-merge join.
+    *
+    * Returns (idCol, margin, keep). */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int): DataFrame = {
+    val words = df.select(col(idCol),
+        explode_outer(split(TextOps.normalize(col(textCol)), " "))
+          .as("word"))
+      .select(col(idCol),
+        when(col("word").isNull || col("word") === "", lit(null))
+          .otherwise(pmod(md5Int(col("word")), lit(buckets.toLong)))
+          .as("b"))
+    words.join(broadcast(weights), Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("margin"))
+      .withColumn("keep", col("margin") > 0)
+  }
 }

