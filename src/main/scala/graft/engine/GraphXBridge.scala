@@ -457,7 +457,11 @@ object GraphXBridge {
       : (DataFrame, DataFrame) = {
     val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
+    // |V|-sized and referenced three times (packability probe + both
+    // score joins): materialize once — the probe forces an action
+    // anyway, so this adds no job
     val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     // cap applied BEFORE the adjacency aggregation (semi-join on the
     // center's degree) so a super-hub's neighbor array never
     // materializes anywhere
@@ -471,15 +475,61 @@ object GraphXBridge {
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     // (ids[i], ids[j]) for i<j: posexplode anchors id1, slice emits its
     // ordered partners — C(deg,2) rows, generated inside the scan stage
-    val common = adj
+    val rawPairs = adj
       .select(posexplode(col("ids")).as(Seq("i", "id1")), col("ids"))
       .select(col("id1"),
         explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("common"))
-    val cand = common.join(
-      edges.select(col("src").as("id1"), col("dst").as("id2")),
-      Seq("id1", "id2"), "left_anti")
+    // Aggregation discipline (measured, dev.TimeGx18, sf0.1 full
+    // graph: 148M wedges over 101M distinct pairs): pair multiplicity
+    // is ~1.5, so the default partial+final aggregate hashes every
+    // wedge map-side to save almost nothing — repartitioning by the
+    // key FIRST satisfies the aggregate's distribution and the planner
+    // emits ONE complete HashAggregate (46 s → 15 s end-to-end).
+    // When ids are integral and fit 32 bits (checked against the
+    // ALREADY-NEEDED degree frame — one tiny job), the pair key packs
+    // into a single long: one-word hash/compare instead of a two-field
+    // row buys another ~20%. pk order == (id1, id2) order (both
+    // non-negative), so downstream tie-breaks are unaffected.
+    val integral = Seq("src", "dst").forall(c =>
+      edges.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      })
+    val packable = integral && {
+      val r = deg.agg(min(col("id").cast("long")),
+        max(col("id").cast("long"))).head()
+      !r.isNullAt(0) && r.getLong(0) >= 0 && r.getLong(1) < (1L << 32)
+    }
+    // Existing-edge removal rides the SAME partitioning: a left-anti
+    // SHUFFLED-HASH join (hint) against the pair-key — the default
+    // sort-merge anti would SORT the ~|pairs| aggregate output just to
+    // drop |E| of them, and an unconditional broadcast of the edge
+    // list would not survive a 100 TB edge table. Shuffle-hash builds
+    // a per-partition table of only the edges landing in that
+    // partition and streams the aggregate side untouched (its
+    // partitioning from the repartition above already satisfies the
+    // join's distribution — no extra exchange, no sort).
+    val cand =
+      if (packable) {
+        val pkOf = (a: Column, b: Column) =>
+          shiftleft(a.cast("long"), 32) + b.cast("long")
+        val aggPk = rawPairs
+          .select(pkOf(col("id1"), col("id2")).as("pk"))
+          .repartition(col("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("common"))
+        val edgePk = edges.select(pkOf(col("src"), col("dst")).as("pk"))
+        aggPk.join(edgePk.hint("shuffle_hash"), Seq("pk"), "left_anti")
+          .select(shiftright(col("pk"), 32).as("id1"),
+            col("pk").bitwiseAND(lit((1L << 32) - 1)).as("id2"),
+            col("common"))
+      } else
+        rawPairs.repartition(col("id1"), col("id2"))
+          .groupBy(col("id1"), col("id2"))
+          .agg(count(lit(1)).as("common"))
+          .join(edges.select(col("src").as("id1"), col("dst").as("id2"))
+            .hint("shuffle_hash"), Seq("id1", "id2"), "left_anti")
     (cand, deg)
   }
 

@@ -153,4 +153,34 @@ object EventOps {
           col(tsCol).as("t"), col(idCol).as("i"), code.as("c")))),
         x => x.getField("c")), "").as("sig"))
   }
+
+  /** First-order Markov transition matrix over per-key event streams —
+    * the user-journey summary behind "what happens after X" product
+    * analytics and next-event baselines. For each key's events in
+    * total (ts, tiebreak) order, every adjacent pair contributes one
+    * (src_type, dst_type) observation; output is the count matrix plus
+    * each row's source total (so downstream derives P(dst|src) = n /
+    * src_total exactly).
+    *
+    * Scale shape: ONE shuffle on the key for the lead() window (state
+    * per partition is a single row of lookahead, not a per-key list),
+    * then a partial-aggregated count over the tiny type×type matrix
+    * and a window over that matrix (≤ |types|² rows — nothing
+    * data-scale is re-shuffled). Hot-key skew is bounded by the
+    * hottest key's event count, same as sessionization.
+    *
+    * Returns (src_type, dst_type, n, src_total). */
+  def transitionCounts(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val pairs = events
+      .select(col(keyCol), col(typeCol).as("src_type"),
+        lead(col(typeCol), 1).over(w).as("dst_type"))
+      .filter(col("dst_type").isNotNull)
+      .groupBy(col("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs.withColumn("src_total",
+      sum(col("n")).over(Window.partitionBy(col("src_type"))))
+  }
 }

@@ -1249,11 +1249,70 @@ object CypherDriven {
     s.table(name).orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Streaming Markov transition matrix vs the batch ground truth
+    * (q50's oracle verbatim). The feed is deliberately adversarial to
+    * state handling: the events table is split into THREE time-ranged
+    * files delivered one micro-batch each (maxFilesPerTrigger=1, file
+    * mtimes pin the order), so every user active across a boundary
+    * exercises the carry-over — the stream must emit the
+    * (last-event-of-batch-N → first-event-of-batch-N+1) transition
+    * from its O(1) per-user state. An implementation that only counts
+    * intra-batch adjacency loses those rows and hash-fails. */
+  val st18 = QueryDef.sql("st18_stream_transitions",
+    """WITH x AS (
+      |  SELECT event_type AS src_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst_type
+      |  FROM events),
+      |m AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM x WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT src_type, dst_type, n,
+      |  CAST(sum(n) OVER (PARTITION BY src_type) AS BIGINT) AS src_total
+      |FROM m ORDER BY src_type, dst_type""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
+    val base = java.nio.file.Files.createTempDirectory("st18")
+    val stage = base.resolve("in")
+    java.nio.file.Files.createDirectories(stage)
+    val ev = Tables(s, dir).events.localCheckpoint()
+    // three half-open time ranges [t0 + i·span/3, …) — chunk boundaries
+    // are arbitrary for correctness (any time-ordered split must give
+    // the same matrix); only their ORDER is contractual
+    val mm = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("b"))
+      .head()
+    val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val cut1 = new java.sql.Timestamp(t0 + (t1 - t0) / 3)
+    val cut2 = new java.sql.Timestamp(t0 + 2 * (t1 - t0) / 3)
+    val ranges = Seq(
+      col("ts") < cut1,
+      col("ts") >= cut1 && col("ts") < cut2,
+      col("ts") >= cut2)
+    ranges.zipWithIndex.foreach { case (cond, i) =>
+      val tmp = base.resolve(s"chunk_$i").toString
+      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = stage.resolve(s"c$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      // mtime IS the file-source ordering: pin it explicitly
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    graft.streaming.EventStreams.runToMemory(s, stage.toString,
+        s"st18_trans_${memSink.incrementAndGet()}",
+        df => graft.streaming.EventStreams.transitionStream(df),
+        statePartitions = Some(8), maxFilesPerTrigger = Some(1))
+      .groupBy(col("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("src_total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src_type"))))
+      .orderBy(col("src_type"), col("dst_type"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, cy27, cy28, cy29, cy30, cy31,
       st01, st02, st03, st04, st05, st06, st07,
-      st09, st10, st12, st13, st14, st15, st16, st17, tj01, tj02, tj03,
-      tj04, tj05, tj06)
+      st09, st10, st12, st13, st14, st15, st16, st17, st18, tj01, tj02,
+      tj03, tj04, tj05, tj06)
 }

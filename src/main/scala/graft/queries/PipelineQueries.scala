@@ -1287,6 +1287,37 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PARTITION-PRUNED store round-trip: events are rewritten in the
+    * production layout for type-selective workloads (hive-partitioned
+    * by event_type), reloaded, and a two-type aggregation is answered
+    * from the STORED table — hash-checked against the oracle on the
+    * ORIGINAL parquet. The partition filter never touches row data
+    * (directory pruning; ExportSpec asserts the scan's selected
+    * partition count is exactly 2 and the predicate sits in
+    * PartitionFilters, not PushedFilters) — at 100 TB this is the
+    * difference between listing 2 directories and scanning the fact
+    * table. */
+  val io09 = QueryDef.sql("io09_partition_pruned_store",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(event_id) AS BIGINT) AS min_id,
+      |  CAST(max(event_id) AS BIGINT) AS max_id,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events WHERE event_type IN ('purchase', 'error')
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("io09_store")
+    Tables(s, dir).events
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(tmp.toString)
+    s.read.parquet(tmp.toString)
+      .filter(col("event_type").isin("purchase", "error"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** TESTDATA CONTRACT gate #2 — documents + embeddings (the other
     * tables a regeneration could silently reshape): row counts, exact
     * id/n_chars sums, a per-row md5 checksum over every text byte,
@@ -3022,7 +3053,8 @@ object PipelineQueries {
       s08, s09, s10, s11, s12, s13, s14, s15, m01, m02, m03, m04, m05,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
-      io02, io03, io04, io05, io06, io07, io08, t06, t07, t08, t09, t10,
+      io02, io03, io04, io05, io06, io07, io08, io09, t06, t07, t08, t09,
+      t10,
       t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23,
       t24, t25)
 }

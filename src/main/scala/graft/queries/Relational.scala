@@ -1094,8 +1094,30 @@ object Relational {
     s.sql(q49Sql("orders_q49", (a, b) => s"$a DIV $b"))
   }
 
+  /** First-order Markov transition matrix over per-user event streams
+    * (the "what happens after X" journey summary): every adjacent pair
+    * in each user's total (ts, event_id) order counts once; row totals
+    * ride along so P(dst|src) is derivable exactly. One user-keyed
+    * shuffle for the lead() window; the matrix itself is ≤ |types|²
+    * rows. Exact integers — pinned cell-for-cell. */
+  val q50 = QueryDef.sql("q50_event_transitions",
+    """WITH x AS (
+      |  SELECT event_type AS src_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst_type
+      |  FROM events),
+      |m AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM x WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT src_type, dst_type, n,
+      |  CAST(sum(n) OVER (PARTITION BY src_type) AS BIGINT) AS src_total
+      |FROM m ORDER BY src_type, dst_type""".stripMargin) { (s, dir) =>
+    graft.functions.EventOps.transitionCounts(Tables(s, dir).events,
+        "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("src_type"), col("dst_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 }

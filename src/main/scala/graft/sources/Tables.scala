@@ -121,7 +121,8 @@ object EventTs {
     * legacy nanos layout would need the stream restarted once a file
     * exists to probe — a documented limit of schema-pinned file
     * sources); a nonexistent path still fails loudly. */
-  def readStream(spark: SparkSession, sourceDir: String): DataFrame = {
+  def readStream(spark: SparkSession, sourceDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     requireUtc(spark)
     val schema =
       try readAdaptive(spark, sourceDir).schema
@@ -138,7 +139,11 @@ object EventTs {
           defaultStreamSchema
         case e: Throwable => throw e
       }
-    normalize(spark.readStream.schema(schema).parquet(sourceDir))
+    val reader = spark.readStream.schema(schema)
+    val withTrigger = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
+    normalize(withTrigger.parquet(sourceDir))
   }
 }
 

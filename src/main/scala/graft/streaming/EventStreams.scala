@@ -221,6 +221,43 @@ object EventStreams {
       }.toDF()
   }
 
+  final case class TransState(lastType: String)
+  final case class TransOut(user_id: Long, src_type: String,
+    dst_type: String)
+
+  /** Streaming first-order Markov transitions (the stateful
+    * continuation of `EventOps.transitionCounts`): per-user state is
+    * ONE string — the type of the user's latest event — so a
+    * transition spanning a micro-batch boundary (user's last event of
+    * batch N, first event of batch N+1) is emitted exactly like an
+    * intra-batch one. O(1) state per user forever; each event emits at
+    * most one Append row. Must reproduce the batch matrix exactly
+    * under the event-time-ordered source contract (gate st18 feeds
+    * THREE time-ranged files one micro-batch each to force the
+    * boundary case). */
+  def transitionStream(events: DataFrame)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[TransState]) =>
+          var last = state.getOption.map(_.lastType)
+          val out = scala.collection.mutable.ListBuffer.empty[TransOut]
+          evs.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach {
+            e =>
+              last.foreach(l => out += TransOut(uid, l, e.event_type))
+              last = Some(e.event_type)
+          }
+          last.foreach(l => state.update(TransState(l)))
+          out.iterator
+      }.toDF()
+  }
+
   final case class AttrState(ftType: Option[String], ftMs: Option[Long],
     ltType: Option[String], ltMs: Option[Long])
   final case class AttrOut(conversion_id: Long, user: Long,
@@ -404,12 +441,14 @@ object EventStreams {
   def runToMemory(spark: SparkSession, sourceDir: String, queryName: String,
       transform: DataFrame => DataFrame,
       outputMode: OutputMode = OutputMode.Append,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     try {
-      val raw = graft.sources.EventTs.readStream(spark, sourceDir)
+      val raw = graft.sources.EventTs.readStream(spark, sourceDir,
+        maxFilesPerTrigger)
       val q = transform(raw).writeStream
         .format("memory")
         .queryName(queryName)

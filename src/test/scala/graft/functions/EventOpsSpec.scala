@@ -133,4 +133,34 @@ class EventOpsSpec extends SparkSpec {
       ("2024-01-01", 1L) -> 1L, // user 1 returns
       ("2024-01-08", 0L) -> 1L)) // user 3's own cohort
   }
+
+  test("transitionCounts: per-key adjacency, ts tie broken by id") {
+    val s = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts", TimestampType)))
+    val ev = df(s,
+      // user 1: view -> click -> purchase (two transitions)
+      Row(1L, 1L, "view", t("2024-01-01 10:00:00")),
+      Row(1L, 2L, "click", t("2024-01-01 10:05:00")),
+      Row(1L, 3L, "purchase", t("2024-01-01 10:10:00")),
+      // user 2: SAME ts — order must come from event_id: view(10) then
+      // click(11); reversing the tiebreak would flip the transition
+      Row(2L, 11L, "click", t("2024-01-02 09:00:00")),
+      Row(2L, 10L, "view", t("2024-01-02 09:00:00")),
+      // user 3: single event — no transition, must not appear
+      Row(3L, 20L, "view", t("2024-01-03 10:00:00")))
+    val out = EventOps.transitionCounts(ev, "user_id", "event_type",
+        "ts", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      ("view", "click") -> ((2L, 2L)),     // users 1 and 2
+      ("click", "purchase") -> ((1L, 1L))))
+    // no cross-user transition (u1 purchase -> u2 click) and no
+    // self-transition row for user 3's lone event
+    assert(!out.contains(("purchase", "click")))
+  }
 }

@@ -41,4 +41,29 @@ class ExportSpec extends SparkSpec {
       .select(col("doc_id"), col("shard").cast("int").as("shard"))
     assert(back.exceptAll(back2).isEmpty && back2.exceptAll(back).isEmpty)
   }
+
+  test("hive-partitioned store: filter prunes to exactly the touched " +
+      "partitions (io09's scale argument)") {
+    import spark.implicits._
+    val rows = Seq((1L, "purchase"), (2L, "view"), (3L, "error"),
+      (4L, "view"), (5L, "purchase"), (6L, "click"))
+      .toDF("event_id", "event_type")
+    val dir = Files.createTempDirectory("graft_part_store").toString
+    rows.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("event_type").isin("purchase", "error"))
+    // 4 partition dirs exist; the scan must select exactly the 2 hit
+    // by the predicate — directory pruning, no row data consulted
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount == 2,
+      s"selected ${scans.head.selectedPartitions.partitionCount} partitions")
+    // the predicate lives in PartitionFilters (metadata), NOT in the
+    // data filters the parquet reader evaluates per row group
+    assert(scans.head.partitionFilters.nonEmpty)
+    assert(q.select(col("event_id")).collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L, 5L))
+  }
 }
