@@ -205,6 +205,35 @@ object PipelineQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs (quote/subset duplication —
+    * the mode Jaccard misses: a short doc fully quoted inside a long
+    * one scores containment ≈ 1, Jaccard ≈ 0). Spark computes pairs +
+    * exact intersection sizes in ONE inverted-index self-join on the
+    * distinct 3-gram shingle (PPJoin-family candidate generation — no
+    * second text-reading verify pass); the oracle recomputes every
+    * all-pairs containment from the same shingle construction. Pure
+    * integer basis points — pinned pair-for-pair. */
+  val d13 = QueryDef.sql("d13_containment_dedup",
+    s"""WITH s AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |    ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |      FOR i IN generate_series(1, len(ws) - 2)]) END AS sh
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |        FROM documents))
+       |SELECT id1, id2, c1_bp, c2_bp FROM (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    (10000 * len(list_intersect(a.sh, b.sh))) // len(a.sh)
+       |      AS c1_bp,
+       |    (10000 * len(list_intersect(a.sh, b.sh))) // len(b.sh)
+       |      AS c2_bp
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |WHERE greatest(c1_bp, c2_bp) >= 9000
+       |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+    DedupOps.containmentPairs(Tables(s, dir).documents, "doc_id", "text",
+        n = 3, thresholdBp = 9000)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Near-dup CLUSTERS: the LSH pair graph closed into connected
     * components (GraphX min-id propagation), each doc labeled with its
     * cluster's minimum doc_id plus a keep flag — the "drop every
@@ -3049,7 +3078,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
-      d09, d10, d11, d12, st08, st11, s01, s02, s03, s04, s05, s06, s07,
+      d09, d10, d11, d12, d13, st08, st11, s01, s02, s03, s04, s05, s06, s07,
       s08, s09, s10, s11, s12, s13, s14, s15, m01, m02, m03, m04, m05,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,

@@ -324,4 +324,32 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) > out(3L))
     assert(out(1L) > out(3L))
   }
+
+  test("containmentPairs flags asymmetric subset pairs Jaccard misses") {
+    import spark.implicits._
+    // doc 1 (4 trigram shingles) is quoted VERBATIM inside doc 2 (12
+    // shingles): containment(1→) = 10000 while Jaccard = 4/12 = 0.33 —
+    // far below any near-dup threshold; doc 3 is unrelated
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over"),
+      (2L, "intro words here the quick brown fox jumps over and then " +
+        "more trailing words"),
+      (3L, "completely different content with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(docs, "doc_id", "text", n = 3,
+        thresholdBp = 9000)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(out.length == 1, out.mkString(";"))
+    val (id1, id2, c1, c2) = out(0)
+    assert((id1, id2) == ((1L, 2L)))
+    assert(c1 == 10000L) // every shingle of doc 1 appears in doc 2
+    assert(c2 < 5000L)   // the long side is NOT contained in the short
+    // symmetric Jaccard on the same pair sits far below 0.8 — the
+    // mode split this operator exists for
+    val jac = DedupOps.containmentPairs(docs, "doc_id", "text", 3, 0)
+      .filter(col("id1") === 1L && col("id2") === 2L).head()
+    val inter = jac.getLong(2) * 4 / 10000 // c1_bp → |∩| (sz1 = 4)
+    assert(inter.toDouble / (4 + 12 - inter) < 0.4)
+  }
 }
