@@ -27,6 +27,26 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def compare(got: pd.DataFrame, exp: pd.DataFrame):
+    """The driver-mirroring diff: columns, then TYPES (the invariant
+    requires identical types both sides — a type drift the driver's
+    hash-match would fail must fail here too), then row count, then
+    cell-exact values. Returns None on match, else a failure string."""
+    g, e = canon(got), canon(exp)
+    if list(g.columns) != list(e.columns):
+        return f"columns {list(g.columns)} vs {list(e.columns)}"
+    if g.dtypes.tolist() != e.dtypes.tolist():
+        return f"dtypes {g.dtypes.tolist()} vs {e.dtypes.tolist()}"
+    if len(g) != len(e):
+        return f"rows {len(g)} vs {len(e)}"
+    for i in range(len(g)):
+        for c in g.columns:
+            if not values_equal(g[c].iloc[i], e[c].iloc[i]):
+                return (f"row {i} col {c}: spark={g[c].iloc[i]!r} "
+                        f"oracle={e[c].iloc[i]!r}")
+    return None
+
+
 def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
@@ -53,35 +73,12 @@ def main(sf_dir: str, out_dir: str) -> None:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        g, e = canon(got), canon(exp)
-        if list(g.columns) != list(e.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
-            n_fail += 1
-            continue
-        if g.dtypes.tolist() != e.dtypes.tolist():
-            # the invariant requires identical TYPES both sides — a type
-            # drift the driver's hash-match would fail must fail here too
-            print(f"FAIL {name}: dtypes {g.dtypes.tolist()} vs {e.dtypes.tolist()}")
-            n_fail += 1
-            continue
-        if len(g) != len(e):
-            print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
-            n_fail += 1
-            continue
-        bad = None
-        for i in range(len(g)):
-            for c in g.columns:
-                if not values_equal(g[c].iloc[i], e[c].iloc[i]):
-                    bad = (i, c, g[c].iloc[i], e[c].iloc[i])
-                    break
-            if bad:
-                break
-        if bad:
-            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: "
-                  f"spark={bad[2]!r} oracle={bad[3]!r}")
+        diff = compare(got, exp)
+        if diff:
+            print(f"FAIL {name}: {diff}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(g)} rows")
+            print(f"PASS {name}: {len(got)} rows")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)

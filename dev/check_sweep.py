@@ -1,40 +1,29 @@
 #!/usr/bin/env python3
-"""Timeout-tolerant variant of check.py for large-SF sweeps: identical
-compare semantics, but each DuckDB oracle runs in a subprocess with a
-per-query time budget so one pathological oracle (e.g. an all-pairs
-construction at sf0.1) cannot hang the whole sweep.
+"""Timeout-tolerant variant of check.py for large-SF sweeps: compare
+semantics are IMPORTED from check.py (one copy of canon/values_equal/
+TABLES), but each DuckDB oracle runs in a subprocess with a per-query
+time budget so one pathological oracle (e.g. an all-pairs construction
+at sf0.1) cannot hang the whole sweep.
 
 Usage: check_sweep.py <sfDir> <outDir> [timeoutSec]
 
-Output per query: PASS / FAIL (same as check.py) or ORACLE_TIMEOUT
+Output per query: PASS / FAIL (check.py semantics), ORACLE_TIMEOUT
 (the ENGINE result exists; only the DuckDB-side ground-truth recompute
-exceeded the budget at this SF — counted separately, not as a failure,
-and listed so the gap is explicit).
+exceeded the budget at this SF — counted separately, not as a
+failure), or FAIL ... oracle process died (a crashed/OOM-killed oracle
+subprocess is a FAILURE, not a timeout).
 """
 import glob
 import json
-import math
 import multiprocessing as mp
+import os
+import queue as queue_mod
 import sys
 
 import pandas as pd
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
-
-
-def values_equal(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
-    return a == b
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import TABLES, compare  # noqa: E402
 
 
 def run_oracle(sf_dir: str, sql: str, q):
@@ -47,6 +36,42 @@ def run_oracle(sf_dir: str, sql: str, q):
         q.put(("ok", con.execute(sql).fetchdf()))
     except Exception as e:  # noqa: BLE001
         q.put(("err", str(e)))
+
+
+def oracle_result(sf_dir: str, sql: str, timeout: int):
+    """Run one oracle in a subprocess. Returns ("ok", df) | ("err", msg)
+    | ("timeout", None) | ("died", exitcode). Drains the queue BEFORE
+    join (a large result blocks the child on the queue's pipe until the
+    parent reads — join-first would misreport it as a timeout), and
+    polls the child so a crashed/OOM-killed oracle is a FAILURE, not a
+    timeout."""
+    q = mp.Queue()
+    p = mp.Process(target=run_oracle, args=(sf_dir, sql, q))
+    p.start()
+    waited = 0.0
+    step = 1.0
+    while waited < timeout:
+        try:
+            status, payload = q.get(timeout=step)
+            p.join()
+            return status, payload
+        except queue_mod.Empty:
+            waited += step
+            if not p.is_alive():
+                # died without posting a result (segfault / OOM-kill);
+                # one last non-blocking drain in case the result raced
+                # the exit
+                try:
+                    status, payload = q.get(timeout=1.0)
+                    p.join()
+                    return status, payload
+                except queue_mod.Empty:
+                    code = p.exitcode
+                    p.join()
+                    return "died", code
+    p.terminate()
+    p.join()
+    return "timeout", None
 
 
 def main(sf_dir: str, out_dir: str, timeout: int) -> None:
@@ -66,56 +91,28 @@ def main(sf_dir: str, out_dir: str, timeout: int) -> None:
         if name not in oracles:
             print(f"ROWS {name}: {len(got)} rows (no oracle)", flush=True)
             continue
-        q = mp.Queue()
-        p = mp.Process(target=run_oracle, args=(sf_dir, oracles[name], q))
-        p.start()
-        # Drain the queue BEFORE join: a large result blocks the child
-        # on the queue's pipe until the parent reads — join-first would
-        # misreport every big-result oracle as a timeout.
-        try:
-            status, payload = q.get(timeout=timeout)
-        except Exception:  # queue.Empty
-            p.terminate()
-            p.join()
+        status, payload = oracle_result(sf_dir, oracles[name], timeout)
+        if status == "timeout":
             print(f"ORACLE_TIMEOUT {name}: > {timeout}s at this SF",
                   flush=True)
             n_timeout += 1
             timeouts.append(name)
             continue
-        p.join()
+        if status == "died":
+            print(f"FAIL {name}: oracle process died (exit {payload})",
+                  flush=True)
+            n_fail += 1
+            continue
         if status == "err":
             print(f"FAIL {name}: oracle error: {payload}", flush=True)
             n_fail += 1
             continue
-        g, e = canon(got), canon(payload)
-        if list(g.columns) != list(e.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} vs "
-                  f"{list(e.columns)}", flush=True)
-            n_fail += 1
-            continue
-        if g.dtypes.tolist() != e.dtypes.tolist():
-            print(f"FAIL {name}: dtypes {g.dtypes.tolist()} vs "
-                  f"{e.dtypes.tolist()}", flush=True)
-            n_fail += 1
-            continue
-        if len(g) != len(e):
-            print(f"FAIL {name}: rows {len(g)} vs {len(e)}", flush=True)
-            n_fail += 1
-            continue
-        bad = None
-        for i in range(len(g)):
-            for c in g.columns:
-                if not values_equal(g[c].iloc[i], e[c].iloc[i]):
-                    bad = (i, c, g[c].iloc[i], e[c].iloc[i])
-                    break
-            if bad:
-                break
-        if bad:
-            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: "
-                  f"spark={bad[2]!r} oracle={bad[3]!r}", flush=True)
+        diff = compare(got, payload)
+        if diff:
+            print(f"FAIL {name}: {diff}", flush=True)
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(g)} rows", flush=True)
+            print(f"PASS {name}: {len(got)} rows", flush=True)
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_timeout} oracle-timeout"
           + (f" ({', '.join(timeouts)})" if timeouts else ""))

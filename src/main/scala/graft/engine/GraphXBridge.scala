@@ -497,10 +497,14 @@ object GraphXBridge {
              org.apache.spark.sql.types.ShortType => true
         case _ => false
       })
+    // Guard at 2³¹ (not 2³²): keeping pk non-negative preserves
+    // pk-order == (id1, id2)-order for tie-breaks AND keeps the unpack
+    // trivially sign-safe (ids in [2³¹, 2³²) would wrap pk negative
+    // and a signed shift would sign-extend id1 back negative).
     val packable = integral && {
       val r = deg.agg(min(col("id").cast("long")),
         max(col("id").cast("long"))).head()
-      !r.isNullAt(0) && r.getLong(0) >= 0 && r.getLong(1) < (1L << 32)
+      !r.isNullAt(0) && r.getLong(0) >= 0 && r.getLong(1) < (1L << 31)
     }
     // Existing-edge removal rides the SAME partitioning: a left-anti
     // SHUFFLED-HASH join (hint) against the pair-key — the default
@@ -521,15 +525,24 @@ object GraphXBridge {
           .groupBy(col("pk")).agg(count(lit(1)).as("common"))
         val edgePk = edges.select(pkOf(col("src"), col("dst")).as("pk"))
         aggPk.join(edgePk.hint("shuffle_hash"), Seq("pk"), "left_anti")
-          .select(shiftright(col("pk"), 32).as("id1"),
+          .select(shiftrightunsigned(col("pk"), 32).as("id1"),
             col("pk").bitwiseAND(lit((1L << 32) - 1)).as("id2"),
             col("common"))
-      } else
+      } else {
+        // output id type must be a function of the input TYPE, not of
+        // runtime id values (packability) — integral ids always come
+        // back as LongType from either branch
+        val (o1, o2) =
+          if (integral) (col("id1").cast("long").as("id1"),
+            col("id2").cast("long").as("id2"))
+          else (col("id1"), col("id2"))
         rawPairs.repartition(col("id1"), col("id2"))
           .groupBy(col("id1"), col("id2"))
           .agg(count(lit(1)).as("common"))
           .join(edges.select(col("src").as("id1"), col("dst").as("id2"))
             .hint("shuffle_hash"), Seq("id1", "id2"), "left_anti")
+          .select(o1, o2, col("common"))
+      }
     (cand, deg)
   }
 

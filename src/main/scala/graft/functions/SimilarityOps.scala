@@ -726,9 +726,13 @@ object SimilarityOps {
       selected :+= (w.getLong(0) -> w.getDouble(2))
       if (selected.size < k && selected.size < nCand) {
         val winVec = array(w.getSeq[Double](1).map(lit): _*)
-        state = state.withColumn("max_sim",
+        val next = state.withColumn("max_sim",
           greatest(col("max_sim"), round(cosine(col("v"), winVec), 6)))
           .localCheckpoint()
+        // release the superseded iteration's blocks eagerly — without
+        // this, up to k shortlist-sized checkpoints coexist until GC
+        org.apache.spark.sql.graft.shims.releaseLocalCheckpoint(state)
+        state = next
       }
     }
     import spark.implicits._

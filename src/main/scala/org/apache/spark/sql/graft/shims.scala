@@ -14,6 +14,18 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType}
 object shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * DataFrame (the checkpointed RDD lives in the plan's LogicalRDD
+    * leaves — `private[sql]`, hence this shim). For driver-side
+    * iterative loops that re-checkpoint per iteration: without this,
+    * every superseded iteration's blocks linger until the driver GCs
+    * the DataFrame and ContextCleaner catches up. No-op on frames that
+    * are not local checkpoints. */
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
 }
 
 /** Native codegen'd dot product over two ARRAY<DOUBLE> columns — the hot
