@@ -12,6 +12,27 @@ import graft.SparkSpec
   * their plans. */
 class ScaleSpec extends SparkSpec {
 
+  test("topLinkPredictions plan: TakeOrderedAndProject cut, shuffled-" +
+      "hash anti-join — the pair set is never globally sorted") {
+    import spark.implicits._
+    // path graph + chords: the only non-adjacent pair is (1,4), with
+    // common neighbors {2,3}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val df = GraphXBridge.topLinkPredictions(edges, k = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftAnti"),
+      plan)
+    assert(!plan.contains("SortMergeJoin LeftAnti"), plan)
+    val rows = df.collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    val r = rows(0)
+    // deg(1)=deg(4)=2, common=2 → jaccard_bp = 10000·2/(2+2−2) = 10000
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, 4L, 2L, 10000L, 4L)), r)
+  }
+
   test("saltedJoin equals the plain join on skewed data") {
     import spark.implicits._
     // one hot key (90% of rows) + long tail
