@@ -26,5 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HammingDistanceExpr].getName, "hamming64"),
       (exprs: Seq[Expression]) =>
         HammingDistanceExpr(exprs.head, exprs(1))))
+    // count-by-packed-long-key physical operator (gx18's aggregation
+    // core); PackedCountAgg.countByKey also self-registers on sessions
+    // built without extensions
+    e.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graft.PackedCountAgg.Strategy)
   }
 }

@@ -519,10 +519,22 @@ object GraphXBridge {
       if (packable) {
         val pkOf = (a: Column, b: Column) =>
           shiftleft(a.cast("long"), 32) + b.cast("long")
-        val aggPk = rawPairs
+        val rawPk = rawPairs
           .select(pkOf(col("id1"), col("id2")).as("pk"))
-          .repartition(col("pk"))
-          .groupBy(col("pk")).agg(count(lit(1)).as("common"))
+        // Count-by-packed-key through the dedicated physical operator
+        // (open-addressed long→long table — see PackedCountAgg's
+        // scaladoc for the measured HashAggregateExec gap); its
+        // required distribution plants the same single by-key exchange
+        // the explicit repartition used to. Conf-off fallback keeps
+        // the generic plan.
+        val aggPk =
+          if (org.apache.spark.sql.graft.PackedCountAgg
+              .enabled(edges.sparkSession))
+            org.apache.spark.sql.graft.PackedCountAgg
+              .countByKey(rawPk, "common")
+          else rawPk
+            .repartition(col("pk"))
+            .groupBy(col("pk")).agg(count(lit(1)).as("common"))
         val edgePk = edges.select(pkOf(col("src"), col("dst")).as("pk"))
         aggPk.join(edgePk.hint("shuffle_hash"), Seq("pk"), "left_anti")
           .select(shiftrightunsigned(col("pk"), 32).as("id1"),

@@ -25,12 +25,38 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftAnti"),
       plan)
     assert(!plan.contains("SortMergeJoin LeftAnti"), plan)
+    // the packed-key count runs through the dedicated physical operator
+    // (open-addressed long→long aggregate), not HashAggregateExec
+    assert(plan.contains("PackedKeyCount"), plan)
     val rows = df.collect()
     assert(rows.length == 1, rows.mkString(";"))
     val r = rows(0)
     // deg(1)=deg(4)=2, common=2 → jaccard_bp = 10000·2/(2+2−2) = 10000
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) == ((1L, 4L, 2L, 10000L, 4L)), r)
+  }
+
+  test("PackedKeyCountExec matches the generic aggregate exactly " +
+      "(conf off vs on), including zero and multiplicity-heavy keys") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: ids 0..59 (0 exercises the
+    // empty-sentinel special case), heavy shared-neighbor multiplicity
+    val edges = (0 until 400).map { i =>
+      val a = (i * 7919) % 60; val b = (i * 104729 + 13) % 60
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter(p => p._1 != p._2).distinct.toDF("src", "dst")
+    def run() = GraphXBridge.linkPredictionScores(edges)
+      .orderBy($"id1", $"id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    spark.conf.set(org.apache.spark.sql.graft.PackedCountAgg.ConfKey,
+      "false")
+    val generic = try run()
+    finally spark.conf.set(
+      org.apache.spark.sql.graft.PackedCountAgg.ConfKey, "true")
+    val packed = run()
+    assert(packed.nonEmpty && packed == generic,
+      s"packed=${packed.take(5)} generic=${generic.take(5)}")
   }
 
   test("saltedJoin equals the plain join on skewed data") {
