@@ -23,6 +23,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// The round driver tail-parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as JSON. Two sbt behaviors were pushing
+// the summary line out of last place for three rounds running:
+// forked-run output was re-logged with an "[info] " prefix, and sbt
+// appended its "[success] Total time: ..." trailer after the run.
+// Pass forked output through verbatim and drop the success banner so
+// the Bench summary IS the final line. (BENCH_FULL.json stays the
+// machine-readable per-query contract either way.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

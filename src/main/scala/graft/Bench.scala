@@ -37,8 +37,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val t =
-        try math.min(rep(), rep())
-        catch { case e: Throwable =>
+        try {
+          // deterministic fixture staging (persisted indexes/catalogs/
+          // stores) runs UNTIMED: the reps measure the query, not the
+          // once-per-session fixture build (two rounds of driver-shot
+          // outliers were exactly this staging cost)
+          q.stage.foreach(f => f(spark, sfDir))
+          math.min(rep(), rep())
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           -1.0 // a failed query must not masquerade as a fast one
         }

@@ -26,10 +26,12 @@ object TimeQuery {
     spark.read.parquet(s"$dir/lineitem.parquet").count()
     val g = graft.sources.TpchGraph(graft.sources.Tables(spark, dir))
     g.vertices.count(); g.edges.count()
-    val fn = SparkEntry.queries(name)
+    val q = SparkEntry.allQueries.find(_.name == name)
+      .getOrElse(sys.error(s"no such gate: $name"))
+    q.stage.foreach(f => f(spark, dir)) // fixture staging, untimed
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
+      val n = q.run(spark, dir).count()
       println(f"[time] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()

@@ -444,7 +444,12 @@ object GraphXBridge {
     * trivially by preferential attachment alone). With the cap,
     * `common` is a documented LOWER bound for pairs whose only shared
     * neighbors are super-hubs; degrees and pref_attach stay exact.
-    * Default = no cap (exact — the gate-checked configuration). */
+    * Default = no cap (exact — the gate-checked configuration).
+    *
+    * EAGER at plan construction (like mmrDiversifiedTopK): the degree
+    * frame is localCheckpoint()ed and the id-range packability probe
+    * runs Spark jobs before this returns — plan-only inspection of the
+    * result still pays the symmetrized-degree computation. */
   def linkPredictionScores(edges: DataFrame,
       maxCenterDegree: Int = Int.MaxValue): DataFrame = {
     val (cand, deg) = linkCandidates(edges, maxCenterDegree)
@@ -580,7 +585,8 @@ object GraphXBridge {
     * join AFTER the cut, against k rows instead of ~100M. Ranking is
     * by common desc with (id1, id2) tie-breaks — a total order, fully
     * pinned. Ordering only needs `common`, so deferring the degree
-    * joins is lossless. */
+    * joins is lossless. Eager at plan construction — see
+    * [[linkPredictionScores]]. */
   def topLinkPredictions(edges: DataFrame, k: Int,
       maxCenterDegree: Int = Int.MaxValue): DataFrame = {
     val (cand, deg) = linkCandidates(edges, maxCenterDegree)

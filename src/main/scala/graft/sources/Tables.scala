@@ -70,23 +70,45 @@ object EventTs {
 
   /** A parquet probe failure that means "TIMESTAMP(NANOS) column without
     * the legacy conf" — the only failure the lazy conf flip should
-    * swallow-and-retry. */
+    * swallow-and-retry. Matches the specific schema-converter error
+    * shape ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS, ...))" —
+    * ParquetSchemaConverter's typeNotSupported path), not a bare
+    * "NANOS" substring, so an unrelated error that merely mentions
+    * NANOS can't flip the session-wide conf. */
   private def isNanosTypeError(e: Throwable): Boolean = {
     val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).take(8)
-    msgs.exists(m => m.contains("NANOS"))
+    msgs.exists(m => m.contains("TIMESTAMP(NANOS") &&
+      m.toLowerCase(java.util.Locale.ROOT).contains("parquet"))
   }
 
   /** Read parquet, flipping the legacy nanos conf only if the first
     * attempt fails on a TIMESTAMP(NANOS) column (schema inference for
     * file sources is eager, so the failure surfaces here, not at an
-    * action). */
+    * action). When the conf genuinely applies it must STAY set for the
+    * session: the returned frame is lazy, and the scan re-snapshots
+    * SQLConf when an action plans it — a save/restore here would make
+    * every later action on the frame fail. If the retry ALSO fails,
+    * the flip bought nothing: restore the previous value before
+    * re-raising so the failed probe leaves no session-wide residue. */
   private def readAdaptive(spark: SparkSession, path: String): DataFrame =
     try spark.read.parquet(path)
     catch {
       case e: Throwable if isNanosTypeError(e) =>
+        val prev = spark.conf.getOption(
+          "spark.sql.legacy.parquet.nanosAsLong")
         enableNanosAsLong(spark)
-        spark.read.parquet(path)
+        try spark.read.parquet(path)
+        catch {
+          case retryFailure: Throwable =>
+            prev match {
+              case Some(v) => spark.conf.set(
+                "spark.sql.legacy.parquet.nanosAsLong", v)
+              case None => spark.conf.unset(
+                "spark.sql.legacy.parquet.nanosAsLong")
+            }
+            throw retryFailure
+        }
     }
 
   /** Batch read + normalize. */

@@ -20,7 +20,7 @@ object EventStreams {
 
   /** Micros-precision epoch of a Timestamp — the nanos->micros
     * truncation discipline every stateful operator's (ts, id) sort
-    * uses (CLAUDE.md events contract). */
+    * uses (TESTDATA.md events contract; see [[graft.sources.EventTs]]). */
   private def microsOf(t: java.sql.Timestamp): Long = {
     val i = t.toInstant
     i.getEpochSecond * 1000000L + i.getNano / 1000

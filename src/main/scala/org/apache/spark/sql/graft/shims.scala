@@ -21,11 +21,15 @@ object shims {
     * iterative loops that re-checkpoint per iteration: without this,
     * every superseded iteration's blocks linger until the driver GCs
     * the DataFrame and ContextCleaner catches up. No-op on frames that
-    * are not local checkpoints. */
+    * are not local checkpoints: only RDDs that really are local
+    * checkpoints are unpersisted, so a LogicalRDD over a USER-persisted
+    * RDD keeps its cache. */
   def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+    }.filter(_.checkpointData.exists(
+        _.isInstanceOf[org.apache.spark.rdd.LocalRDDCheckpointData[_]]))
+      .foreach(_.unpersist(blocking = false))
 }
 
 /** Native codegen'd dot product over two ARRAY<DOUBLE> columns — the hot
