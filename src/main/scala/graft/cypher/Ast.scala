@@ -124,9 +124,14 @@ object Ast {
     * import-WITH/RETURN); expands the outer rows with the subquery's
     * returned columns. */
   final case class CallClause(sub: CypherQuery) extends Clause
-  /** `CALL db.labels() [YIELD x]` — built-in catalog procedures. */
+  /** `CALL proc(args...) [YIELD a [AS x], b [AS y]]` — built-in
+    * procedures. Catalog procedures (`db.*`) are single-column and keep
+    * the legacy rename semantics (YIELD x names the one column x);
+    * graph procedures (`graft.*`) are multi-column with standard
+    * openCypher YIELD column-selection + AS aliasing. */
   final case class ProcedureClause(name: String,
-    yieldAs: Option[String]) extends Clause
+    args: Seq[Expr],
+    yields: Seq[(String, Option[String])]) extends Clause
 
   /** `FOREACH (x IN list | update clauses)` — runs the update clauses
     * once per list element; `x` is visible only inside. Elements of

@@ -637,27 +637,54 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     * the uncorrelated-CALL semantics, with a catalog-sized (bounded)
     * broadcast side. Labels split the ':'-joined multi-label column,
     * so SET-added labels appear. */
-  def compileProcedure(frame: Frame, p: ProcedureClause): Frame = {
-    val (defaultCol, data) = p.name.toLowerCase match {
+  def compileProcedure(frame: Frame, p: ProcedureClause): Frame =
+    p.name.toLowerCase match {
       case "db.labels" =>
         // unlabeled nodes store "" — not a label, filter it (Neo4j
         // returns no row for them)
-        ("label", g.vertices
+        bindCatalog(frame, p, "label", g.vertices
           .select(explode(split(col("label"), ":")).as("v"))
           .filter(length(col("v")) > 0).distinct())
       case "db.relationshiptypes" =>
-        ("relationshipType",
+        bindCatalog(frame, p, "relationshipType",
           g.edges.select(col("edge_type").as("v")).distinct())
       case "db.propertykeys" =>
-        ("propertyKey", g.vertices
+        bindCatalog(frame, p, "propertyKey", g.vertices
           .select(explode(map_keys(col("properties"))).as("v"))
           .unionByName(g.edges
             .select(explode(map_keys(col("properties"))).as("v")))
           .distinct())
+      case "graft.sssp.weighted" =>
+        // CALL graft.sssp.weighted(startId, weightProp) YIELD id, cost
+        // — single-source weighted shortest DISTANCES over the whole
+        // graph (directed; weight = the edge property cast to double,
+        // missing/non-numeric → 1.0 so an unweighted edge costs one
+        // hop). The openCypher surface for GraphXBridge.weightedSssp's
+        // Pregel relaxation — Neo4j exposes the same operation as a
+        // GDS procedure, which is why this is a CALL, not a pattern.
+        val argv = p.args.map {
+          case ELit(LStr(s)) => s
+          case other => throw new ParseException(
+            s"graft.sssp.weighted expects string literal args, got $other")
+        }
+        if (argv.length != 2) throw new ParseException(
+          "graft.sssp.weighted(startId, weightProp) takes 2 arguments")
+        val data = graft.engine.GraphXBridge
+          .weightedShortestFrom(g, argv(0), argv(1))(spark)
+        bindYields(frame, p, Seq("id", "cost"), data)
       case other =>
         throw new ParseException(s"unknown procedure: $other")
     }
-    val bind = p.yieldAs.getOrElse(defaultCol)
+
+  /** Legacy single-column catalog binding: `YIELD x` NAMES the one
+    * result column x (rename semantics, kept for db.*). */
+  private def bindCatalog(frame: Frame, p: ProcedureClause,
+      defaultCol: String, data: DataFrame): Frame = {
+    if (p.yields.length > 1) throw new ParseException(
+      s"${p.name} yields exactly one column")
+    val bind = p.yields.headOption
+      .map { case (c, alias) => alias.getOrElse(c) }
+      .getOrElse(defaultCol)
     if (frame.vars.contains(bind))
       throw new ParseException(
         s"variable `$bind` already declared — YIELD it under another name")
@@ -665,6 +692,35 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
       frame.df.crossJoin(
         broadcast(data.select(col("v").as(s"${bind}__val")))),
       frame.vars + (bind -> ValueVar))
+  }
+
+  /** Standard multi-column YIELD for graph procedures: each yielded
+    * column (optionally aliased) binds as a value variable; no YIELD
+    * binds every column under its own name. The result frame
+    * cross-products with the incoming frame (uncorrelated-CALL
+    * semantics — the usual shape is CALL as the first clause, where
+    * the incoming frame is the 1-row unit). */
+  private def bindYields(frame: Frame, p: ProcedureClause,
+      cols: Seq[String], data: DataFrame): Frame = {
+    val picks =
+      if (p.yields.isEmpty) cols.map(c => (c, c))
+      else p.yields.map { case (c, alias) =>
+        if (!cols.contains(c)) throw new ParseException(
+          s"${p.name} has no column `$c` (yields: ${cols.mkString(", ")})")
+        (c, alias.getOrElse(c))
+      }
+    picks.groupBy(_._2).collect { case (b, vs) if vs.size > 1 => b }
+      .headOption.foreach(b => throw new ParseException(
+        s"duplicate YIELD binding `$b`"))
+    var vars = frame.vars
+    picks.foreach { case (_, bind) =>
+      if (vars.contains(bind)) throw new ParseException(
+        s"variable `$bind` already declared — YIELD it under another name")
+      vars += (bind -> ValueVar)
+    }
+    val projected = data.select(picks.map { case (c, bind) =>
+      col(c).as(s"${bind}__val") }: _*)
+    Frame(frame.df.crossJoin(projected), vars)
   }
 
   /** `CALL { … }` subquery: the sub-clauses extend the OUTER frame

@@ -256,16 +256,32 @@ final class Parser(toks: Vector[Parser.Tok],
             eatSym("}")
             clauses += CallClause(sub)
           } else {
-            // CALL db.labels() [YIELD x] — dotted procedure name
+            // CALL proc(args...) [YIELD a [AS x], ...] — dotted name
             val parts = scala.collection.mutable.ArrayBuffer(ident())
             while (trySym(".")) parts += ident()
-            eatSym("("); eatSym(")")
-            val y = peek match {
-              case TIdent(s) if s.equalsIgnoreCase("yield") =>
-                pos += 1; Some(ident())
-              case _ => None
+            eatSym("(")
+            val args = scala.collection.mutable.ArrayBuffer[Expr]()
+            if (!isSym(")")) {
+              args += parseExpr()
+              while (trySym(",")) args += parseExpr()
             }
-            clauses += ProcedureClause(parts.mkString("."), y)
+            eatSym(")")
+            val ys = scala.collection.mutable
+              .ArrayBuffer[(String, Option[String])]()
+            peek match {
+              case TIdent(s) if s.equalsIgnoreCase("yield") =>
+                pos += 1
+                def one(): Unit = {
+                  val c = ident()
+                  val alias = if (tryKw("AS")) Some(ident()) else None
+                  ys += ((c, alias))
+                }
+                one()
+                while (trySym(",")) one()
+              case _ =>
+            }
+            clauses += ProcedureClause(parts.mkString("."), args.toSeq,
+              ys.toSeq)
           }
         case TKw("FOREACH") =>
           eatKw("FOREACH"); eatSym("(")

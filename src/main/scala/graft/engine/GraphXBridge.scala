@@ -141,6 +141,34 @@ object GraphXBridge {
       .toDF("id", "distance")
   }
 
+  /** [[weightedSssp]] over the STRING-id property graph — the Cypher
+    * `CALL graft.sssp.weighted(...)` surface. Weight of an edge is its
+    * `weightProp` property cast to double, defaulting to 1.0 when the
+    * property is absent or non-numeric (an unweighted edge costs one
+    * hop); negative weights are rejected up front (the Pregel
+    * relaxation assumes Dijkstra preconditions). Returns
+    * (id STRING, cost DOUBLE) for every vertex reachable from
+    * `source` along forward edges. Eager: the weight guard and the
+    * Pregel run both execute before this returns. */
+  def weightedShortestFrom(g: GraphState, source: String,
+      weightProp: String)(implicit spark: SparkSession): DataFrame = {
+    val wcol = coalesce(
+      element_at(col("properties"), weightProp).try_cast("double"),
+      lit(1.0))
+    val edges = g.edges.select(xxhash64(col("src")).as("s"),
+      xxhash64(col("dst")).as("d"), wcol.as("w"))
+    val minW = edges.agg(min(col("w"))).head()
+    require(minW.isNullAt(0) || minW.getDouble(0) >= 0.0,
+      s"graft.sssp.weighted: negative weight in property '$weightProp'")
+    val srcVid = spark.range(1).select(xxhash64(lit(source)))
+      .head().getLong(0)
+    val dist = weightedSssp(edges, Seq(srcVid))
+      .select(col("id").as("vid"), col("distance").as("cost"))
+    g.vertices.select(xxhash64(col("id")).as("vid"), col("id"))
+      .join(dist, Seq("vid"))
+      .select(col("id"), col("cost"))
+  }
+
   /** Total triangle count of an UNDIRECTED simple graph given as
     * canonical Long-id edges (src < dst, already distinct). GraphX's
     * triangleCount charges each triangle to its three corners, so the

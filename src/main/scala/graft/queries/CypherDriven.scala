@@ -1139,6 +1139,46 @@ object CypherDriven {
         |ORDER BY a_id, b_id""".stripMargin)
   }
 
+  /** allShortestPaths through the full Cypher stack: EVERY minimal
+    * route from one customer to each part it ordered (c-PLACED->o
+    * -CONTAINS->p is the only route shape, so every shortest path has
+    * length 2 and the route count per part is the number of (order,
+    * lineitem) ways to reach it — including parallel CONTAINS edges
+    * from repeated lineitems, which the all-paths reconstruction must
+    * keep distinct by edge id). Lengths AND counts pinned. */
+  val cy32 = QueryDef.sql("cy32_all_shortest_paths",
+    """SELECT 'p:' || l_partkey AS part_id, CAST(2 AS BIGINT) AS len,
+      |  CAST(count(*) AS BIGINT) AS n_routes
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE o_custkey = 1
+      |GROUP BY 1 ORDER BY part_id""".stripMargin) {
+    run("""MATCH (a:customer) WHERE id(a) = 'c:1'
+          |MATCH p = allShortestPaths((a)-[*..4]->(b:part))
+          |RETURN id(b) AS part_id, toInteger(length(p)) AS len,
+          |       count(*) AS n_routes
+          |ORDER BY part_id""".stripMargin)(_, _)
+  }
+
+  /** WEIGHTED shortest paths through Cypher — the GDS-style procedure
+    * surface over GraphXBridge.weightedSssp (Pregel relaxation):
+    * single-source distances where CONTAINS edges cost their
+    * `linenumber` property and PLACED edges (no property) cost 1.0.
+    * Every part reachable from the customer is therefore pinned at
+    * 1 + min(linenumber over its lineitems) — the oracle recomputes
+    * exactly that relationally. */
+  val cy33 = QueryDef.sql("cy33_weighted_sssp",
+    """SELECT 'p:' || l_partkey AS target,
+      |  CAST(1 + min(l_linenumber) AS BIGINT) AS cost
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE o_custkey = 1
+      |GROUP BY 1 ORDER BY target""".stripMargin) {
+    run("""CALL graft.sssp.weighted('c:1', 'linenumber')
+          |YIELD id AS target, cost
+          |WITH target, toInteger(cost) AS cost
+          |WHERE target STARTS WITH 'p:'
+          |RETURN target, cost ORDER BY target""".stripMargin)(_, _)
+  }
+
   /** CHECKPOINT RECOVERY (exactly-once file sink): the stream processes
     * half the input, STOPS, more files arrive, and a NEW query restarts
     * from the same checkpoint — the sink must contain every event
@@ -1311,7 +1351,7 @@ object CypherDriven {
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
-      cy23, cy24, cy25, cy26, cy27, cy28, cy29, cy30, cy31,
+      cy23, cy24, cy25, cy26, cy27, cy28, cy29, cy30, cy31, cy32, cy33,
       st01, st02, st03, st04, st05, st06, st07,
       st09, st10, st12, st13, st14, st15, st16, st17, st18, tj01, tj02,
       tj03, tj04, tj05, tj06)

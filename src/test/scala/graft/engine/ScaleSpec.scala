@@ -221,7 +221,12 @@ class ScaleSpec extends SparkSpec {
       "p19_dsir_selection" ->
         "t16's 1-row histogram-totals broadcast (same scoring plan)",
       "cy27_procedures" -> ("uncorrelated CALL db.* procedure is a " +
-        "cross-product by semantics; the catalog side is bounded"))
+        "cross-product by semantics; the catalog side is bounded"),
+      "cy32_all_shortest_paths" -> ("the disjoint endpoint pattern " +
+        "(one pinned customer × part scan) cross-products a 1-row " +
+        "side by Cypher semantics before the batched BFS"),
+      "cy33_weighted_sssp" -> ("uncorrelated CALL graft.* procedure: " +
+        "the 1-row unit frame cross-products the procedure's result"))
     val dir = sf("sf0.001")
     val offenders = graft.SparkEntry.allQueries.flatMap { q =>
       val plan = q.run(spark, dir).queryExecution.executedPlan.toString
