@@ -1,17 +1,23 @@
 package graft.dev
 
+import java.util.concurrent.atomic.{AtomicLong, AtomicInteger}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 import graft.SparkEntry
 
-/** Times one (or more) gate queries with the Bench session shape —
-  * the per-query iteration loop without a full bench run.
+/** Times one or more gate queries with the Bench session shape —
+  * the per-query iteration loop without a full bench run. Besides
+  * wall-clock, reports per-query total shuffle write bytes and the
+  * widest stage (task count) seen, for the PLANS.md scale tables.
   *
   *   sbt "runMain graft.dev.TimeQuery d05_cosine_near_dups /root/testdata/sf0.1 3"
+  *   sbt "runMain graft.dev.TimeQuery gx18_top_link_prediction,gx14_triangle_support /tmp/sf1 2"
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q01_pricing_summary")
+    val names = args.headOption.getOrElse("q01_pricing_summary").split(',').toSeq
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,17 +28,36 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // stage-level metrics between marks: shuffle write bytes + widest stage
+    val shuffleBytes = new AtomicLong(0L)
+    val peakTasks = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        peakTasks.getAndUpdate(m => math.max(m, sc.stageInfo.numTasks))
+      }
+    })
+
     // same warm-up as Bench
     spark.read.parquet(s"$dir/lineitem.parquet").count()
     val g = graft.sources.TpchGraph(graft.sources.Tables(spark, dir))
     g.vertices.count(); g.edges.count()
-    val q = SparkEntry.allQueries.find(_.name == name)
-      .getOrElse(sys.error(s"no such gate: $name"))
-    q.stage.foreach(f => f(spark, dir)) // fixture staging, untimed
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = q.run(spark, dir).count()
-      println(f"[time] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+
+    names.foreach { name =>
+      val q = SparkEntry.allQueries.find(_.name == name)
+        .getOrElse(sys.error(s"no such gate: $name"))
+      q.stage.foreach(f => f(spark, dir)) // fixture staging, untimed
+      (1 to reps).foreach { i =>
+        shuffleBytes.set(0L); peakTasks.set(0)
+        val t0 = System.nanoTime()
+        val n = q.run(spark, dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        // listener events are async; give the bus a moment to drain
+        Thread.sleep(200)
+        println(f"[time] $name rep$i: $secs%.2f s ($n rows, " +
+          f"shuffle ${shuffleBytes.get() / 1e6}%.1f MB, widest stage ${peakTasks.get()} tasks)")
+      }
     }
     spark.stop()
   }
