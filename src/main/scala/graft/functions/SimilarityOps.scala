@@ -192,6 +192,66 @@ object SimilarityOps {
     * one (cell, dim)-keyed aggregation of nlist×dim rows; the collected
     * centroid set is bounded by nlist×dim doubles. Empty cells keep
     * their previous centroid. */
+  /** Distributed Lloyd's k-means over the embedding column, surfaced as
+    * a first-class clustering operator (the SemDeDup cluster stage,
+    * data-mixture bucketing, IVF training all reduce to it). Seeds are
+    * the first k vectors by id; each iteration is ONE corpus scan
+    * (assignment against k broadcast-literal centroids — codegen'd dots,
+    * map-side only) plus a (cell, dim)-keyed aggregation whose state is
+    * k×dim cells, then a final assignment pass. Output: (id, cluster),
+    * one row per corpus vector.
+    *
+    * Cross-engine determinism (the s16 gate hash-matches a DuckDB
+    * re-derivation of the same iterations): per-cell means are EXACT
+    * DECIMAL sums cast to double BEFORE the divide — both engines then
+    * perform the identical IEEE double division — and distances are
+    * evaluated with the same sequential-summation dot and (distance,
+    * cell) tie-break on both sides, so assignments agree exactly.
+    * Empty cells keep their previous centroid.
+    *
+    * At 100 TB the refinement loop would run on a bounded sample (as
+    * `trainIvfCentroids` does) with only the final assignment touching
+    * the full corpus; at the gate SFs the whole corpus is within the
+    * sample bound, so the full-corpus loop IS the sampled loop. */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    // projected once, pinned: seeds + every iteration + the final
+    // assignment re-read this frame (bounded re-scan, same rationale as
+    // the PQ code-table pin)
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol))
+      .as("v")).localCheckpoint()
+    val seed: Array[(Int, Seq[Double])] = v.orderBy(col("id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+      .zipWithIndex.map { case (c, i) => (i, c) }
+    var cents = seed
+    def nearest(vc: Column): Column = {
+      val pairs = array(cents.map { case (i, cvec) =>
+        val c2 = cvec.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0d) * dot(vc, lit(cvec.toArray))).as("d"),
+          lit(i).as("cell"))
+      }: _*)
+      array_sort(pairs).getItem(0).getField("cell")
+    }
+    (0 until iters).foreach { _ =>
+      val means = v.select(col("v"), nearest(col("v")).as("cell"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        // exact sum, cast to double FIRST, then one IEEE divide — the
+        // decimal-division scale rules would differ across engines
+        .agg((sum(col("x").cast(org.apache.spark.sql.types
+          .DecimalType(28, 14))).cast("double") / count(lit(1)))
+          .as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(
+          struct(col("dim"), col("m")))), s => s.getField("m")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
+    }
+    v.select(col("id").as(idCol),
+      nearest(col("v")).cast("long").as("cluster"))
+  }
+
   private def refineCentroids(corpus: DataFrame, vecCol: String,
       seed: Array[(Int, Seq[Double])], iters: Int)
       : Array[(Int, Seq[Double])] = {

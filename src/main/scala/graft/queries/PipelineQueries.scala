@@ -3083,6 +3083,61 @@ object PipelineQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Lloyd's k-means assignments (k=8, two refinement iterations) — the
+    * clustering stage SemDeDup / data-mixture pipelines run over an
+    * embedding corpus, surfaced as a first-class operator. The oracle
+    * re-derives BOTH iterations in SQL — id-ordered seeds, the same
+    * squared-L2 argmin with (distance, cell) tie-break, exact DECIMAL
+    * per-cell sums cast to double before the one IEEE divide, empty
+    * cells keeping their previous centroid — and hash-matches every
+    * per-vector assignment. */
+  val s16 = QueryDef.sql("s16_kmeans_clusters",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |s0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+      |         AS cell, e AS c
+      |       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+      |a1 AS (SELECT vec_id, e, cell FROM (
+      |        SELECT v.vec_id, v.e, s.cell,
+      |          row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |            list_dot_product(s.c, s.c)
+      |              - 2 * list_dot_product(v.e, s.c), s.cell) AS rn
+      |        FROM v, s0 s) WHERE rn = 1),
+      |m1 AS (SELECT cell, pos,
+      |         CAST(SUM(CAST(val AS DECIMAL(28,14))) AS DOUBLE)
+      |           / COUNT(*) AS mv
+      |       FROM (SELECT cell, unnest(e) AS val,
+      |               unnest(range(1, len(e) + 1)) AS pos FROM a1)
+      |       GROUP BY cell, pos),
+      |c1 AS (SELECT cell, COALESCE(l.c, s.c) AS c
+      |       FROM s0 s LEFT JOIN (SELECT cell, list(mv ORDER BY pos) AS c
+      |                            FROM m1 GROUP BY cell) l USING (cell)),
+      |a2 AS (SELECT vec_id, e, cell FROM (
+      |        SELECT v.vec_id, v.e, s.cell,
+      |          row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |            list_dot_product(s.c, s.c)
+      |              - 2 * list_dot_product(v.e, s.c), s.cell) AS rn
+      |        FROM v, c1 s) WHERE rn = 1),
+      |m2 AS (SELECT cell, pos,
+      |         CAST(SUM(CAST(val AS DECIMAL(28,14))) AS DOUBLE)
+      |           / COUNT(*) AS mv
+      |       FROM (SELECT cell, unnest(e) AS val,
+      |               unnest(range(1, len(e) + 1)) AS pos FROM a2)
+      |       GROUP BY cell, pos),
+      |c2 AS (SELECT cell, COALESCE(l.c, s.c) AS c
+      |       FROM c1 s LEFT JOIN (SELECT cell, list(mv ORDER BY pos) AS c
+      |                            FROM m2 GROUP BY cell) l USING (cell))
+      |SELECT vec_id, CAST(cell AS BIGINT) AS cluster FROM (
+      |  SELECT v.vec_id, s.cell,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      list_dot_product(s.c, s.c)
+      |        - 2 * list_dot_product(v.e, s.c), s.cell) AS rn
+      |  FROM v, c2 s) WHERE rn = 1 ORDER BY vec_id""".stripMargin) {
+    (s, dir) =>
+    SimilarityOps.kmeansAssign(Tables(s, dir).embeddings, "vec_id",
+        "embedding", k = 8, iters = 2)
+      .orderBy(col("vec_id"))
+  }
+
   /** fastText-style linear classifier INFERENCE over hashed
     * bag-of-words features — the quality/domain filter shape CCNet,
     * Gopher and FineWeb run over the full corpus. Model = bucket →
@@ -3121,7 +3176,8 @@ object PipelineQueries {
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, d10, d11, d12, d13, st08, st11, s01, s02, s03, s04, s05, s06, s07,
-      s08, s09, s10, s11, s12, s13, s14, s15, m01, m02, m03, m04, m05, m06,
+      s08, s09, s10, s11, s12, s13, s14, s15, s16,
+      m01, m02, m03, m04, m05, m06,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
       io02, io03, io04, io05, io06, io07, io08, io09, t06, t07, t08, t09,
