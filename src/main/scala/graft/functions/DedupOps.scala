@@ -608,20 +608,102 @@ object DedupOps {
     * in EXACT integer arithmetic; pairs where either side's containment
     * clears `thresholdBp` are emitted.
     *
-    * Scale shape: ONE inverted-index self-join on the shingle (the
-    * PPJoin-family candidate generator) — the join output per shingle
-    * is C(df, 2) pairs and the per-pair count IS the exact intersection
-    * size, so no second verification pass re-reads text. Set sizes ride
-    * the explode (no separate sizes join). Hot boilerplate shingles fan
-    * df²: at production scale cap shingle document-frequency first (a
-    * shingle shared by thousands of documents identifies boilerplate —
-    * p22's operator — not quotation; the cap is a documented recall
-    * trade on exactly those shingles). The gate runs uncapped — exact
-    * vs the all-pairs oracle.
+    * Scale shape — PPJoin prefix filtering (the position-enhanced
+    * variants trace to Xiao et al., WWW'08; prefix filtering itself to
+    * Chaudhuri et al., ICDE'06): a qualifying pair needs
+    * inter ≥ ⌈T·min(sz₁,sz₂)/10⁴⌉, so in ANY fixed total order of
+    * shingles the other document must contain one of the smaller
+    * document's first sz − ⌈T·sz/10⁴⌉ + 1 shingles. Ordering by global
+    * rarity (document frequency asc, shingle asc) and inverted-indexing
+    * ONLY those prefixes shrinks candidate generation by ≈ 10⁴/(10⁴−T)
+    * (10× at T=9000) versus the full-index self-join — the difference
+    * between linear-ish and Σdf² when a corpus is near-dup-heavy (the
+    * sf1 rehearsal's clustered replicas drove the full-index form to
+    * 165 s; this shape holds single-digit seconds). Candidates then
+    * join back to the per-doc shingle ARRAYS and the exact intersection
+    * is computed per pair — no per-(pair, shingle) aggregate rows.
+    * Hot boilerplate shingles still fan df·prefix-df: at production
+    * scale cap shingle document-frequency first (a shingle shared by
+    * thousands of documents identifies boilerplate — p22's operator —
+    * not quotation; the cap is a documented recall trade on exactly
+    * those shingles). The gate runs uncapped — exact vs the all-pairs
+    * oracle, and DedupSpec pins equality with the full-index form.
     *
     * Returns (id1, id2, c1_bp, c2_bp), id1 < id2. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, thresholdBp: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.{shims, HashedShingleSetExpr,
+      SortedIntersectCountExpr}
+    // Per-doc shingle tables, pinned (at production scale this is the
+    // persisted shingle table): the STRING arrays (sorted — the exact
+    // intersection is a sorted merge) carry the exact semantics; the
+    // HASHED arrays drive candidate generation so every shuffle, join
+    // and window below runs on fixed-width longs (the string-keyed form
+    // was GC-bound at sf1: 110 s+ of collector time per stage).
+    val docs = df.select(col(idCol).as("id"),
+        shingleSet(col(textCol), n).as("shs0"),
+        shims.column(HashedShingleSetExpr(
+          shims.expression(col(textCol)), n)).as("hshs"))
+      .select(col("id"), array_sort(col("shs0")).as("shs"),
+        size(col("shs0")).cast("long").as("sz"),
+        col("hshs"), size(col("hshs")).cast("long").as("hsz"))
+      .localCheckpoint()
+    val sh = docs.select(col("id"), col("hsz"),
+      explode(col("hshs")).as("g"))
+    // global rarity order: document frequency asc, hash asc
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // prefix length: hsz − ⌈T·hsz/10⁴⌉ + 1 rarest shingles per doc
+    // (hash-set size, ≤ the string-set size — keeps the theorem sound
+    // on the hash domain even under collisions)
+    val prefLen = col("hsz") -
+      expr(s"(${thresholdBp.toLong}L * hsz + 9999L) div 10000L") + 1L
+    val rankW = Window.partitionBy(col("id")).orderBy(col("df"), col("g"))
+    val prefix = sh.join(dfreq, Seq("g"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= prefLen)
+      .select(col("g"), col("id").as("pid"))
+    // candidates: the smaller doc's prefix must hit the other doc's
+    // full shingle set — index prefixes, probe with the full postings.
+    // shuffle_hash pinned: the checkpointed shingle table inherits the
+    // (tiny) pre-explode size estimate, so the planner would BROADCAST
+    // the multi-GB exploded postings — the sf1 rehearsal measured that
+    // misplan at 100+ s; hash-partitioned joins are also the only shape
+    // that scales these sides horizontally.
+    val cand = prefix.join(
+        sh.select(col("g"), col("id").as("fid")).hint("shuffle_hash"),
+        Seq("g"))
+      .filter(col("pid") =!= col("fid"))
+      .select(least(col("pid"), col("fid")).as("id1"),
+        greatest(col("pid"), col("fid")).as("id2"))
+      .distinct()
+    // exact intersection per candidate pair, straight off the sorted
+    // string arrays (zero-allocation merge); same pinning — the array
+    // sides are ~docs × shingle-bytes, never broadcastable at scale
+    val d1 = docs.select(col("id").as("id1"), col("shs").as("shs1"),
+      col("sz").as("sz1"))
+    val d2 = docs.select(col("id").as("id2"), col("shs").as("shs2"),
+      col("sz").as("sz2"))
+    cand.join(d1.hint("shuffle_hash"), Seq("id1"))
+      .join(d2.hint("shuffle_hash"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        shims.column(SortedIntersectCountExpr(
+          shims.expression(col("shs1")), shims.expression(col("shs2"))))
+          .as("inter"),
+        col("sz1"), col("sz2"))
+      .select(col("id1"), col("id2"),
+        expr("10000L * inter div sz1").as("c1_bp"),
+        expr("10000L * inter div sz2").as("c2_bp"))
+      .filter(greatest(col("c1_bp"), col("c2_bp")) >= thresholdBp)
+  }
+
+  /** The full-inverted-index form of [[containmentPairs]] — Σ C(df,2)
+    * join output, kept as the oracle-shaped reference implementation
+    * for the equivalence spec (it IS exact, just quadratic in posting
+    * lists on near-dup-heavy corpora). */
+  private[graft] def containmentPairsFullIndex(df: DataFrame,
+      idCol: String, textCol: String, n: Int, thresholdBp: Int)
+      : DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         shingleSet(col(textCol), n).as("shs"))
       .select(col("id"), size(col("shs")).cast("long").as("sz"),

@@ -352,4 +352,36 @@ class DedupSpec extends SparkSpec {
     val inter = jac.getLong(2) * 4 / 10000 // c1_bp → |∩| (sz1 = 4)
     assert(inter.toDouble / (4 + 12 - inter) < 0.4)
   }
+
+  test("containmentPairs prefix filtering ≡ full inverted index") {
+    import spark.implicits._
+    // a near-dup-heavy corpus (the sf1 rehearsal shape that drove the
+    // full-index form quadratic): clustered replicas, wholesale quotes,
+    // subsets, and unrelated filler — prefix-filtered candidates must
+    // reproduce the full-index pair set EXACTLY at several thresholds
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lumen", "mole")
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 12).map { b =>
+      (0 until 14).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val docs = base.zipWithIndex.flatMap { case (t, b) =>
+      val replicas = (0 until 4).map(r => s"$t r$r") // near-dup cluster
+      val quote = s"prelude text here $t and a long trailing section " +
+        s"of words number $b"                        // contains t
+      val subset = t.split(' ').take(8).mkString(" ") // contained in t
+      (replicas :+ quote :+ subset).zipWithIndex.map { case (txt, i) =>
+        (b * 10L + i, txt)
+      }
+    }.toDF("doc_id", "text")
+    for (t <- Seq(9000, 7000, 4000)) {
+      val fast = DedupOps.containmentPairs(docs, "doc_id", "text", 3, t)
+        .orderBy(col("id1"), col("id2")).collect().toSeq
+      val full = DedupOps.containmentPairsFullIndex(
+          docs, "doc_id", "text", 3, t)
+        .orderBy(col("id1"), col("id2")).collect().toSeq
+      assert(fast == full, s"threshold $t: ${fast.size} vs ${full.size}")
+      assert(full.nonEmpty, s"threshold $t produced no pairs — fixture bug")
+    }
+  }
 }
