@@ -587,12 +587,21 @@ object GraphQueries {
     * subgraph (customer/supplier —IN_NATION→ nation —IN_REGION→
     * region), where the closed form is c_n + s_n + 2 (same-nation
     * customers incl. self, same-nation suppliers, the nation, its
-    * region). Spark emits the EXACT size (distributed 2-hop expansion)
-    * plus a bit certifying the HLL-sketch estimate within 5% — on these
-    * ball sizes the datasketches HLL is still in its exact sparse
-    * regime, so the bit is deterministically 1. The sketch path is the
-    * 100 TB plan: per-round state is one fixed-size sketch per vertex,
-    * never the (source, vertex) pair explosion the exact path pays. */
+    * region). Spark emits the EXACT size plus a bit certifying the
+    * HLL-sketch estimate within 5% — on these ball sizes the
+    * datasketches HLL is still in its exact sparse regime, so the bit
+    * is deterministically 1. The sketch path is the 100 TB plan:
+    * per-round state is one fixed-size sketch per vertex, never the
+    * (source, vertex) pair explosion a generic exact path pays.
+    *
+    * The exact side uses the gx08/gx11 stance — layer counts derived
+    * from counting identities IN-PLAN (here: one aggregation of the
+    * IN_NATION edge frame; ball₂(member) = members(nation) + 2). The
+    * generic Θ(Σ|ball|) expansion (`Neighborhood.exactSizes`, kept for
+    * the TraversalSpec ground-truth checks) was the sf1 rehearsal's
+    * worst superliner: ~1B pair rows and 109–273 s at 160k members —
+    * exactly the explosion the sketch exists to avoid, so certifying
+    * the sketch against it at scale defeats the point. */
   val gx06 = QueryDef.sql("gx06_hyperball",
     """WITH cn AS (SELECT c_nationkey AS nk, count(*) AS c_n
       |           FROM customer GROUP BY 1),
@@ -612,7 +621,16 @@ object GraphQueries {
     // cluster scale this is persist()-to-memory; localCheckpoint is the
     // local[n] equivalent with lineage cut.
     val g = membershipGraph(s, dir)
-    val exact = graft.engine.Neighborhood.exactSizes(g, hops = 2)
+    // exact 2-hop ball size via the in-plan counting identity: every
+    // IN_NATION source's ball is {same-nation members (self incl.),
+    // the nation, its region} — one edge-frame aggregation, no
+    // (source, vertex) expansion
+    val inNation = g.edges.filter(col("edge_type") === "IN_NATION")
+      .select(col("src"), col("dst"))
+    val exact = inNation
+      .join(inNation.groupBy(col("dst")).agg(count(lit(1)).as("m")),
+        Seq("dst"))
+      .select(col("src").as("id"), (col("m") + lit(2L)).as("n_reach"))
     val est = membershipHops(s, dir)
       .select(col("id"), col("est_2").as("estimate"))
     exact.join(est, Seq("id"))
