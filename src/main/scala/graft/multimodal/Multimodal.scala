@@ -185,6 +185,130 @@ object Multimodal {
     }
   }
 
+  /** WAV (RIFF / 16-bit PCM) codec — the audio sibling of
+    * [[ImageIoCodec]]: deterministic synthesis plus TWO independent
+    * pure-JDK header readers (javax.sound.sampled and a hand-rolled
+    * RIFF chunk walk), so the m07 gate pins that both readers of the
+    * actual bytes agree with each other and with the oracle's
+    * closed-form metadata. */
+  object WavCodec {
+    /** Deterministic 16-bit PCM RIFF/WAVE bytes: canonical 44-byte
+      * header + an LCG sample fill from the seed. */
+    def encodeWav(sampleRate: Int, channels: Int, nSamples: Int,
+        seed: Long): Array[Byte] = {
+      val blockAlign = 2 * channels
+      val dataLen = nSamples * blockAlign
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)                    // PCM
+        .putShort(channels.toShort)
+        .putInt(sampleRate)
+        .putInt(sampleRate * blockAlign) // byte rate
+        .putShort(blockAlign.toShort)
+        .putShort(16)                    // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var s = seed
+      var i = 0
+      while (i < nSamples * channels) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        bb.putShort((s >>> 48).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** (channels, sampleRate, bitsPerSample, nFrames) from a
+      * hand-rolled RIFF chunk walk — no sound API in the loop. None on
+      * anything malformed; never throws on arbitrary bytes. */
+    def riffMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (bytes == null || bytes.length < 44) return None
+      def tag(i: Int): String =
+        new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def u16(i: Int): Int =
+        (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+      def u32(i: Int): Long =
+        (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+          ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, bits, align
+      var dataLen: Option[Long] = None
+      while (i + 8 <= bytes.length &&
+        (fmt.isEmpty || dataLen.isEmpty)) {
+        val id = tag(i)
+        val len = u32(i + 4)
+        if (id == "fmt " && len >= 16 && i + 8 + 16 <= bytes.length) {
+          if (u16(i + 8) != 1) return None // not PCM
+          fmt = Some((u16(i + 10), u32(i + 12).toInt, u16(i + 22),
+            u16(i + 20)))
+        } else if (id == "data") dataLen = Some(len)
+        i += 8 + len.toInt + (len.toInt & 1) // chunks pad to even
+      }
+      for {
+        (ch, rate, bits, align) <- fmt
+        d <- dataLen
+        if align > 0
+      } yield (ch, rate, bits, d / align)
+    }
+
+    /** The same metadata via `javax.sound.sampled` — the independent
+      * JDK reader path. */
+    def javaxMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = aff.getFormat
+        Some((f.getChannels, f.getSampleRate.toInt,
+          f.getSampleSizeInBits, aff.getFrameLength.toLong))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
+  /** Media table whose audio rows carry REAL RIFF/PCM WAV bytes
+    * (sample rate / channels / frame count closed functions of the id
+    * — the audio sibling of [[syntheticImages]]). */
+  def syntheticWavs(documents: DataFrame)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val rate = (8000 + (id % 4) * 4000).toInt
+        val ch = (1 + id % 2).toInt
+        val n = (100 + id % 50).toInt
+        MediaRow(id, "audio", WavCodec.encodeWav(rate, ch, n, id), None)
+      }
+    }.toDF()
+  }
+
+  final case class WavProbe(asset_id: Long, channels: Int,
+      sample_rate: Int, bits: Int, n_frames: Long, duration_ms: Long,
+      readers_agree: Long)
+
+  /** WAV meta via BOTH decode paths — javax.sound.sampled and the
+    * hand-rolled RIFF walk — with an in-row agreement bit, mirroring
+    * [[probeJpegMeta]]'s dual-reader discipline. Values come from the
+    * RIFF walk; `readers_agree` certifies the JDK reader saw the same
+    * (channels, rate, bits, frames). */
+  def probeWavMeta(media: DataFrame)
+      (implicit spark: SparkSession): Dataset[WavProbe] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val riff = WavCodec.riffMeta(r.content)
+        val jdk = WavCodec.javaxMeta(r.content)
+        val (ch, rate, bits, n) = riff.getOrElse((-1, -1, -1, -1L))
+        WavProbe(r.asset_id, ch, rate, bits, n,
+          if (rate > 0) n * 1000L / rate else -1L,
+          if (riff.isDefined && riff == jdk) 1L else 0L)
+      }
+    }
+  }
+
   /** Media table whose image rows carry REAL PNG bytes (dimensions a
     * closed function of the id, so an oracle can predict what decode
     * must find). */

@@ -934,6 +934,31 @@ object PipelineQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** REAL WAV decode — the audio sibling of m05/m06: deterministic
+    * RIFF/PCM bytes are synthesized distributed, then channels / sample
+    * rate / bits / frame count / duration are re-derived from the
+    * actual bytes by two independent pure-JDK readers
+    * (javax.sound.sampled AND a hand-rolled RIFF chunk walk) with the
+    * agreement bit in the hashed result. The oracle pins the
+    * closed-form metadata and readers_agree=1 for every asset. */
+  val m07 = QueryDef.sql("m07_wav_decode",
+    """SELECT doc_id AS asset_id,
+      |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |  CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+      |  CAST(16 AS INTEGER) AS bits,
+      |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+      |  (100 + doc_id % 50) * 1000 // (8000 + (doc_id % 4) * 4000)
+      |    AS duration_ms,
+      |  CAST(1 AS BIGINT) AS readers_agree
+      |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+    implicit val sp = s
+    val media = graft.multimodal.Multimodal.syntheticWavs(
+      Tables(s, dir).documents)
+    graft.multimodal.Multimodal.probeWavMeta(media)
+      .toDF()
+      .orderBy(col("asset_id"))
+  }
+
   /** Int8-quantized top-k — the cheap candidate stage of quantized
     * retrieval (4–8× scan-bytes reduction at 100 TB), oracle-exact
     * because quantization TRUNCATES (pure function of the double bits;
@@ -3177,7 +3202,7 @@ object PipelineQueries {
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, d10, d11, d12, d13, st08, st11, s01, s02, s03, s04, s05, s06, s07,
       s08, s09, s10, s11, s12, s13, s14, s15, s16,
-      m01, m02, m03, m04, m05, m06,
+      m01, m02, m03, m04, m05, m06, m07,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
       io02, io03, io04, io05, io06, io07, io08, io09, t06, t07, t08, t09,

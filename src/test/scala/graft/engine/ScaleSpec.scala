@@ -59,6 +59,29 @@ class ScaleSpec extends SparkSpec {
       s"packed=${packed.take(5)} generic=${generic.take(5)}")
   }
 
+  test("containmentPairs plan: shuffle-hash joins, no broadcast of the " +
+      "exploded postings or the array-doc sides") {
+    import spark.implicits._
+    // The checkpointed shingle table inherits the tiny pre-explode size
+    // estimate, so without the shuffle_hash pins the planner BROADCAST
+    // the multi-GB exploded postings at sf1 (PLANS.md r7). Pin the
+    // shape: every candidate/intersection join is a ShuffledHashJoin.
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta doc$i tail"))
+      .toDF("doc_id", "text")
+    val df = graft.functions.DedupOps
+      .containmentPairs(docs, "doc_id", "text", 3, 9000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // the three pinned joins (postings, d1, d2) must not broadcast —
+    // the only broadcast allowed is the bounded dfreq rarity join
+    val broadcasts =
+      "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts <= 1, s"$broadcasts broadcast joins:\n$plan")
+  }
+
   test("saltedJoin equals the plain join on skewed data") {
     import spark.implicits._
     // one hot key (90% of rows) + long tail

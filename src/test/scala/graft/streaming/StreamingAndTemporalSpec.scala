@@ -374,6 +374,23 @@ class StreamingAndTemporalSpec extends SparkSpec {
     assert(frames.count() > 0)
   }
 
+  test("multimodal: WAV dual-reader decode agrees on real bytes and " +
+      "rejects malformed ones") {
+    // round-trip: both readers recover the encoded parameters exactly
+    for ((rate, ch, n) <- Seq((8000, 1, 100), (20000, 2, 149))) {
+      val bytes = Multimodal.WavCodec.encodeWav(rate, ch, n, seed = 7L)
+      val expected = Some((ch, rate, 16, n.toLong))
+      assert(Multimodal.WavCodec.riffMeta(bytes) == expected, s"riff $rate")
+      assert(Multimodal.WavCodec.javaxMeta(bytes) == expected, s"jdk $rate")
+    }
+    // malformed inputs: honest None, never a throw
+    val good = Multimodal.WavCodec.encodeWav(8000, 1, 10, 1L)
+    for (bad <- Seq(Array.empty[Byte], "RIFFjunk".getBytes,
+        good.take(20), good.map(b => (b ^ 0x5a).toByte)))
+      assert(Multimodal.WavCodec.riffMeta(bad).isEmpty ||
+        bad.sameElements(good), "malformed accepted")
+  }
+
   test("checkpointed restart resumes exactly-once (no reprocessing)") {
     // data lands in two halves; the stream is DOWN when the second half
     // arrives. The checkpoint's file-source log must make the restarted
