@@ -212,7 +212,12 @@ object SimilarityOps {
     * At 100 TB the refinement loop would run on a bounded sample (as
     * `trainIvfCentroids` does) with only the final assignment touching
     * the full corpus; at the gate SFs the whole corpus is within the
-    * sample bound, so the full-corpus loop IS the sampled loop. */
+    * sample bound, so the full-corpus loop IS the sampled loop.
+    *
+    * EAGER at construction (like `mmrDiversifiedTopK`): the projection
+    * pin, seed collection, and every refinement iteration run Spark
+    * jobs before the returned frame's first action — plan-only
+    * inspection of the result still pays the training loop. */
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     // projected once, pinned: seeds + every iteration + the final
