@@ -1,0 +1,93 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components as a pure DataFrame fixpoint — the alternating
+  * large-star / small-star algorithm (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14): O(log n) rounds,
+  * each round two grouped aggregations + joins over the edge list, no
+  * RDD conversion and no Pregel machinery.
+  *
+  * Why it exists alongside `GraphXBridge.connectedComponents`: the
+  * GraphX path pays a fixed per-superstep cost (RDD caching, Pregel
+  * scheduling) that dominates when components are shallow — the sf1
+  * rehearsal measured ~15 s for CC over a 249k-edge near-dup pair
+  * graph whose chains converge in a handful of rounds. The DataFrame
+  * form keeps the whole loop in Tungsten, converges in O(log n) rounds
+  * REGARDLESS of component diameter (star contraction, not frontier
+  * propagation), and inherits AQE sizing per round. GraphX remains the
+  * surface for the gx01 bridge operator; the dedup cluster family
+  * routes here.
+  *
+  * Semantics: given undirected edges (id1, id2) over LONG ids, returns
+  * (id, component) where component = the MINIMUM id in the node's
+  * component — identical labeling to GraphX CC, pinned by
+  * TraversalSpec's equivalence test. Nodes appear in the output iff
+  * they appear in at least one edge; callers union in singletons.
+  */
+object StarCC {
+  /** (id, component) for every node incident to at least one edge. */
+  def components(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.graft.shims
+    // canonical undirected edge set, self-loops dropped
+    var e = edges
+      .select(least(col("id1"), col("id2")).cast("long").as("a"),
+        greatest(col("id1"), col("id2")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: every neighbor v > u links to m = min(N(u) ∪ {u});
+    // small-star: every neighbor v ≤ u links to m = min of the smaller
+    // neighborhood (plus u itself). Alternating the two contracts every
+    // component to a star on its minimum in O(log n) rounds.
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      // orient every edge toward its LARGER endpoint: (u = max, v = min)
+      val oriented = cur.select(col("b").as("u"), col("a").as("v"))
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val relink = oriented.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+      relink.unionAll(mins.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    var converged = false
+    var rounds = 0
+    val maxRounds = 64 // ≫ log₂ of any node count a long id can hold
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // true fixpoint test (not a checksum): identical edge SETS.
+      // Both sides are distinct, so |E|==|E'| plus an empty anti-join
+      // one way is set equality.
+      converged = next.count() == e.count() &&
+        next.join(e, Seq("a", "b"), "left_anti").isEmpty
+      val prev = e
+      e = next
+      shims.releaseLocalCheckpoint(prev)
+    }
+    require(converged, s"StarCC did not converge in $maxRounds rounds")
+    // At the fixpoint every edge is (component-min, member): label both
+    // endpoints, the min labels itself.
+    e.select(col("b").as("id"), col("a").as("component"))
+      .unionAll(e.select(col("a").as("id"), col("a").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+  }
+}

@@ -525,4 +525,40 @@ class TraversalSpec extends SparkSpec {
     for ((n, i) <- want.zipWithIndex)
       assert(out((0L, (i + 1).toLong)) == n)
   }
+
+  test("StarCC ≡ GraphX connectedComponents (min-id labels) on random " +
+      "graphs incl. chains, stars, and isolated pairs") {
+    import spark.implicits._
+    import org.apache.spark.graphx.{Edge, Graph}
+    val rnd = new scala.util.Random(23)
+    val cases = Seq(
+      // long chain (worst case for propagation CC, easy for star CC)
+      (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq,
+      // hub star + separate triangle + isolated pair
+      (1L to 15L).map(i => (0L, i)) ++
+        Seq((100L, 101L), (101L, 102L), (102L, 100L), (200L, 201L)),
+      // random sparse graph with duplicate + reversed edges
+      (0 until 120).map(_ => (rnd.nextInt(60).toLong,
+        rnd.nextInt(60).toLong)).filter(p => p._1 != p._2))
+    for (edges <- cases) {
+      val df = edges.toDF("id1", "id2")
+      val star = StarCC.components(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val g = Graph.fromEdges(
+        spark.sparkContext.parallelize(
+          edges.map(p => Edge(p._1, p._2, ()))), ())
+      val gx = g.connectedComponents().vertices.collect().toMap
+      assert(star == gx.map { case (k, v) => (k, v) },
+        s"star=${star.toSeq.sorted.take(8)} gx=${gx.toSeq.sorted.take(8)}")
+    }
+  }
+
+  test("dupClusters labels singletons as their own cluster (StarCC path)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val ids = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
+    val out = graft.functions.DedupOps.dupClusters(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L), out)
+  }
 }
