@@ -37,7 +37,8 @@ object StarCC {
         greatest(col("id1"), col("id2")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    var eCount = e.count() // materializes the lazy checkpoint
 
     // large-star: every neighbor v > u links to m = min(N(u) ∪ {u});
     // small-star: every neighbor v ≤ u links to m = min of the smaller
@@ -73,14 +74,24 @@ object StarCC {
     val maxRounds = 64 // ≫ log₂ of any node count a long id can hold
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      // true fixpoint test (not a checksum): identical edge SETS.
-      // Both sides are distinct, so |E|==|E'| plus an empty anti-join
-      // one way is set equality.
-      converged = next.count() == e.count() &&
-        next.join(e, Seq("a", "b"), "left_anti").isEmpty
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      // True fixpoint test (not a checksum) in ONE job per round: both
+      // sides are distinct, so set equality ⟺ |E'| == |E| AND every E'
+      // row matches an E row. A single left-outer pass yields |E'| and
+      // the match count together — and, as the first job computing
+      // `next`, it materializes next's lazy checkpoint. The former
+      // count+count+anti-isEmpty shape scheduled 3–4 jobs per round,
+      // a fixed ~1 s/gate cost at small SF (round-7 verdict item).
+      val stats = next.join(
+          e.select(col("a"), col("b"), lit(1).as("__in")),
+          Seq("a", "b"), "left_outer")
+        .agg(count(lit(1)).as("n"), count(col("__in")).as("matched"))
+        .head()
+      val n = stats.getLong(0)
+      converged = n == eCount && stats.getLong(1) == n
       val prev = e
       e = next
+      eCount = n
       shims.releaseLocalCheckpoint(prev)
     }
     require(converged, s"StarCC did not converge in $maxRounds rounds")

@@ -39,7 +39,14 @@ object Traversals {
 
   /** Bounded-depth BFS from a set of source vertex ids. Returns
     * (id, depth) with the MINIMUM depth per reached vertex (sources at 0).
-    * Equivalently: unweighted shortest-path distance ≤ maxDepth. */
+    * Equivalently: unweighted shortest-path distance ≤ maxDepth.
+    *
+    * ONE eager Spark job per hop: the frontier is marked for a LAZY
+    * local checkpoint and the loop-control `count()` is the action that
+    * materializes it (LocalRDDCheckpointData persists every partition at
+    * the end of the first job that computes the RDD). The former
+    * eager-checkpoint + isEmpty pair cost two scheduled jobs per hop —
+    * at local[32] job scheduling, not data, dominates these traversals. */
   def bfs(g: GraphState, sources: DataFrame, maxDepth: Int,
       edgeType: Option[String] = None, undirected: Boolean = false)
       : DataFrame = {
@@ -49,21 +56,24 @@ object Traversals {
       var visited = sources
         .select(col(sources.columns.head).as("id"), lit(0).as("depth"))
         .dropDuplicates("id")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       var frontier = visited
+      var cnt = frontier.count() // materializes the lazy checkpoint
       var depth = 0
-      while (depth < maxDepth && !frontier.isEmpty) {
+      while (depth < maxDepth && cnt > 0) {
         depth += 1
         frontier = frontier
           .join(edges, frontier("id") === edges("src"))
           .select(col("dst").as("id"), lit(depth).as("depth"))
           .dropDuplicates("id")
           .join(visited.select("id"), Seq("id"), "left_anti")
-          .localCheckpoint() // cut lineage every hop; frontier is small
+          .localCheckpoint(eager = false) // cut lineage; frontier is small
+        cnt = frontier.count() // the hop's single job
         visited = visited.union(frontier)
         // visited's lineage grows one cheap union per hop — only cut it
-        // periodically (each cut re-materializes the whole visited set)
-        if (depth % 3 == 0) visited = visited.localCheckpoint()
+        // periodically; the lazy cut materializes inside the NEXT hop's
+        // job (the anti-join reads visited), costing no extra job
+        if (depth % 3 == 0) visited = visited.localCheckpoint(eager = false)
       }
       visited
     } finally edges.unpersist()
@@ -98,12 +108,9 @@ object Traversals {
       val self = p.filter(col("__a") === col("__b"))
         .select(col("__a"), col("__b"), array(col("__a")).as("path"),
           array().cast("array<string>").as("epath"), lit(0L).as("length"))
-      val targets0 = p.filter(col("__a") =!= col("__b")).localCheckpoint()
-      // ONE materializing job per hop (the frontier expansion); hit
-      // extraction, target pruning and loop control all derive lazily
-      // from checkpointed inputs and driver-side counters — iterative
-      // Spark lives and dies by job count, not just shuffle size.
-      var remaining = targets0.count()
+      val targets0 = p.filter(col("__a") =!= col("__b"))
+        .localCheckpoint(eager = false)
+      var remaining = targets0.count() // materializes targets0's checkpoint
       // predecessor table: (source, id, depth, preds ARRAY<STRUCT<pred,
       // prededge>>) — one entry in the single-path mode, every minimal
       // predecessor in all-shortest-paths mode
@@ -113,14 +120,16 @@ object Traversals {
         .dropDuplicates("source")
         .select(col("source"), col("source").as("id"), lit(0).as("depth"),
           emptyPreds.as("preds"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // materializes inside hop 1's job
       var frontier = visited.select("source", "id")
-      var foundParts = List.empty[DataFrame] // each tiny + checkpointed
-      def targetsLeft: DataFrame = foundParts.foldLeft(targets0)((t, h) =>
-        t.join(h.select("__a", "__b"), Seq("__a", "__b"), "left_anti"))
+      var foundParts = List.empty[DataFrame]
+      // targets still outstanding: a lazy anti-join accumulation over the
+      // (lazily checkpointed) hit batches — never more than maxDepth deep
+      var tl = targets0
       var depth = 0
-      var frontierEmpty = remaining == 0
-      while (depth < maxDepth && remaining > 0 && !frontierEmpty) {
+      var maxLen = 0L // deepest hit depth, tracked driver-side
+      var frontierNonEmpty = remaining > 0
+      while (depth < maxDepth && remaining > 0 && frontierNonEmpty) {
         depth += 1
         // single mode: the deterministic predecessor (min vertex, then
         // min edge). all mode: EVERY minimal predecessor entry, sorted
@@ -130,7 +139,7 @@ object Traversals {
             struct(col("src").as("pred"), col("eid").as("prededge"))))
           else array(min(
             struct(col("src").as("pred"), col("eid").as("prededge"))))
-        val nxt0 = frontier
+        val nxt = frontier
           .join(edges, frontier("id") === edges("src"))
           .groupBy(col("source"), col("dst"))
           .agg(predsAgg.as("preds"))
@@ -138,44 +147,59 @@ object Traversals {
             col("preds"))
           .join(visited.select("source", "id"), Seq("source", "id"),
             "left_anti")
-        val nxt = nxt0.localCheckpoint()
+          .localCheckpoint(eager = false)
+        // THE hop's one eager job: a single left-outer pass over nxt
+        // yields both the frontier size (loop control) and the hit count
+        // — and, as the first job computing nxt, materializes its local
+        // checkpoint. The former shape (eager checkpoint + hits
+        // checkpoint + count + isEmpty) scheduled 4 jobs per hop; on a
+        // frontier-bounded query the job overhead WAS the latency.
+        val tlMark = tl.select(col("__a"), col("__b"), lit(1).as("__hit"))
+        val stats = nxt.join(tlMark,
+            nxt("source") === tlMark("__a") && nxt("id") === tlMark("__b"),
+            "left_outer") // (source,id) and (__a,__b) both unique: 1:≤1
+          .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))
+          .head()
+        val nTotal = stats.getLong(0)
+        val nHits = stats.getLong(1)
         visited = visited.union(nxt)
-        if (depth % 3 == 0) visited = visited.localCheckpoint()
-        val tl = targetsLeft
-        val hits = nxt
-          .join(tl, nxt("source") === tl("__a") && nxt("id") === tl("__b"))
-          .select(col("__a"), col("__b"), col("depth").cast("long")
-            .as("length"))
-          .localCheckpoint()
-        val nHits = hits.count()
+        // lazy cut: materializes inside the NEXT hop's job via the
+        // anti-join read — no standalone re-materialization job
+        if (depth % 3 == 0) visited = visited.localCheckpoint(eager = false)
         if (nHits > 0) {
+          val hits = nxt
+            .join(tl, nxt("source") === tl("__a") && nxt("id") === tl("__b"))
+            .select(col("__a"), col("__b"), col("depth").cast("long")
+              .as("length"))
+            .localCheckpoint(eager = false) // computed in next hop's job
           foundParts ::= hits
+          tl = tl.join(hits.select("__a", "__b"), Seq("__a", "__b"),
+            "left_anti")
           remaining -= nHits
-        }
-        // sources with no outstanding targets stop expanding
-        frontier =
-          if (nHits == 0) nxt.select("source", "id")
-          else nxt.select("source", "id").join(
-            targetsLeft.select(col("__a").as("source")), Seq("source"),
-            "left_semi")
-        frontierEmpty = nxt.isEmpty // cheap: nxt is checkpointed
+          maxLen = depth.toLong
+          // sources with no outstanding targets stop expanding
+          frontier = nxt.select("source", "id").join(
+            tl.select(col("__a").as("source")), Seq("source"), "left_semi")
+        } else frontier = nxt.select("source", "id")
+        frontierNonEmpty = nTotal > 0
       }
       if (foundParts.isEmpty) return self
       val found = foundParts.reduce(_.union(_))
-      val maxLen = found.agg(max(col("length"))).collect()
-        .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toLong))
-        .getOrElse(0L)
       // walk predecessors backward, all pairs at once; finished rows
       // (cur == source) retire from the working set each round. In all
       // mode the explode fans one partial path out per predecessor —
       // every minimal route reconstructs in the same bounded hop count.
+      // No per-round action: the chain is maxLen ≤ maxDepth joins deep
+      // over checkpointed inputs and evaluates as ONE job at the caller's
+      // action (the former per-round checkpoint+isEmpty paid 2 jobs/hop
+      // to prune a working set that shrinks to empty on its own).
       val preds = visited.select(col("source"), col("id"), col("preds"))
       var working = found.select(col("__a"), col("__b"), col("length"),
         array(col("__b")).as("path"),
         array().cast("array<string>").as("epath"), col("__b").as("cur"))
       var done: DataFrame = null
       var i = 0L
-      while (i < maxLen && !working.isEmpty) {
+      while (i < maxLen) {
         i += 1
         val fin = working.filter(col("cur") === col("__a"))
           .select(col("__a"), col("__b"), col("path"), col("epath"),
@@ -190,7 +214,6 @@ object Traversals {
             concat(array(col("p.pred")), col("path")).as("path"),
             concat(array(col("p.prededge")), col("epath")).as("epath"),
             col("p.pred").as("cur"))
-        working = working.localCheckpoint()
       }
       val finished = working.filter(col("cur") === col("__a"))
         .select(col("__a"), col("__b"), col("path"), col("epath"),
@@ -230,7 +253,8 @@ object Traversals {
           col(sources.columns.head).as("endId"), lit(0).as("depth"))
       var acc: DataFrame = null
       var depth = 0
-      while (depth < maxDepth && !cur.isEmpty) {
+      var cnt = cur.count()
+      while (depth < maxDepth && cnt > 0) {
         depth += 1
         // Cypher trail semantics: a RELATIONSHIP may not repeat within a
         // path (vertices may — (a)-[e1]->(b)-[e2]->(a) is a valid trail).
@@ -240,7 +264,8 @@ object Traversals {
           .select(concat(col("path"), array(col("dst"))).as("path"),
             concat(col("epath"), array(col("eid"))).as("epath"),
             col("dst").as("endId"), lit(depth).as("depth"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
+        cnt = cur.count() // one job: loop control + checkpoint in one pass
         if (depth >= minDepth)
           acc = if (acc == null) cur else acc.union(cur)
       }
