@@ -89,11 +89,15 @@ object Bench {
         "null"
       }
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"median":$median,"worst":$worst,"sf":"$sfDir","full":$fullRef}"""
-    println(summary)
-    spark.stop()
-    // re-emit AFTER spark.stop(): Spark's shutdown can interleave log
-    // lines on stdout, pushing the summary out of a tail-parse window —
-    // this copy is the last thing this JVM prints
+    // ONE summary line, emitted AFTER spark.stop(): Spark's shutdown can
+    // interleave log lines on stdout, so printing before stop() risks
+    // the summary scrolling out of a tail-parse window — and printing
+    // both before AND after (the former shape) duplicated the line in
+    // the captured artifact. stop() is guarded so a shutdown failure
+    // cannot eat the summary.
+    try spark.stop() catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
     println(summary)
     System.out.flush()
   }

@@ -92,6 +92,16 @@ object StarCC {
       val prev = e
       e = next
       eCount = n
+      // INVARIANT (do not reorder): releasing prev's local-checkpoint
+      // blocks is safe ONLY because the stats `.head()` above has
+      // already run — it is the first job computing `next`, so next's
+      // lazy checkpoint is fully materialized and its lineage no longer
+      // reaches prev. Local-checkpoint blocks are UNRECOVERABLE once
+      // unpersisted: if a future edit skips or moves that action (e.g.
+      // short-circuiting the stats job on the last round), this release
+      // turns into a runtime "checkpoint block not found" failure, not
+      // a recompute. Guarded by shims.assertLocallyCheckpointed.
+      shims.assertLocallyCheckpointed(e)
       shims.releaseLocalCheckpoint(prev)
     }
     require(converged, s"StarCC did not converge in $maxRounds rounds")

@@ -25,6 +25,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Traversals {
 
+  /** Depth at or below which traversals build ONE fully-lazy unrolled
+    * plan (zero driver-side actions — the caller's action runs the whole
+    * traversal as a single Spark job) instead of the per-hop
+    * action-driven loop. At local[32] a scheduled job costs ~0.2–0.4 s of
+    * pure latency, so a maxDepth-4 shortest-path query pays more in job
+    * scheduling than in data movement; unrolling trades at most
+    * `threshold` empty-frontier shuffle stages (cheap: AQE coalesces
+    * empty exchanges) for all of that. Deeper traversals keep the loop:
+    * early exit actually saves hops there, and a 15-deep unrolled plan
+    * with no materialization barrier risks compile-time blowup. */
+  private val LazyUnrollDepth = 8
+
   private def hopEdges(g: GraphState, edgeTypes: Seq[String],
       undirected: Boolean, reversed: Boolean = false): DataFrame = {
     val base = g.edges.select(col("id"), col("src"), col("dst"),
@@ -50,6 +62,8 @@ object Traversals {
   def bfs(g: GraphState, sources: DataFrame, maxDepth: Int,
       edgeType: Option[String] = None, undirected: Boolean = false)
       : DataFrame = {
+    if (maxDepth <= LazyUnrollDepth)
+      return bfsLazy(g, sources, maxDepth, edgeType.toSeq, undirected)
     val edges = hopEdges(g, edgeType.toSeq, undirected)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -79,6 +93,40 @@ object Traversals {
     } finally edges.unpersist()
   }
 
+  /** Fully-lazy BFS (maxDepth ≤ [[LazyUnrollDepth]]): the hop chain is
+    * unrolled with NO driver actions — per-hop `localCheckpoint(eager =
+    * false)` makes each frontier a single shared RDD (both its consumers
+    * — the next hop's join and the visited union — reference the same
+    * LogicalRDD, so the job computes it once and caches), and the
+    * caller's one action evaluates every hop. No persist on the edge
+    * table: each hop shuffles the identical edge subplan, which Spark
+    * collapses via ReusedExchange. */
+  private def bfsLazy(g: GraphState, sources: DataFrame, maxDepth: Int,
+      edgeTypes: Seq[String], undirected: Boolean): DataFrame = {
+    val edges = hopEdges(g, edgeTypes, undirected)
+    var visited = sources
+      .select(col(sources.columns.head).as("id"), lit(0).as("depth"))
+      .dropDuplicates("id")
+      .localCheckpoint(eager = false)
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth) {
+      depth += 1
+      frontier = frontier
+        .join(edges, frontier("id") === edges("src"))
+        .select(col("dst").as("id"), lit(depth).as("depth"))
+        .dropDuplicates("id")
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(eager = false)
+      visited = visited.union(frontier)
+      // visited has two consumers per hop (anti-join + final output);
+      // the lazy cut keeps it one shared RDD rather than a duplicated
+      // subtree, bounding plan size linearly in depth
+      visited = visited.localCheckpoint(eager = false)
+    }
+    visited
+  }
+
   /** Batched multi-source unweighted shortest paths with distributed path
     * reconstruction. `pairs`: two string columns (source id, target id);
     * returns (src, dst, path ARRAY<STRING> of vertex ids, epath
@@ -96,6 +144,9 @@ object Traversals {
   def shortestPathsPairs(g: GraphState, pairs: DataFrame, maxDepth: Int,
       edgeTypes: Seq[String] = Nil, undirected: Boolean = false,
       all: Boolean = false): DataFrame = {
+    if (maxDepth <= LazyUnrollDepth)
+      return shortestPathsPairsLazy(g, pairs, maxDepth, edgeTypes,
+        undirected, all)
     val edges = hopEdges(g, edgeTypes, undirected)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -189,14 +240,17 @@ object Traversals {
       // (cur == source) retire from the working set each round. In all
       // mode the explode fans one partial path out per predecessor —
       // every minimal route reconstructs in the same bounded hop count.
-      // No per-round action: the chain is maxLen ≤ maxDepth joins deep
-      // over checkpointed inputs and evaluates as ONE job at the caller's
-      // action (the former per-round checkpoint+isEmpty paid 2 jobs/hop
-      // to prune a working set that shrinks to empty on its own).
+      // Still no per-round ACTION — but `working` has TWO consumers per
+      // round (the fin filter and the next expansion), so without a
+      // lineage cut each round would DUPLICATE the whole upstream
+      // subtree (2^rounds plan growth). The per-round lazy checkpoint
+      // pins it to one shared RDD per round; everything still evaluates
+      // as ONE job at the caller's action.
       val preds = visited.select(col("source"), col("id"), col("preds"))
       var working = found.select(col("__a"), col("__b"), col("length"),
         array(col("__b")).as("path"),
         array().cast("array<string>").as("epath"), col("__b").as("cur"))
+        .localCheckpoint(eager = false)
       var done: DataFrame = null
       var i = 0L
       while (i < maxLen) {
@@ -214,6 +268,7 @@ object Traversals {
             concat(array(col("p.pred")), col("path")).as("path"),
             concat(array(col("p.prededge")), col("epath")).as("epath"),
             col("p.pred").as("cur"))
+          .localCheckpoint(eager = false)
       }
       val finished = working.filter(col("cur") === col("__a"))
         .select(col("__a"), col("__b"), col("path"), col("epath"),
@@ -222,6 +277,110 @@ object Traversals {
       self.union(done.select(col("__a"), col("__b"), col("path"),
         col("epath"), col("length")))
     } finally edges.unpersist()
+  }
+
+  /** Fully-lazy batched shortest paths (maxDepth ≤ [[LazyUnrollDepth]]):
+    * the SAME dataflow as the action-driven loop — per-hop frontier
+    * expansion with min-depth dedup, hit extraction against outstanding
+    * targets, target retirement, satisfied-source pruning, and backward
+    * path reconstruction — but with ZERO driver-side actions. Every hop
+    * and every reconstruction round is built lazily; per-step
+    * `localCheckpoint(eager = false)` turns each multiply-consumed frame
+    * into one shared RDD (computed once, cached in the job that first
+    * evaluates it), so the caller's single action runs the entire
+    * traversal as ONE Spark job. A maxDepth-4 query previously paid ~10
+    * sequential job latencies (~0.3 s each at local[32]) for a 42-row
+    * answer; here those become in-job stages, which AQE further collapses
+    * when frontiers go empty. Semantics are identical: a pair found at
+    * depth d is anti-joined out of the outstanding set, so it cannot
+    * reappear deeper, and in `all` mode every minimal predecessor at the
+    * SAME depth is kept. */
+  private def shortestPathsPairsLazy(g: GraphState, pairs: DataFrame,
+      maxDepth: Int, edgeTypes: Seq[String], undirected: Boolean,
+      all: Boolean): DataFrame = {
+    val edges = hopEdges(g, edgeTypes, undirected)
+    val p = pairs
+      .select(col(pairs.columns(0)).as("__a"),
+        col(pairs.columns(1)).as("__b"))
+      .dropDuplicates("__a", "__b")
+      .localCheckpoint(eager = false)
+    val self = p.filter(col("__a") === col("__b"))
+      .select(col("__a"), col("__b"), array(col("__a")).as("path"),
+        array().cast("array<string>").as("epath"), lit(0L).as("length"))
+    var tl = p.filter(col("__a") =!= col("__b"))
+      .localCheckpoint(eager = false)
+    val emptyPreds = array()
+      .cast("array<struct<pred:string,prededge:string>>")
+    var visited = tl.select(col("__a").as("source"))
+      .dropDuplicates("source")
+      .select(col("source"), col("source").as("id"), lit(0).as("depth"),
+        emptyPreds.as("preds"))
+      .localCheckpoint(eager = false)
+    var frontier = visited.select("source", "id")
+    var foundParts = List.empty[DataFrame]
+    var depth = 0
+    while (depth < maxDepth) {
+      depth += 1
+      val predsAgg =
+        if (all) array_sort(collect_set(
+          struct(col("src").as("pred"), col("eid").as("prededge"))))
+        else array(min(
+          struct(col("src").as("pred"), col("eid").as("prededge"))))
+      val nxt = frontier
+        .join(edges, frontier("id") === edges("src"))
+        .groupBy(col("source"), col("dst"))
+        .agg(predsAgg.as("preds"))
+        .select(col("source"), col("dst").as("id"), lit(depth).as("depth"),
+          col("preds"))
+        .join(visited.select("source", "id"), Seq("source", "id"),
+          "left_anti")
+        .localCheckpoint(eager = false)
+      val hits = nxt
+        .join(tl, nxt("source") === tl("__a") && nxt("id") === tl("__b"))
+        .select(col("__a"), col("__b"),
+          col("depth").cast("long").as("length"))
+        .localCheckpoint(eager = false)
+      foundParts ::= hits
+      tl = tl.join(hits.select("__a", "__b"), Seq("__a", "__b"),
+        "left_anti").localCheckpoint(eager = false)
+      visited = visited.union(nxt).localCheckpoint(eager = false)
+      // sources with no outstanding targets stop expanding (pure
+      // dataflow pruning — no count needed to decide)
+      frontier = nxt.select("source", "id").join(
+        tl.select(col("__a").as("source")).dropDuplicates("source"),
+        Seq("source"), "left_semi")
+    }
+    val found = foundParts.reduce(_.union(_))
+    val preds = visited.select(col("source"), col("id"), col("preds"))
+    var working = found.select(col("__a"), col("__b"), col("length"),
+      array(col("__b")).as("path"),
+      array().cast("array<string>").as("epath"), col("__b").as("cur"))
+      .localCheckpoint(eager = false)
+    var done: DataFrame = null
+    var i = 0
+    while (i < maxDepth) {
+      i += 1
+      val fin = working.filter(col("cur") === col("__a"))
+        .select(col("__a"), col("__b"), col("path"), col("epath"),
+          col("length"))
+      done = if (done == null) fin else done.union(fin)
+      working = working.filter(col("cur") =!= col("__a"))
+        .join(preds, col("cur") === preds("id") &&
+          col("__a") === preds("source"))
+        .select(col("__a"), col("__b"), col("length"), col("path"),
+          col("epath"), explode(col("preds")).as("p"))
+        .select(col("__a"), col("__b"), col("length"),
+          concat(array(col("p.pred")), col("path")).as("path"),
+          concat(array(col("p.prededge")), col("epath")).as("epath"),
+          col("p.pred").as("cur"))
+        .localCheckpoint(eager = false)
+    }
+    val finished = working.filter(col("cur") === col("__a"))
+      .select(col("__a"), col("__b"), col("path"), col("epath"),
+        col("length"))
+    done = if (done == null) finished else done.union(finished)
+    self.union(done.select(col("__a"), col("__b"), col("path"),
+      col("epath"), col("length")))
   }
 
   /** Single-pair convenience over the batched engine (kept for API

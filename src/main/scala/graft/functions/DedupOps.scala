@@ -650,15 +650,21 @@ object DedupOps {
         size(col("shs0")).cast("long").as("sz"),
         col("hshs"), size(col("hshs")).cast("long").as("hsz"))
       .localCheckpoint()
-    val sh = docs.select(col("id"), col("hsz"),
+    val sh = docs.select(col("id"), col("sz"),
       explode(col("hshs")).as("g"))
     // global rarity order: document frequency asc, hash asc
     val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // prefix length: hsz − ⌈T·hsz/10⁴⌉ + 1 rarest shingles per doc
-    // (hash-set size, ≤ the string-set size — keeps the theorem sound
-    // on the hash domain even under collisions)
-    val prefLen = col("hsz") -
-      expr(s"(${thresholdBp.toLong}L * hsz + 9999L) div 10000L") + 1L
+    // prefix length derived from the STRING-set size: a qualifying pair
+    // needs string overlap ≥ ⌈T·sz/10⁴⌉, and each in-doc hash collision
+    // (there are sz − hsz of them) can absorb at most one common
+    // shingle, so the guaranteed HASH overlap is ⌈T·sz/10⁴⌉ − (sz−hsz)
+    // and the sound prefix is hsz − that + 1 = sz − ⌈T·sz/10⁴⌉ + 1
+    // (row_number caps it at the hsz rows that exist). The earlier
+    // hsz-derived form was short by ≈ (1−T/10⁴)·collisions — exact only
+    // when the doc's shingles hash collision-free; this form is exact
+    // unconditionally and identical (collisions are ~2⁻⁶⁴ rare) in cost.
+    val prefLen = col("sz") -
+      expr(s"(${thresholdBp.toLong}L * sz + 9999L) div 10000L") + 1L
     val rankW = Window.partitionBy(col("id")).orderBy(col("df"), col("g"))
     val prefix = sh.join(dfreq, Seq("g"))
       .withColumn("rk", row_number().over(rankW))

@@ -8,13 +8,18 @@ import org.apache.spark.sql.types._
   * BINARY columns + typed metadata structs, with decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The Spark-side design is real and tested — schema, partition-friendly
-  * batch processing via mapPartitions over a typed Dataset (the Scala
-  * analogue of mapInPandas: one iterator per partition so codecs amortize
-  * per-batch setup) — while the actual media codecs are STUBBED with a
-  * deterministic fake (`StubCodec`): the image/audio libraries are not in
-  * this container. Swap `StubCodec` for a real decoder (javacv/ffmpeg) at
-  * deploy time; nothing else changes.
+  * Both the Spark-side design (schema, partition-friendly batch
+  * processing via mapPartitions over a typed Dataset — the Scala analogue
+  * of mapInPandas: one iterator per partition so codecs amortize
+  * per-batch setup) AND the codecs are real: images decode through
+  * pure-JDK `javax.imageio` (PNG/JPEG/GIF/BMP) to pixel rasters and
+  * mean-pooled grid-luminance features, WAV audio decodes through a
+  * hand-rolled RIFF/PCM walk (cross-checked against
+  * `javax.sound.sampled`) to per-band energy features, and anything
+  * undecodable falls back to a byte-value histogram — an honest
+  * measurement of opaque bytes (video codecs are not in the JDK; swap
+  * the dispatch in [[extractFeatures]] for javacv/ffmpeg at deploy time
+  * and nothing else changes).
   */
 object Multimodal {
 
@@ -36,30 +41,45 @@ object Multimodal {
   final case class MediaFeatures(asset_id: Long, media_type: String,
       n_bytes: Long, content_hash: Long, feature: Array[Float])
 
-  /** Deterministic stand-in for the real decode/feature step. Decoding
-    * libraries are unavailable here — this produces a stable
-    * pseudo-feature from the bytes so the pipeline shape (schema, batch
-    * iteration, partitioning) is fully exercised. */
-  object StubCodec {
-    def decodeAndFeaturize(row: MediaRow, dim: Int): MediaFeatures = {
-      val bytes = Option(row.content).getOrElse(Array.emptyByteArray)
-      var h = 1125899906842597L // deterministic FNV-ish rolling hash
+  /** Real operations on OPAQUE binary payloads — the honest path for
+    * content no JDK codec decodes (video containers, unknown formats).
+    * Nothing here pretends to decode: the histogram measures the actual
+    * byte distribution, truncation caps the actual payload, block
+    * sampling windows the actual bytes. */
+  object OpaqueCodec {
+    /** Deterministic FNV-ish rolling hash of the content bytes. */
+    def contentHash(content: Array[Byte]): Long = {
+      val bytes = Option(content).getOrElse(Array.emptyByteArray)
+      var h = 1125899906842597L
       bytes.foreach(b => h = h * 31 + b)
-      val feature = Array.tabulate(dim) { i =>
-        val x = h ^ (i.toLong * 0x9E3779B97F4A7C15L)
-        ((x % 1000L).toFloat) / 1000.0f
-      }
-      MediaFeatures(row.asset_id, row.media_type, bytes.length.toLong, h,
-        feature)
+      h
     }
 
-    /** Stubbed resize: returns the byte prefix, standing in for a real
-      * image rescale. Keeps output size deterministic for tests. */
-    def resize(content: Array[Byte], maxBytes: Int): Array[Byte] =
+    /** Byte-value histogram pooled into `dim` equal-width buckets,
+      * normalized by length — a real distributional feature of the
+      * bytes (compressed media ≈ uniform, text ≈ ASCII-banded). */
+    def histogramFeatures(content: Array[Byte], dim: Int): Array[Float] = {
+      val bytes = Option(content).getOrElse(Array.emptyByteArray)
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < bytes.length) {
+        counts((bytes(i) & 0xff) * dim / 256) += 1L
+        i += 1
+      }
+      if (bytes.isEmpty) new Array[Float](dim)
+      else counts.map(c => (c.toDouble / bytes.length).toFloat)
+    }
+
+    /** Payload cap: the byte prefix (real truncation, for opaque
+      * content; decodable images rescale via
+      * [[ImageIoCodec.resizeImage]] instead). */
+    def truncate(content: Array[Byte], maxBytes: Int): Array[Byte] =
       Option(content).getOrElse(Array.emptyByteArray).take(maxBytes)
 
-    /** Stubbed frame sampling: every k-th 16-byte block as a "frame". */
-    def sampleFrames(content: Array[Byte], everyK: Int): Seq[Array[Byte]] = {
+    /** Block sampling: every k-th 16-byte block as a "frame" — the
+      * fixed-stride window sampler for opaque streams (a real video
+      * frame sampler slots in here at deploy time). */
+    def sampleBlocks(content: Array[Byte], everyK: Int): Seq[Array[Byte]] = {
       val bytes = Option(content).getOrElse(Array.emptyByteArray)
       bytes.grouped(16).zipWithIndex
         .collect { case (blk, i) if i % everyK == 0 => blk }.toSeq
@@ -70,10 +90,11 @@ object Multimodal {
     * ship with every JVM, no container dependency): `probeMeta` reads
     * width/height/format from the ACTUAL bytes via the header reader
     * (no full pixel decode — O(header) per asset, the right cost shape
-    * for a 100 TB metadata sweep), and `encodePng` produces real PNG
-    * bytes for the end-to-end gate. Feature extraction stays on
-    * [[StubCodec]] (no ML image libs here); swapping
-    * `decodeAndFeaturize` remains the only deploy-time change. */
+    * for a 100 TB metadata sweep), `featurize` fully decodes the pixel
+    * raster and mean-pools integer luminance over a grid (the classic
+    * cheap visual embedding), `resizeImage` rescales through
+    * Graphics2D, and `encodePng`/`encodeJpeg` produce real bytes for
+    * the end-to-end gates. */
   object ImageIoCodec {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
@@ -183,6 +204,88 @@ object Multimodal {
         }
       }
     }
+
+    /** Grid shape for a `dim`-cell mean-pool: gh = the largest divisor
+      * of dim with gh² ≤ dim, gw = dim/gh (16 → 4×4, 8 → 2×4, primes →
+      * 1×dim). Deterministic pure arithmetic — the m08 oracle restates
+      * it. */
+    def gridDims(dim: Int): (Int, Int) = {
+      require(dim >= 1)
+      var gh = math.sqrt(dim.toDouble).toInt
+      while (gh > 1 && dim % gh != 0) gh -= 1
+      (dim / gh, gh) // (gw, gh)
+    }
+
+    /** REAL feature extraction: decode the full pixel raster and
+      * mean-pool integer luminance (lum = (299·R + 587·G + 114·B)/1000,
+      * exact for gray pixels) over a gw×gh grid — one Float in [0,1]
+      * per cell, row-major. Pixel (x,y) lands in cell
+      * (y·gh/h, x·gw/w); sums accumulate as exact Longs and divide once
+      * per cell, so a uniformly-colored cell yields exactly lum/255.
+      * None when the bytes don't decode as an image — the dispatch
+      * falls through to the next codec, never throws. */
+    def featurize(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+      if (bytes == null || bytes.isEmpty) return None
+      val img =
+        try ImageIO.read(new ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null
+                case _: RuntimeException => null }
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+      else {
+        val (gw, gh) = gridDims(dim)
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](dim)
+        val cnts = new Array[Long](dim)
+        var y = 0
+        while (y < h) {
+          val cy = math.min(y.toLong * gh / h, gh - 1L).toInt
+          var x = 0
+          while (x < w) {
+            val cx = math.min(x.toLong * gw / w, gw - 1L).toInt
+            val rgb = img.getRGB(x, y)
+            val lum = (299 * ((rgb >> 16) & 0xff) +
+              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+            val c = cy * gw + cx
+            sums(c) += lum
+            cnts(c) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        Some(Array.tabulate(dim)(c =>
+          if (cnts(c) == 0) 0f
+          else (sums(c).toDouble / cnts(c) / 255.0).toFloat))
+      }
+    }
+
+    /** REAL image rescale: decode, Graphics2D-draw into a `tw`×`th`
+      * RGB raster (bilinear), re-encode as PNG. None when the bytes
+      * don't decode — opaque payloads cap via
+      * [[OpaqueCodec.truncate]] instead. */
+    def resizeImage(bytes: Array[Byte], tw: Int, th: Int)
+        : Option[Array[Byte]] = {
+      if (bytes == null || bytes.isEmpty) return None
+      val img =
+        try ImageIO.read(new ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null
+                case _: RuntimeException => null }
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        try {
+          g2.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, tw, th, null)
+        } finally g2.dispose()
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    }
   }
 
   /** WAV (RIFF / 16-bit PCM) codec — the audio sibling of
@@ -220,10 +323,16 @@ object Multimodal {
       bb.array()
     }
 
-    /** (channels, sampleRate, bitsPerSample, nFrames) from a
-      * hand-rolled RIFF chunk walk — no sound API in the loop. None on
-      * anything malformed; never throws on arbitrary bytes. */
-    def riffMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    /** Shared safe RIFF chunk walk: PCM fmt fields plus the data
+      * chunk's (offset, declared length, in-file length). The chunk
+      * length is an UNSIGNED 32-bit field read from untrusted bytes —
+      * the advance is computed in Long and a step that would leave the
+      * buffer ends the walk (a crafted 0xFFFFFFF8 length previously
+      * overflowed `len.toInt`, looping forever or driving the index
+      * negative into IndexOutOfBoundsException; "never throws on
+      * arbitrary bytes" is part of this API's contract). */
+    private def riffWalk(bytes: Array[Byte])
+        : Option[((Int, Int, Int, Int), Int, Long, Int)] = {
       if (bytes == null || bytes.length < 44) return None
       def tag(i: Int): String =
         new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -235,23 +344,106 @@ object Multimodal {
       if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
       var i = 12
       var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, bits, align
-      var dataLen: Option[Long] = None
-      while (i + 8 <= bytes.length &&
-        (fmt.isEmpty || dataLen.isEmpty)) {
+      var data: Option[(Int, Long, Int)] = None // off, declared, in-file
+      var halted = false
+      while (!halted && i + 8 <= bytes.length &&
+        (fmt.isEmpty || data.isEmpty)) {
         val id = tag(i)
-        val len = u32(i + 4)
+        val len = u32(i + 4) // unsigned: 0 ≤ len ≤ 0xFFFFFFFF
         if (id == "fmt " && len >= 16 && i + 8 + 16 <= bytes.length) {
           if (u16(i + 8) != 1) return None // not PCM
           fmt = Some((u16(i + 10), u32(i + 12).toInt, u16(i + 22),
             u16(i + 20)))
-        } else if (id == "data") dataLen = Some(len)
-        i += 8 + len.toInt + (len.toInt & 1) // chunks pad to even
+        } else if (id == "data") {
+          val avail = math.min(len, (bytes.length - i - 8).toLong).toInt
+          data = Some((i + 8, len, avail))
+        }
+        // chunks pad to even; Long arithmetic so a hostile length can
+        // neither wrap negative nor loop — past-the-end simply stops
+        val next = i.toLong + 8L + len + (len & 1L)
+        if (next > bytes.length.toLong) halted = true
+        else i = next.toInt
       }
       for {
-        (ch, rate, bits, align) <- fmt
-        d <- dataLen
-        if align > 0
-      } yield (ch, rate, bits, d / align)
+        f <- fmt
+        d <- data
+      } yield (f, d._1, d._2, d._3)
+    }
+
+    /** (channels, sampleRate, bitsPerSample, nFrames) from the
+      * hand-rolled RIFF chunk walk — no sound API in the loop. None on
+      * anything malformed; never throws on arbitrary bytes. */
+    def riffMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      riffWalk(bytes).collect {
+        case ((ch, rate, bits, align), _, declared, _) if align > 0 =>
+          (ch, rate, bits, declared / align)
+      }
+
+    /** REAL audio feature extraction: decode the 16-bit PCM samples of
+      * the data chunk (little-endian, via the safe RIFF walk) and pool
+      * mean |amplitude|/32768 over `bands` equal contiguous segments —
+      * one Float in [0,1] per band. Sample i lands in band
+      * i·bands/nSamples; sums accumulate as exact Longs and divide once
+      * per band, so a constant-amplitude band yields exactly v/32768
+      * (2¹⁵ — no rounding anywhere). None when the bytes are not
+      * PCM-16 WAV; never throws on arbitrary bytes. */
+    def pcmBandEnergies(bytes: Array[Byte], bands: Int)
+        : Option[Array[Float]] = {
+      riffWalk(bytes) match {
+        case Some(((_, _, bits, align), off, _, avail))
+            if bits == 16 && align > 0 && avail >= 2 =>
+          val n = avail / 2 // 16-bit samples actually present
+          val sums = new Array[Long](bands)
+          val cnts = new Array[Long](bands)
+          var i = 0
+          while (i < n) {
+            val lo = bytes(off + 2 * i) & 0xff
+            val hi = bytes(off + 2 * i + 1).toInt // sign-extends
+            val s = (hi << 8) | lo
+            val b = math.min(i.toLong * bands / n, bands - 1L).toInt
+            sums(b) += math.abs(s.toLong)
+            cnts(b) += 1L
+            i += 1
+          }
+          Some(Array.tabulate(bands)(b =>
+            if (cnts(b) == 0) 0f
+            else (sums(b).toDouble / cnts(b) / 32768.0).toFloat))
+        case _ => None
+      }
+    }
+
+    /** Deterministic PCM WAV whose sample amplitudes are CONSTANT
+      * within each of `values.length` equal bands (band k holds
+      * `perBand` frames of amplitude `values(k)`) — the closed-form
+      * synthesis for the m09 feature gate: a correct
+      * [[pcmBandEnergies]] must recover exactly values(k)/32768. */
+    def encodeWavBands(sampleRate: Int, channels: Int, perBand: Int,
+        values: Array[Short]): Array[Byte] = {
+      val blockAlign = 2 * channels
+      val nSamples = perBand * values.length // frames
+      val dataLen = nSamples * blockAlign
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)
+        .putShort(channels.toShort)
+        .putInt(sampleRate)
+        .putInt(sampleRate * blockAlign)
+        .putShort(blockAlign.toShort)
+        .putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var k = 0
+      while (k < values.length) {
+        var i = 0
+        while (i < perBand * channels) {
+          bb.putShort(values(k))
+          i += 1
+        }
+        k += 1
+      }
+      bb.array()
     }
 
     /** The same metadata via `javax.sound.sampled` — the independent
@@ -339,6 +531,58 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Media table of REAL two-tone PNGs: left half gray `10 + id % 200`,
+    * right half gray `30 + id % 220`, dimensions multiples of 4 — so a
+    * correct pixel decode + 4×4 mean-pool must recover exactly those
+    * two gray levels (the m08 oracle states them in closed form; a fake
+    * featurizer, a broken decode, or a misaligned grid all
+    * hash-mismatch). */
+  def syntheticTwoTonePngs(documents: DataFrame)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (8 + (id % 4) * 4).toInt // 8..20, all divisible by 4
+        val h = (8 + (id % 2) * 4).toInt // 8 or 12, divisible by 4
+        val a = (10 + id % 200).toInt
+        val b = (30 + id % 220).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = if (x < w / 2) a else b
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, "image", bos.toByteArray, None)
+      }
+    }.toDF()
+  }
+
+  /** Media table of REAL PCM WAVs whose amplitude is constant within
+    * each of 4 equal bands — band k holds 50 frames of amplitude
+    * `100 + (id·7 + k·31) % 3000` — so a correct PCM decode + band
+    * energy pool must recover exactly those integers (values/32768 is
+    * an exact binary fraction: zero float rounding anywhere). */
+  def syntheticBandWavs(documents: DataFrame)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val values = Array.tabulate(4)(k =>
+          (100L + (id * 7 + k * 31) % 3000L).toShort)
+        MediaRow(id, "audio",
+          WavCodec.encodeWavBands(16000, 1, 50, values), None)
+      }
+    }.toDF()
+  }
+
   final case class JpegProbe(asset_id: Long, width: Int, height: Int,
       codec: String, sof_agrees: Long)
 
@@ -372,36 +616,56 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Batch feature extraction over media rows: mapPartitions so per-batch
-    * codec setup is amortized (the mapInPandas batch shape). At 100 TB the
-    * input is partitioned parquet with `content` in its own column — scans
-    * that don't need bytes never read them (parquet column pruning). */
+  /** REAL decode + feature extraction per asset, dispatched by what the
+    * bytes actually ARE (content sniffing, not the declared
+    * media_type): decodable images → mean-pooled grid luminance over
+    * the pixel raster ([[ImageIoCodec.featurize]]); PCM-16 WAV →
+    * per-band energies over the decoded samples
+    * ([[WavCodec.pcmBandEnergies]]); anything else → the byte-value
+    * histogram ([[OpaqueCodec.histogramFeatures]]). mapPartitions so
+    * per-batch codec setup is amortized (the mapInPandas batch shape).
+    * At 100 TB the input is partitioned parquet with `content` in its
+    * own column — scans that don't need bytes never read them (parquet
+    * column pruning). */
   def extractFeatures(media: DataFrame, dim: Int = 16)
       (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // real impl: initialize the codec ONCE here, per partition
-      rows.map(r => StubCodec.decodeAndFeaturize(r, dim))
+      rows.map { r =>
+        val bytes = Option(r.content).getOrElse(Array.emptyByteArray)
+        val feature = ImageIoCodec.featurize(bytes, dim)
+          .orElse(WavCodec.pcmBandEnergies(bytes, dim))
+          .getOrElse(OpaqueCodec.histogramFeatures(bytes, dim))
+        MediaFeatures(r.asset_id, r.media_type, bytes.length.toLong,
+          OpaqueCodec.contentHash(bytes), feature)
+      }
     }
   }
 
-  /** Resize stage: binary-in/binary-out column transform. */
-  def resizeContent(media: DataFrame, maxBytes: Int)
+  /** Resize stage: binary-in/binary-out column transform — decodable
+    * images REALLY rescale (Graphics2D bilinear into maxDim×maxDim,
+    * re-encoded PNG); opaque payloads cap at maxBytes by truncation. */
+  def resizeContent(media: DataFrame, maxBytes: Int, maxDim: Int = 32)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      rows.map(r => r.copy(content = StubCodec.resize(r.content, maxBytes)))
+      rows.map { r =>
+        val rescaled = ImageIoCodec.resizeImage(r.content, maxDim, maxDim)
+        r.copy(content =
+          rescaled.getOrElse(OpaqueCodec.truncate(r.content, maxBytes)))
+      }
     }.toDF()
   }
 
   /** Frame sampling stage for video rows: one output row per sampled
-    * frame (flatMap shape — the UDTF/explode analogue). */
+    * frame (flatMap shape — the UDTF/explode analogue; fixed-stride
+    * block windows for opaque streams, [[OpaqueCodec.sampleBlocks]]). */
   final case class Frame(asset_id: Long, frame_no: Int, frame: Array[Byte])
   def sampleFrames(media: DataFrame, everyK: Int = 2)
       (implicit spark: SparkSession): Dataset[Frame] = {
     import spark.implicits._
     media.as[MediaRow].flatMap { r =>
-      StubCodec.sampleFrames(r.content, everyK).zipWithIndex.map {
+      OpaqueCodec.sampleBlocks(r.content, everyK).zipWithIndex.map {
         case (f, i) => Frame(r.asset_id, i, f)
       }
     }

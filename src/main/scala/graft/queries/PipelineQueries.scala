@@ -793,8 +793,8 @@ object PipelineQueries {
   }
 
   /** Multimodal plumbing in the gate: the mapPartitions feature-extract
-    * pipeline's schema/byte-length outputs vs SQL (the stub codec's hash
-    * and feature vector are rows-only, covered in ScalaTest). */
+    * pipeline's schema/byte-length outputs vs SQL (the feature VALUES
+    * are pinned by m08/m09 against closed-form pixel/PCM oracles). */
   val m01 = QueryDef.sql("m01_media_bytes",
     """SELECT doc_id AS asset_id,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -956,6 +956,67 @@ object PipelineQueries {
       Tables(s, dir).documents)
     graft.multimodal.Multimodal.probeWavMeta(media)
       .toDF()
+      .orderBy(col("asset_id"))
+  }
+
+  /** REAL image FEATURE EXTRACTION in the gate — the full decode path,
+    * not just the header: every asset is an actual two-tone PNG (left
+    * half gray `10+id%200`, right half `30+id%220`, dimensions
+    * multiples of 4), and extractFeatures mean-pools the DECODED pixel
+    * raster over a 4×4 grid. The oracle states the only values a
+    * correct pixel decode can produce: left-column cells must pool to
+    * exactly a/255 and right-column cells to b/255 (integer luminance
+    * of a gray pixel is exact; uniform-cell means divide exactly), so
+    * `floor(f·255 + 0.5)` recovers the gray levels bit-for-bit — a
+    * fake featurizer, a broken decoder, or a misaligned grid all
+    * hash-mismatch. `cells_uniform` additionally pins that all eight
+    * left cells (and all eight right cells) pooled identically. */
+  val m08 = QueryDef.sql("m08_image_features",
+    """SELECT doc_id AS asset_id,
+      |  CAST(10 + doc_id % 200 AS BIGINT) AS lum_left,
+      |  CAST(30 + doc_id % 220 AS BIGINT) AS lum_right,
+      |  CAST(1 AS BIGINT) AS cells_uniform
+      |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+    implicit val sp = s
+    val media = graft.multimodal.Multimodal.syntheticTwoTonePngs(
+      Tables(s, dir).documents)
+    val f = col("feature")
+    // 4×4 row-major grid: columns 0–1 (1-based cells 1,2,5,6,9,10,13,
+    // 14) are the left half, columns 2–3 the right half
+    val leftCells = Seq(1, 2, 5, 6, 9, 10, 13, 14).map(element_at(f, _))
+    val rightCells = Seq(3, 4, 7, 8, 11, 12, 15, 16).map(element_at(f, _))
+    graft.multimodal.Multimodal.extractFeatures(media, dim = 16).toDF()
+      .select(col("asset_id"),
+        floor(element_at(f, 1) * 255d + 0.5d).cast("long").as("lum_left"),
+        floor(element_at(f, 3) * 255d + 0.5d).cast("long").as("lum_right"),
+        (size(array_distinct(array(leftCells: _*))) === 1 &&
+          size(array_distinct(array(rightCells: _*))) === 1)
+          .cast("long").as("cells_uniform"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** REAL audio FEATURE EXTRACTION in the gate: every asset is an
+    * actual PCM-16 WAV whose amplitude is constant within each of 4
+    * equal bands (band k = `100 + (id·7 + k·31) % 3000`), and
+    * extractFeatures pools mean |amplitude|/32768 over the DECODED
+    * samples. 32768 = 2¹⁵ makes v/32768 an exact binary fraction, so
+    * `f·32768` recovers the band amplitudes as exact integers — the
+    * oracle restates them in closed form. */
+  val m09 = QueryDef.sql("m09_audio_features",
+    """SELECT doc_id AS asset_id,
+      |  CAST(100 + (doc_id * 7 + 0) % 3000 AS BIGINT) AS v1,
+      |  CAST(100 + (doc_id * 7 + 31) % 3000 AS BIGINT) AS v2,
+      |  CAST(100 + (doc_id * 7 + 62) % 3000 AS BIGINT) AS v3,
+      |  CAST(100 + (doc_id * 7 + 93) % 3000 AS BIGINT) AS v4
+      |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+    implicit val sp = s
+    val media = graft.multimodal.Multimodal.syntheticBandWavs(
+      Tables(s, dir).documents)
+    val f = col("feature")
+    def v(k: Int) = floor(element_at(f, k) * 32768d + 0.5d).cast("long")
+    graft.multimodal.Multimodal.extractFeatures(media, dim = 4).toDF()
+      .select(col("asset_id"), v(1).as("v1"), v(2).as("v2"),
+        v(3).as("v3"), v(4).as("v4"))
       .orderBy(col("asset_id"))
   }
 
@@ -3202,7 +3263,7 @@ object PipelineQueries {
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, d10, d11, d12, d13, st08, st11, s01, s02, s03, s04, s05, s06, s07,
       s08, s09, s10, s11, s12, s13, s14, s15, s16,
-      m01, m02, m03, m04, m05, m06, m07,
+      m01, m02, m03, m04, m05, m06, m07, m08, m09,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
       io02, io03, io04, io05, io06, io07, io08, io09, t06, t07, t08, t09,

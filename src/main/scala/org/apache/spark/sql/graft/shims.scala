@@ -30,6 +30,26 @@ object shims {
     }.filter(_.checkpointData.exists(
         _.isInstanceOf[org.apache.spark.rdd.LocalRDDCheckpointData[_]]))
       .foreach(_.unpersist(blocking = false))
+
+  /** Assert that every local-checkpoint RDD in `df`'s plan is already
+    * MATERIALIZED (checkpointData.isCheckpointed). Guards the release
+    * pattern `releaseLocalCheckpoint(prev)` in iterative loops: prev's
+    * blocks are unrecoverable once dropped, so the successor frame must
+    * have finished checkpointing (its lineage no longer reaches prev)
+    * BEFORE the release — i.e. some action must already have computed
+    * it. Fails fast at the release site instead of as a
+    * "checkpoint block not found" job failure later. */
+  def assertLocallyCheckpointed(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.filter(_.checkpointData.exists(
+        _.isInstanceOf[org.apache.spark.rdd.LocalRDDCheckpointData[_]]))
+      .foreach { r =>
+        require(r.isCheckpointed,
+          s"RDD ${r.id} is a lazy local checkpoint that has NOT " +
+            "materialized yet — releasing its predecessor now would " +
+            "drop blocks its lineage still needs")
+      }
 }
 
 /** Native codegen'd dot product over two ARRAY<DOUBLE> columns — the hot
@@ -778,13 +798,16 @@ case class MinHashMd5SigExpr(child: Expression, k: Int)
   * domain for set-similarity joins. Hash keys keep the inverted-index
   * shuffles/joins/windows on fixed-width longs instead of ~25-byte
   * shingle strings (the sf1 rehearsal measured the string form
-  * GC-bound: 110 s+ of GC per stage). Exactness contract: candidate
-  * joins on hashes yield a SUPERSET of string-equal collisions, and the
-  * per-doc hash-set size is ≤ the string-set size, so prefix lengths
-  * derived from it keep the PPJoin prefix theorem sound; the exact
-  * intersection is always recomputed on the string arrays
-  * ([[SortedIntersectCountExpr]]). Same normalization/shingling as
-  * [[ShingleSetExpr]]. */
+  * GC-bound: 110 s+ of GC per stage). Exactness contract: equal strings
+  * always hash equal, so candidate joins on hashes yield a SUPERSET of
+  * string-equal matches per shared shingle — but in-doc collisions
+  * SHRINK the hash set (hsz ≤ sz), and a prefix length derived from hsz
+  * would be too short by ≈ (1−t)·(sz−hsz) under the PPJoin theorem.
+  * Consumers must derive prefix lengths from the STRING-set size
+  * (p = sz − ⌈t·sz⌉ + 1, as DedupOps.containmentPairs does), which is
+  * sound unconditionally; the exact intersection is always recomputed
+  * on the string arrays ([[SortedIntersectCountExpr]]). Same
+  * normalization/shingling as [[ShingleSetExpr]]. */
 case class HashedShingleSetExpr(child: Expression, n: Int)
     extends UnaryExpression with ImplicitCastInputTypes
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {

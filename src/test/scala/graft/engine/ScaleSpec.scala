@@ -290,4 +290,45 @@ class ScaleSpec extends SparkSpec {
     assert(pruned.contains("PartitionFilters: [lang#") &&
       pruned.contains("IN (en,fr)"), pruned)
   }
+
+  test("gx06 certificate ground truth: the membership subgraph's edge-" +
+      "type set is exhaustive and the 2-hop counting identity is a " +
+      "measurement of the real graph, not a restatement of the oracle") {
+    val full = graft.sources.TpchGraph(
+      graft.sources.Tables(spark, sf("sf0.001")))
+    val labels = Seq("customer", "supplier", "nation", "region")
+    // (a) NO other edge type connects membership-label vertices: the
+    // IN_NATION/IN_REGION filter that builds membershipGraph loses no
+    // edges, so gx06's closed-form "ball = same-nation members + nation
+    // + region" is grounded in the graph's actual shape — if a future
+    // TpchGraph edge type (say supplier-SUPPLIES->part widened to
+    // nation) touched these labels, this pin fails before the gate's
+    // identity silently diverges from the true ball.
+    val vl = full.vertices.select(col("id"), col("label"))
+    val touching = full.edges
+      .join(vl.select(col("id").as("src"), col("label").as("sl")), "src")
+      .join(vl.select(col("id").as("dst"), col("label").as("dl")), "dst")
+      .filter(col("sl").isin(labels: _*) && col("dl").isin(labels: _*))
+      .select(col("edge_type")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(touching == Set("IN_NATION", "IN_REGION"), touching)
+    // (b) the identity vs the generic exact expansion on the SAME
+    // subgraph: per-customer 2-hop undirected ball size really equals
+    // same-nation members + nation + region
+    val g = GraphState(
+      full.vertices.filter(col("label").isin(labels: _*)),
+      full.edges.filter(col("edge_type").isin("IN_NATION", "IN_REGION")))
+    val measured = Neighborhood.exactSizes(g, 2)
+      .filter(col("id").startsWith("c:"))
+    val inNation = g.edges.filter(col("edge_type") === "IN_NATION")
+      .select(col("src"), col("dst"))
+    val identity = inNation
+      .join(inNation.groupBy(col("dst")).agg(count(lit(1)).as("m")),
+        Seq("dst"))
+      .select(col("src").as("id"), (col("m") + lit(2L)).as("n_reach"))
+      .filter(col("id").startsWith("c:"))
+    assert(measured.join(identity, Seq("id", "n_reach")).count() ==
+      measured.count())
+    assert(measured.count() > 0)
+  }
 }

@@ -357,7 +357,75 @@ class StreamingAndTemporalSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("size")) == 9L)
   }
 
-  test("multimodal: feature extraction, resize, frame sampling (stub codec)") {
+  test("multimodal: real feature extraction recovers pixel and PCM " +
+      "ground truth; opaque bytes get histogram features") {
+    import Multimodal._
+    // image path: two-tone PNG → 4×4 grid means recover the gray levels
+    val png = {
+      val img = new java.awt.image.BufferedImage(16, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16) {
+        val g = if (x < 8) 40 else 200
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val imgFeat = ImageIoCodec.featurize(png, 16).get
+    assert(imgFeat.length == 16)
+    for (c <- Seq(0, 1, 4, 5, 8, 9, 12, 13))
+      assert(math.round(imgFeat(c) * 255f) == 40, s"cell $c")
+    for (c <- Seq(2, 3, 6, 7, 10, 11, 14, 15))
+      assert(math.round(imgFeat(c) * 255f) == 200, s"cell $c")
+    // audio path: banded PCM → band energies recover the amplitudes
+    val wav = WavCodec.encodeWavBands(16000, 1, 50,
+      Array[Short](100, 900, 2500, 31))
+    val wavFeat = WavCodec.pcmBandEnergies(wav, 4).get
+    assert(wavFeat.map(f => math.round(f * 32768f)).toSeq ==
+      Seq(100, 900, 2500, 31))
+    // opaque path: histogram sums to ~1 and reflects the byte content
+    val hist = OpaqueCodec.histogramFeatures(
+      Array.fill[Byte](64)(65), 8) // all 'A' = bucket 2 of 8
+    assert(hist(2) == 1.0f && hist.sum == 1.0f)
+    // grid shapes
+    assert(ImageIoCodec.gridDims(16) == ((4, 4)))
+    assert(ImageIoCodec.gridDims(8) == ((4, 2)))
+    assert(ImageIoCodec.gridDims(7) == ((7, 1)))
+  }
+
+  test("multimodal: riffMeta survives hostile chunk lengths (unsigned " +
+      "32-bit overflow guard) and pcmBandEnergies never throws") {
+    val good = Multimodal.WavCodec.encodeWav(8000, 1, 10, 1L)
+    // craft a chunk whose length field is 0xFFFFFFF8: the old walk
+    // overflowed toInt and looped or indexed negative
+    val hostile = good.clone()
+    hostile(16) = 0xf8.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
+    assert(Multimodal.WavCodec.riffMeta(hostile).isEmpty)
+    assert(Multimodal.WavCodec.pcmBandEnergies(hostile, 4).isEmpty)
+    // data-chunk length beyond the buffer: bands pool what's present
+    val overLong = good.clone()
+    overLong(40) = 0xff.toByte; overLong(41) = 0xff.toByte
+    assert(Multimodal.WavCodec.pcmBandEnergies(overLong, 2).isDefined)
+    // fuzz: arbitrary byte mutations never throw
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val b = good.clone()
+      for (_ <- 1 to 6)
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Multimodal.WavCodec.riffMeta(b)
+      Multimodal.WavCodec.pcmBandEnergies(b, 4)
+    }
+    // real image rescale: output decodes at the target dimensions
+    val png = Multimodal.ImageIoCodec.encodePng(20, 12, 7L)
+    val small = Multimodal.ImageIoCodec.resizeImage(png, 8, 8).get
+    val m = Multimodal.ImageIoCodec.probeMeta(small)
+    assert(m.width.contains(8) && m.height.contains(8))
+  }
+
+  test("multimodal: feature extraction, resize, frame sampling " +
+      "(pipeline shape over opaque bytes)") {
     val docs = graft.sources.Tables(spark, sf("sf0.001")).documents
     val media = Multimodal.syntheticMedia(docs).localCheckpoint()
     val feats = Multimodal.extractFeatures(media, dim = 8)
