@@ -25,10 +25,22 @@ object Neighborhood {
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Sketch precision: 2^11 registers (rsd ≈ 1.04/√2048 ≈ 2.3%) instead
+    * of Spark's default lgK = 12 — halves the per-sketch register
+    * payload, and HLL register traffic IS this algorithm's data motion
+    * (every hop shuffles |E| sketches; ~2.3 GB per sf1 session at
+    * lgK = 12). Safe to tune DOWN only because the gx06/gx08/gx11
+    * certificates compare every estimate against the exact ball size
+    * IN-RESULT with a ≤5% bound, and HLL error for a fixed set under a
+    * fixed hash is deterministic: the gates passing at both rehearsal
+    * SFs pins this precision as sufficient — any future drift fails the
+    * oracle hash loudly, not silently. */
+  private val LgConfigK = 11
+
   /** Hop-0 sketch state: one singleton HLL per vertex, pinned. */
   private def initSketches(g: GraphState): DataFrame =
     g.vertices.groupBy(col("id"))
-      .agg(hll_sketch_agg(col("id")).as("sk"))
+      .agg(hll_sketch_agg(col("id"), LgConfigK).as("sk"))
       .localCheckpoint()
 
   /** ONE HyperBall round: union every vertex's sketch into its

@@ -24,7 +24,11 @@ import org.apache.spark.sql.types.LongType
   * core that HashAggregateExec does in ~12 s); this operator is the
   * Spark-side equivalent: open-addressed long→long table, linear
   * probing, multiplicative hashing, 16 bytes per entry, zero per-row
-  * allocation.
+  * allocation — and, past [[PackedCountAgg.RadixThresholdKey]] rows per
+  * partition (where a flat table outgrows L3 and every probe becomes a
+  * DRAM miss), a DuckDB-style in-task radix pass: keys scatter into 256
+  * hash-top-byte shards with two sequential passes, then each shard
+  * aggregates in a table 256× smaller whose probes stay cache-resident.
   *
   * Semantics: exactly `child.groupBy(key).agg(count(lit(1)))` —
   * including the null-key group (counted and emitted as one row with
@@ -80,44 +84,24 @@ case class PackedKeyCountExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
+    // Above this many rows per partition the flat table outgrows cache
+    // (≥4M rows ⇒ ≥64 MB of table at near-unique multiplicity) and every
+    // probe is a DRAM miss; the radix path then pays one extra
+    // sequential pass to make the probes cache-resident. 0 disables.
+    val radixThreshold = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(PackedCountAgg.RadixThresholdKey, (1 << 22).toString)
+      .toLong
     child.execute().mapPartitionsInternal { iter =>
-      // Open-addressed long→long, linear probing, key 0 reserved as
-      // the empty sentinel (a real 0 key and nulls get dedicated
-      // counters below). Doubles at 5/8 load: worst-case probe chains
-      // stay short while steady-state memory is 16 B per distinct key.
-      var cap = 1 << 16
-      var mask = cap - 1
-      var keys = new Array[Long](cap)
-      var cnts = new Array[Long](cap)
-      var used = 0
+      // ---- phase 1: drain the partition's keys into one flat buffer.
+      // 8 B per row — at near-unique key multiplicity the same order as
+      // the table itself, and it buys the cardinality knowledge the
+      // direct-vs-radix choice needs (a shuffle iterator can't be sized
+      // in advance). Nulls and the sentinel-colliding 0 key are counted
+      // out-of-band here, once, for both aggregation paths.
+      var buf = new Array[Long](1 << 14)
+      var n = 0
       var zeroCnt = 0L
       var nullCnt = 0L
-      @inline def idx(k: Long): Int = {
-        // multiplicative (Fibonacci) hash + fold — one multiply and
-        // one shift per probe start; ample for keys that are packed
-        // (id1 << 32 | id2) pairs
-        val h = k * -7046029254386353131L // golden-ratio odd constant
-        ((h ^ (h >>> 32)).toInt) & mask
-      }
-      def grow(): Unit = {
-        val ncap = cap << 1
-        val nmask = ncap - 1
-        val nk = new Array[Long](ncap)
-        val nc = new Array[Long](ncap)
-        var i = 0
-        while (i < cap) {
-          val k = keys(i)
-          if (k != 0L) {
-            val h = k * -7046029254386353131L
-            var p = ((h ^ (h >>> 32)).toInt) & nmask
-            while (nk(p) != 0L) p = (p + 1) & nmask
-            nk(p) = k
-            nc(p) = cnts(i)
-          }
-          i += 1
-        }
-        cap = ncap; mask = nmask; keys = nk; cnts = nc
-      }
       while (iter.hasNext) {
         val row = iter.next()
         if (row.isNullAt(0)) nullCnt += 1L
@@ -125,32 +109,142 @@ case class PackedKeyCountExec(
           val k = row.getLong(0)
           if (k == 0L) zeroCnt += 1L
           else {
-            var p = idx(k)
-            var kp = keys(p)
-            while (kp != 0L && kp != k) { p = (p + 1) & mask; kp = keys(p) }
-            if (kp == 0L) {
-              keys(p) = k
-              cnts(p) = 1L
-              used += 1
-              if (used > cap - (cap >> 2) - (cap >> 3)) grow() // 5/8 load
-            } else cnts(p) += 1L
+            if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n << 1)
+            buf(n) = k
+            n += 1
           }
         }
       }
+
+      // Open-addressed long→long count table over buf[from, until):
+      // linear probing, multiplicative (Fibonacci) hashing, key 0
+      // reserved as the empty sentinel, 16 B per entry, sized upfront
+      // for the slice (5/8 max load) so the hot loop never grows.
+      // Returns (keys, cnts) for the emit iterator to walk.
+      def countSlice(src: Array[Long], from: Int, until: Int)
+          : (Array[Long], Array[Long]) = {
+        // Sized upfront for the slice's rows (no rehash in the common
+        // near-unique case) but capped at 1M entries so heavy-duplicate
+        // inputs don't over-allocate 8× — beyond the cap it doubles at
+        // 5/8 load like any open table.
+        var cap = 1 << 10
+        val rows = until - from
+        while (cap - (cap >> 2) - (cap >> 3) < rows && cap < (1 << 20))
+          cap <<= 1
+        var mask = cap - 1
+        var keys = new Array[Long](cap)
+        var cnts = new Array[Long](cap)
+        var used = 0
+        def grow(): Unit = {
+          val ncap = cap << 1
+          val nmask = ncap - 1
+          val nk = new Array[Long](ncap)
+          val nc = new Array[Long](ncap)
+          var i = 0
+          while (i < cap) {
+            val k = keys(i)
+            if (k != 0L) {
+              val h = k * -7046029254386353131L
+              var p = ((h ^ (h >>> 32)).toInt) & nmask
+              while (nk(p) != 0L) p = (p + 1) & nmask
+              nk(p) = k
+              nc(p) = cnts(i)
+            }
+            i += 1
+          }
+          cap = ncap; mask = nmask; keys = nk; cnts = nc
+        }
+        var i = from
+        while (i < until) {
+          val k = src(i)
+          val h = k * -7046029254386353131L // golden-ratio odd constant
+          var p = ((h ^ (h >>> 32)).toInt) & mask
+          var kp = keys(p)
+          while (kp != 0L && kp != k) { p = (p + 1) & mask; kp = keys(p) }
+          if (kp == 0L) {
+            keys(p) = k
+            cnts(p) = 1L
+            used += 1
+            if (used > cap - (cap >> 2) - (cap >> 3)) grow() // 5/8 load
+          } else cnts(p) += 1L
+          i += 1
+        }
+        (keys, cnts)
+      }
+
+      // ---- phase 2: pick the aggregation shape.
+      // Direct: one table over the whole buffer (small partitions).
+      // Radix: scatter keys into 256 shards by the hash's TOP byte
+      // (the table index folds in the low bits — disjoint, so shards
+      // stay uniform), then aggregate shard-by-shard with tables 256×
+      // smaller — cache-resident probes, DuckDB's radix-aggregate
+      // shape. The scatter is two sequential passes (counting sort);
+      // sequential bandwidth is ~10× random-probe bandwidth, so it
+      // pays for itself as soon as the flat table leaves L3. One shard
+      // table is alive at a time; a 1000-executor job sizes shuffle
+      // partitions so `rows × 16 B` fits the heap exactly as it would
+      // for HashAggregateExec — the shards only localize the probes.
+      val shardSlices: Array[(Array[Long], Int, Int)] =
+        if (radixThreshold <= 0L || n <= radixThreshold) {
+          if (n > 0) Array((buf, 0, n)) else Array.empty
+        } else {
+          val S = 256
+          val counts = new Array[Int](S + 1)
+          var i = 0
+          while (i < n) {
+            val h = buf(i) * -7046029254386353131L
+            counts(((h >>> 56).toInt & (S - 1)) + 1) += 1
+            i += 1
+          }
+          i = 1
+          while (i <= S) { counts(i) += counts(i - 1); i += 1 }
+          val offsets = java.util.Arrays.copyOf(counts, S)
+          val sorted = new Array[Long](n)
+          i = 0
+          while (i < n) {
+            val k = buf(i)
+            val h = k * -7046029254386353131L
+            val s = (h >>> 56).toInt & (S - 1)
+            sorted(offsets(s)) = k
+            offsets(s) += 1
+            i += 1
+          }
+          buf = null // the scattered copy replaces the drain buffer
+          (0 until S).iterator
+            .filter(s => counts(s + 1) > counts(s))
+            .map(s => (sorted, counts(s), counts(s + 1)))
+            .toArray
+        }
+
       val out = new SpecificInternalRow(Seq(LongType, LongType))
       val proj = UnsafeProjection.create(
         Array[org.apache.spark.sql.types.DataType](LongType, LongType))
       new Iterator[InternalRow] {
+        private var shard = -1
+        private var keys: Array[Long] = null
+        private var cnts: Array[Long] = null
         private var i = 0
         private var zeroLeft = zeroCnt > 0L
         private var nullLeft = nullCnt > 0L
-        private def advance(): Unit =
-          while (i < cap && keys(i) == 0L) i += 1
+        // Aggregates shards LAZILY, one at a time, as the consumer
+        // drains — only one shard's table is ever resident.
+        private def advance(): Unit = {
+          while (keys != null && i < keys.length && keys(i) == 0L) i += 1
+          while (keys == null || i == keys.length) {
+            shard += 1
+            if (shard >= shardSlices.length) { keys = null; return }
+            val (src, from, until) = shardSlices(shard)
+            val kc = countSlice(src, from, until)
+            keys = kc._1; cnts = kc._2; i = 0
+            while (i < keys.length && keys(i) == 0L) i += 1
+          }
+        }
         advance()
-        override def hasNext: Boolean = i < cap || zeroLeft || nullLeft
+        override def hasNext: Boolean =
+          (keys != null && i < keys.length) || zeroLeft || nullLeft
         override def next(): InternalRow = {
           numOutputRows += 1
-          if (i < cap) {
+          if (keys != null && i < keys.length) {
             out.setLong(0, keys(i)); out.setLong(1, cnts(i))
             i += 1; advance()
           } else if (zeroLeft) {
@@ -175,6 +269,13 @@ object PackedCountAgg {
   /** Session conf gate (default ON): set to false to fall back to the
     * generic `groupBy(pk).count()` plan. */
   val ConfKey = "spark.graft.packedCountAgg"
+
+  /** Rows-per-partition above which the task radix-shards its keys by
+    * the hash's top byte and aggregates shard-by-shard with
+    * cache-resident tables instead of one DRAM-sized flat table
+    * (default 4M rows ≈ the table size where probes start missing L3).
+    * Set to 0 to force the direct single-table path. */
+  val RadixThresholdKey = "spark.graft.packedCountAgg.radixThreshold"
 
   def enabled(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get(ConfKey, "true").toBoolean

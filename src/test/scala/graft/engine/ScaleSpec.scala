@@ -57,6 +57,15 @@ class ScaleSpec extends SparkSpec {
     val packed = run()
     assert(packed.nonEmpty && packed == generic,
       s"packed=${packed.take(5)} generic=${generic.take(5)}")
+    // force the in-task radix shape (threshold 1 row) — every shard
+    // boundary, the lazy shard-by-shard emit, and the zero/null
+    // out-of-band counters must reproduce the generic result exactly
+    spark.conf.set(
+      org.apache.spark.sql.graft.PackedCountAgg.RadixThresholdKey, "1")
+    val radix = try run()
+    finally spark.conf.unset(
+      org.apache.spark.sql.graft.PackedCountAgg.RadixThresholdKey)
+    assert(radix == generic, s"radix=${radix.take(5)}")
   }
 
   test("containmentPairs plan: shuffle-hash joins, no broadcast of the " +
