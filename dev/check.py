@@ -13,6 +13,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def table_glob(sf_dir: str, t: str) -> str:
+    """Driver testdata is flat files (<t>.parquet); Spark-written
+    fixtures (e.g. the sf1 rehearsal set) are directories of part
+    files. Return the DuckDB read pattern that matches either."""
+    import os
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
@@ -51,7 +60,7 @@ def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 

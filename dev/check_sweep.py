@@ -38,7 +38,7 @@ from concurrent.futures import ThreadPoolExecutor
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from check import TABLES, compare  # noqa: E402
+from check import TABLES, compare, table_glob  # noqa: E402
 
 # Oracles that are brute-force BY DESIGN (exact all-pairs Jaccard /
 # containment over every doc pair, recursive-CTE cluster closure):
@@ -58,7 +58,7 @@ def run_oracle(sf_dir: str, sql: str, q):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'")
     try:
         q.put(("ok", con.execute(sql).fetchdf()))
     except Exception as e:  # noqa: BLE001

@@ -598,12 +598,9 @@ object CypherDriven {
     """SELECT 'ev:' || event_id AS id, event_type AS label,
       |  CAST(user_id AS VARCHAR) AS uid
       |FROM events ORDER BY id""".stripMargin) { (s, dir) =>
-    val stage = java.nio.file.Files.createTempDirectory("st03_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      stage.resolve("events.parquet"))
+    val stage = Fixtures.stageTable(dir, "events", "st03_events")
     val sess = graft.api.GraftSession.empty(s)
-    graft.streaming.EventStreams.graphUpsertSink(s, stage.toString, sess,
+    graft.streaming.EventStreams.graphUpsertSink(s, stage, sess,
       batch => batch.select(
         concat(lit("ev:"), col("event_id")).as("id"),
         col("event_type").as("label"),
@@ -631,16 +628,13 @@ object CypherDriven {
       |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
       |FROM documents ORDER BY fp""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.types._
-    val stage = java.nio.file.Files.createTempDirectory("st04_docs")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "documents.parquet"),
-      stage.resolve("documents.parquet"))
+    val stage = Fixtures.stageTable(dir, "documents", "st04_docs")
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
     val name = s"st04_dedup_${memSink.incrementAndGet()}"
-    val q = s.readStream.schema(schema).parquet(stage.toString)
+    val q = s.readStream.schema(schema).parquet(stage)
       .select(graft.functions.TextOps.fingerprint(col("text")).as("fp"))
       .dropDuplicates("fp")
       .writeStream.format("memory").queryName(name)
@@ -659,12 +653,9 @@ object CypherDriven {
   val st07 = QueryDef.sql("st07_stream_dedup_watermark",
     """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
       |FROM events ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
-    val stage = java.nio.file.Files.createTempDirectory("st07_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      stage.resolve("events.parquet"))
+    val stage = Fixtures.stageTable(dir, "events", "st07_events")
     val name = s"st07_dedup_${memSink.incrementAndGet()}"
-    graft.streaming.EventStreams.runToMemory(s, stage.toString, name,
+    graft.streaming.EventStreams.runToMemory(s, stage, name,
         ev => ev.withWatermark("ts", "1 hour")
           .select(col("user_id"), col("event_type"), col("ts"))
           .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -684,12 +675,9 @@ object CypherDriven {
       | AND c.event_type = 'click' AND v.event_type = 'view'
       | AND v.ts >= c.ts - INTERVAL 3600 SECOND AND v.ts <= c.ts
       |ORDER BY click_id, view_id""".stripMargin) { (s, dir) =>
-    val stage = java.nio.file.Files.createTempDirectory("st05_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      stage.resolve("events.parquet"))
+    val stage = Fixtures.stageTable(dir, "events", "st05_events")
     val name = s"st05_join_${memSink.incrementAndGet()}"
-    graft.streaming.EventStreams.runToMemory(s, stage.toString, name,
+    graft.streaming.EventStreams.runToMemory(s, stage, name,
         ev => graft.streaming.EventStreams.clickViewJoin(ev, 3600),
         statePartitions = Some(8))
       .orderBy(col("click_id"), col("view_id"))
@@ -835,12 +823,9 @@ object CypherDriven {
       |           - k * INTERVAL '15 minutes' AS window_start, event_type
       |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k))
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-    val stage = java.nio.file.Files.createTempDirectory("st06_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      stage.resolve("events.parquet"))
+    val stage = Fixtures.stageTable(dir, "events", "st06_events")
     val name = s"st06_slide_${memSink.incrementAndGet()}"
-    graft.streaming.EventStreams.runToMemory(s, stage.toString, name,
+    graft.streaming.EventStreams.runToMemory(s, stage, name,
         ev => graft.streaming.EventStreams
           .slidingAggregates(ev, "1 hour", "15 minutes", "10 minutes")
           .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
@@ -877,11 +862,8 @@ object CypherDriven {
       (s, dir) =>
     implicit val sp: org.apache.spark.sql.SparkSession = s
     // streaming file sources need a directory, not a single file
-    val tmp = java.nio.file.Files.createTempDirectory("st09_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      tmp.resolve("events.parquet"))
-    graft.streaming.EventStreams.runToMemory(s, tmp.toString,
+    val tmp = Fixtures.stageTable(dir, "events", "st09_events")
+    graft.streaming.EventStreams.runToMemory(s, tmp,
         s"st09_funnel_${memSink.incrementAndGet()}",
         df => graft.streaming.EventStreams.funnelStream(df,
           Seq("view", "click", "purchase")))
@@ -904,14 +886,11 @@ object CypherDriven {
       |  CAST(1 AS BIGINT) AS certified
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     implicit val sp: org.apache.spark.sql.SparkSession = s
-    val tmp = java.nio.file.Files.createTempDirectory("st10_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      tmp.resolve("events.parquet"))
+    val tmp = Fixtures.stageTable(dir, "events", "st10_events")
     // Complete mode: the final (max-event-time) window never finalizes
     // under Append — the watermark can't pass its end — so the gate
     // reads the full window table each trigger instead
-    val est = graft.streaming.EventStreams.runToMemory(s, tmp.toString,
+    val est = graft.streaming.EventStreams.runToMemory(s, tmp,
         s"st10_hll_${memSink.incrementAndGet()}",
         df => graft.streaming.EventStreams.windowedApproxDistinct(
           df, "user_id", watermark = "0 seconds"),
@@ -955,11 +934,8 @@ object CypherDriven {
       |SELECT key, n_matches FROM m WHERE n_matches > 0
       |ORDER BY key""".stripMargin) { (s, dir) =>
     implicit val sp: org.apache.spark.sql.SparkSession = s
-    val tmp = java.nio.file.Files.createTempDirectory("st12_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      tmp.resolve("events.parquet"))
-    graft.streaming.EventStreams.runToMemory(s, tmp.toString,
+    val tmp = Fixtures.stageTable(dir, "events", "st12_events")
+    graft.streaming.EventStreams.runToMemory(s, tmp,
         s"st12_seq_${memSink.incrementAndGet()}",
         df => graft.streaming.EventStreams.sequenceMatchStream(
           df, "view", Set("click"), "purchase"))
@@ -992,11 +968,8 @@ object CypherDriven {
       |FROM x WHERE event_type = 'purchase'
       |ORDER BY conversion_id""".stripMargin) { (s, dir) =>
     implicit val sp: SparkSession = s
-    val tmp = java.nio.file.Files.createTempDirectory("st13_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      tmp.resolve("events.parquet"))
-    graft.streaming.EventStreams.runToMemory(s, tmp.toString,
+    val tmp = Fixtures.stageTable(dir, "events", "st13_events")
+    graft.streaming.EventStreams.runToMemory(s, tmp,
         s"st13_attr_${memSink.incrementAndGet()}",
         df => graft.streaming.EventStreams.attributionStream(
           df, Set("view", "click", "signup"), "purchase"))
@@ -1016,11 +989,8 @@ object CypherDriven {
        |  quantile_disc(value, 0.5) AS p50_stream
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     implicit val sp: org.apache.spark.sql.SparkSession = s
-    val tmp = java.nio.file.Files.createTempDirectory("st14_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      tmp.resolve("events.parquet"))
-    graft.streaming.EventStreams.runToMemory(s, tmp.toString,
+    val tmp = Fixtures.stageTable(dir, "events", "st14_events")
+    graft.streaming.EventStreams.runToMemory(s, tmp,
         s"st14_pct_${memSink.incrementAndGet()}",
         df => df.withWatermark("ts", "0 seconds")
           .groupBy(window(col("ts"), "1 hour"))
@@ -1044,14 +1014,11 @@ object CypherDriven {
     """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_events
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
-    val stage = java.nio.file.Files.createTempDirectory("st15_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      stage.resolve("events.parquet"))
+    val stage = Fixtures.stageTable(dir, "events", "st15_events")
     val cust = Tables(s, dir).customer
       .select(col("c_custkey"), col("c_mktsegment"))
     val name = s"st15_enrich_${memSink.incrementAndGet()}"
-    graft.streaming.EventStreams.runToMemory(s, stage.toString, name,
+    graft.streaming.EventStreams.runToMemory(s, stage, name,
         ev => ev
           .join(broadcast(cust), col("user_id") === col("c_custkey"))
           .groupBy(col("c_mktsegment").as("segment"))

@@ -48,4 +48,27 @@ object Fixtures {
       build(p.toString)
       p.toString
     })
+
+  /** Stage one parquet table into a fresh temp directory for a
+    * file-source stream. Driver testdata ships flat files
+    * (`<table>.parquet`); Spark-written fixtures (the sf1 rehearsal
+    * set) are DIRECTORIES of part files — `Files.copy` on those copies
+    * only the empty directory entry and the downstream stream silently
+    * reads zero rows, so both shapes are handled. Returns the staged
+    * directory path. */
+  def stageTable(dir: String, table: String, prefix: String): String = {
+    import java.nio.file.{Files, Paths}
+    val stage = Files.createTempDirectory(prefix)
+    val src = Paths.get(dir, s"$table.parquet")
+    if (Files.isDirectory(src)) {
+      val stream = Files.list(src)
+      val parts =
+        try stream.toArray(n => new Array[java.nio.file.Path](n))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        finally stream.close()
+      require(parts.nonEmpty, s"no parquet part files under $src")
+      parts.foreach(f => Files.copy(f, stage.resolve(f.getFileName.toString)))
+    } else Files.copy(src, stage.resolve(s"$table.parquet"))
+    stage.toString
+  }
 }
