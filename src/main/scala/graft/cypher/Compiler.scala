@@ -226,7 +226,9 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     val withA = compilePattern(start, PathPat(None, false, pat.head, Nil))
     val frame = compilePattern(withA, PathPat(None, false, np, Nil))
     val pairs = frame.df
-      .select(col(s"${aVar}__id"), col(s"${bVar}__id")).distinct()
+      .select(col(s"${aVar}__id"), col(s"${bVar}__id"))
+    // no .distinct() here: shortestPathsPairs dropDuplicates the pair
+    // set itself — a second dedup exchange would sit on the critical path
     val pathsDf = Traversals.shortestPathsPairs(g, pairs, maxDepth,
         edgeTypes = rp.types, undirected = rp.direction == 0,
         all = pat.allPaths)

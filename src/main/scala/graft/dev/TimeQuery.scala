@@ -32,10 +32,14 @@ object TimeQuery {
     // stage-level metrics between marks: shuffle write bytes + widest stage
     val shuffleBytes = new AtomicLong(0L)
     val peakTasks = new AtomicInteger(0)
+    val nStages = new AtomicInteger(0)
+    val taskMillis = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         peakTasks.getAndUpdate(m => math.max(m, sc.stageInfo.numTasks))
+        nStages.incrementAndGet()
+        taskMillis.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
       }
     })
 
@@ -50,13 +54,15 @@ object TimeQuery {
       q.stage.foreach(f => f(spark, dir)) // fixture staging, untimed
       (1 to reps).foreach { i =>
         shuffleBytes.set(0L); peakTasks.set(0)
+        nStages.set(0); taskMillis.set(0L)
         val t0 = System.nanoTime()
         val n = q.run(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
         // listener events are async; give the bus a moment to drain
         Thread.sleep(200)
         println(f"[time] $name rep$i: $secs%.2f s ($n rows, " +
-          f"shuffle ${shuffleBytes.get() / 1e6}%.1f MB, widest stage ${peakTasks.get()} tasks)")
+          f"shuffle ${shuffleBytes.get() / 1e6}%.1f MB, widest stage ${peakTasks.get()} tasks, " +
+          f"${nStages.get()} stages, ${taskMillis.get() / 1e3}%.1f s task time)")
       }
     }
     spark.stop()

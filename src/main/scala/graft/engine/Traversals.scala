@@ -37,6 +37,11 @@ object Traversals {
     * with no materialization barrier risks compile-time blowup. */
   private val LazyUnrollDepth = 8
 
+  /** Partition count for every traversal exchange (edge cache + frontier
+    * repartitions — must agree for co-partitioned hop joins). */
+  private def traversalPartitions(spark: SparkSession): Int =
+    math.min(8, spark.sessionState.conf.numShufflePartitions)
+
   private def hopEdges(g: GraphState, edgeTypes: Seq[String],
       undirected: Boolean, reversed: Boolean = false): DataFrame = {
     val base = g.edges.select(col("id"), col("src"), col("dst"),
@@ -47,6 +52,49 @@ object Traversals {
     val bwd = typed.select(col("id").as("eid"), col("dst").as("src"),
       col("src").as("dst"))
     if (undirected) fwd.union(bwd) else if (reversed) bwd else fwd
+  }
+
+  /** Most cached hop-edge tables kept alive at once; each is one graph ×
+    * edge-type-filter × direction combination (a session typically uses a
+    * handful). Evicted entries unpersist — bounds executor memory even if
+    * a long session traverses many distinct (e.g. per-test) graphs. */
+  private val MaxCachedEdgeTables = 8
+  private val edgeCache = new java.util.LinkedHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      DataFrame](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        DataFrame]): Boolean =
+      if (size > MaxCachedEdgeTables) { e.getValue.unpersist(false); true }
+      else false
+  }
+
+  /** Hop-edge table pre-partitioned by `src` and cached, keyed by the
+    * canonicalized plan (same graph + filter + direction → same entry).
+    *
+    * Why: every per-hop `localCheckpoint` starts its OWN QueryExecution,
+    * and exchange reuse never crosses QueryExecutions — so an N-hop
+    * traversal used to re-shuffle the full edge table N times (measured:
+    * 3 × 17.9 MB exchanges in one 4-hop allShortestPaths at sf0.1). With
+    * the edge side cached already hash-partitioned by the join key, and
+    * each frontier checkpoint explicitly co-partitioned on `id` (the
+    * LogicalRDD a checkpoint produces preserves its child's partitioning),
+    * hop joins need NO exchange on either side at any depth. */
+  private def partitionedEdges(df: DataFrame): DataFrame = {
+    val n = traversalPartitions(df.sparkSession)
+    val key = df.queryExecution.analyzed.canonicalized
+    edgeCache.synchronized {
+      val hit = edgeCache.get(key)
+      if (hit != null) hit
+      else {
+        // explicit partition count: AQE never coalesces a user-specified
+        // repartition, so the count is stable for co-partition matching
+        val part = df.repartition(n, col("src"))
+        part.persist(StorageLevel.MEMORY_AND_DISK)
+        edgeCache.put(key, part)
+        part
+      }
+    }
   }
 
   /** Bounded-depth BFS from a set of source vertex ids. Returns
@@ -64,65 +112,83 @@ object Traversals {
       : DataFrame = {
     if (maxDepth <= LazyUnrollDepth)
       return bfsLazy(g, sources, maxDepth, edgeType.toSeq, undirected)
-    val edges = hopEdges(g, edgeType.toSeq, undirected)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var visited = sources
-        .select(col(sources.columns.head).as("id"), lit(0).as("depth"))
-        .dropDuplicates("id")
-        .localCheckpoint(eager = false)
-      var frontier = visited
-      var cnt = frontier.count() // materializes the lazy checkpoint
-      var depth = 0
-      while (depth < maxDepth && cnt > 0) {
-        depth += 1
-        frontier = frontier
-          .join(edges, frontier("id") === edges("src"))
-          .select(col("dst").as("id"), lit(depth).as("depth"))
-          .dropDuplicates("id")
-          .join(visited.select("id"), Seq("id"), "left_anti")
-          .localCheckpoint(eager = false) // cut lineage; frontier is small
-        cnt = frontier.count() // the hop's single job
-        visited = visited.union(frontier)
-        // visited's lineage grows one cheap union per hop — only cut it
-        // periodically; the lazy cut materializes inside the NEXT hop's
-        // job (the anti-join reads visited), costing no extra job
-        if (depth % 3 == 0) visited = visited.localCheckpoint(eager = false)
-      }
-      visited
-    } finally edges.unpersist()
-  }
-
-  /** Fully-lazy BFS (maxDepth ≤ [[LazyUnrollDepth]]): the hop chain is
-    * unrolled with NO driver actions — per-hop `localCheckpoint(eager =
-    * false)` makes each frontier a single shared RDD (both its consumers
-    * — the next hop's join and the visited union — reference the same
-    * LogicalRDD, so the job computes it once and caches), and the
-    * caller's one action evaluates every hop. No persist on the edge
-    * table: each hop shuffles the identical edge subplan, which Spark
-    * collapses via ReusedExchange. */
-  private def bfsLazy(g: GraphState, sources: DataFrame, maxDepth: Int,
-      edgeTypes: Seq[String], undirected: Boolean): DataFrame = {
-    val edges = hopEdges(g, edgeTypes, undirected)
+    val n = traversalPartitions(sources.sparkSession)
+    val edges = partitionedEdges(hopEdges(g, edgeType.toSeq, undirected))
     var visited = sources
       .select(col(sources.columns.head).as("id"), lit(0).as("depth"))
       .dropDuplicates("id")
+      .repartition(n, col("id")) // co-partition with the cached edge table
       .localCheckpoint(eager = false)
+    var frontier = visited
+    var cnt = frontier.count() // materializes the lazy checkpoint
+    var depth = 0
+    while (depth < maxDepth && cnt > 0) {
+      depth += 1
+      frontier = frontier.hint("shuffle_hash") // build side: co-partitioned frontier, |frontier|/P per task
+        .join(edges, frontier("id") === edges("src"))
+        .select(col("dst").as("id"), lit(depth).as("depth"))
+        .repartition(n, col("id")) // the hop's ONE exchange; satisfies the
+        .dropDuplicates("id")      // dedup AND the next hop's join key
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(eager = false) // cut lineage; frontier is small
+      cnt = frontier.count() // the hop's single job
+      visited = visited.union(frontier)
+      // visited's lineage grows one cheap union per hop — only cut it
+      // periodically; the lazy cut materializes inside the NEXT hop's
+      // job (the anti-join reads visited), costing no extra job
+      if (depth % 3 == 0) visited = visited.localCheckpoint(eager = false)
+    }
+    visited
+  }
+
+  /** Hops between lineage cuts in the lazy unrolls. A frontier frame has
+    * two consumers (next hop's join + the visited union read by every
+    * later anti-join), so without cuts the plan DUPLICATES per hop —
+    * but inside ONE QueryExecution the duplicated hop subtrees all end
+    * at the same explicit repartition, which Spark collapses via
+    * ReusedExchange: they are compiled twice yet EXECUTED once. A cut
+    * every 3rd hop bounds plan copies at 2³ while keeping the whole
+    * traversal a handful of QueryExecutions — each checkpoint is a
+    * whole extra QueryExecution whose sequential stage latency, not
+    * data, dominated these traversals at local[32].
+    *
+    * MEASURED at 1: the ReusedExchange dedup of duplicated hop subtrees
+    * did NOT engage under AQE for the shortest-path hop shape (cy32 at
+    * cut=3: 72 stages / 137 s task time vs 29 / 37 s at cut=1) — every
+    * un-cut hop re-executed its whole upstream chain. Keep per-hop cuts
+    * until exchange reuse across duplicated subtrees is demonstrated. */
+  private val HopsPerLineageCut = 1
+
+  /** Fully-lazy BFS (maxDepth ≤ [[LazyUnrollDepth]]): the hop chain is
+    * unrolled with NO driver actions — the caller's one action evaluates
+    * every hop. The edge side is the shared [[partitionedEdges]] cache
+    * and the hop's explicit repartition lands on `id`, so hop joins need
+    * no edge-side exchange at any depth (formerly each hop re-shuffled
+    * the full edge table: exchange reuse never crosses the
+    * per-checkpoint QueryExecution boundary). Lineage cuts only every
+    * [[HopsPerLineageCut]] hops; `visited` is a plain union of hop
+    * frames — never checkpointed. */
+  private def bfsLazy(g: GraphState, sources: DataFrame, maxDepth: Int,
+      edgeTypes: Seq[String], undirected: Boolean): DataFrame = {
+    val n = traversalPartitions(sources.sparkSession)
+    val edges = partitionedEdges(hopEdges(g, edgeTypes, undirected))
+    var visited = sources
+      .select(col(sources.columns.head).as("id"), lit(0).as("depth"))
+      .dropDuplicates("id")
+      .repartition(n, col("id"))
     var frontier = visited
     var depth = 0
     while (depth < maxDepth) {
       depth += 1
-      frontier = frontier
+      frontier = frontier.hint("shuffle_hash") // build side: co-partitioned frontier, |frontier|/P per task
         .join(edges, frontier("id") === edges("src"))
         .select(col("dst").as("id"), lit(depth).as("depth"))
+        .repartition(n, col("id"))
         .dropDuplicates("id")
         .join(visited.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint(eager = false)
+      if (depth % HopsPerLineageCut == 0)
+        frontier = frontier.localCheckpoint(eager = false)
       visited = visited.union(frontier)
-      // visited has two consumers per hop (anti-join + final output);
-      // the lazy cut keeps it one shared RDD rather than a duplicated
-      // subtree, bounding plan size linearly in depth
-      visited = visited.localCheckpoint(eager = false)
     }
     visited
   }
@@ -147,9 +213,9 @@ object Traversals {
     if (maxDepth <= LazyUnrollDepth)
       return shortestPathsPairsLazy(g, pairs, maxDepth, edgeTypes,
         undirected, all)
-    val edges = hopEdges(g, edgeTypes, undirected)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    val n = traversalPartitions(pairs.sparkSession)
+    val edges = partitionedEdges(hopEdges(g, edgeTypes, undirected))
+    locally {
       // `p` stays lazy: `self` is only read in the final union and
       // `targets0` is checkpointed right below — one materialization.
       val p = pairs
@@ -171,6 +237,7 @@ object Traversals {
         .dropDuplicates("source")
         .select(col("source"), col("source").as("id"), lit(0).as("depth"),
           emptyPreds.as("preds"))
+        .repartition(n, col("id")) // co-partition with the edge cache
         .localCheckpoint(eager = false) // materializes inside hop 1's job
       var frontier = visited.select("source", "id")
       var foundParts = List.empty[DataFrame]
@@ -190,8 +257,13 @@ object Traversals {
             struct(col("src").as("pred"), col("eid").as("prededge"))))
           else array(min(
             struct(col("src").as("pred"), col("eid").as("prededge"))))
-        val nxt = frontier
+        // the explicit repartition on `dst` is the hop's one exchange: it
+        // satisfies the (source,dst) grouping (subset clustering) AND —
+        // renamed to `id` and preserved through the checkpoint — the next
+        // hop's join key against the src-partitioned edge cache
+        val nxt = frontier.hint("shuffle_hash")
           .join(edges, frontier("id") === edges("src"))
+          .repartition(n, col("dst"))
           .groupBy(col("source"), col("dst"))
           .agg(predsAgg.as("preds"))
           .select(col("source"), col("dst").as("id"), lit(depth).as("depth"),
@@ -236,69 +308,73 @@ object Traversals {
       }
       if (foundParts.isEmpty) return self
       val found = foundParts.reduce(_.union(_))
-      // walk predecessors backward, all pairs at once; finished rows
-      // (cur == source) retire from the working set each round. In all
-      // mode the explode fans one partial path out per predecessor —
-      // every minimal route reconstructs in the same bounded hop count.
-      // Still no per-round ACTION — but `working` has TWO consumers per
-      // round (the fin filter and the next expansion), so without a
-      // lineage cut each round would DUPLICATE the whole upstream
-      // subtree (2^rounds plan growth). The per-round lazy checkpoint
-      // pins it to one shared RDD per round; everything still evaluates
-      // as ONE job at the caller's action.
+      // Walk predecessors backward, all pairs at once, in ONE dataflow: a
+      // finished row (cur == source) joins the depth-0 visited entry,
+      // whose preds array is EMPTY, so explode_outer passes it through
+      // unchanged — rows self-retire with no fin/working split. `working`
+      // therefore has a SINGLE consumer per round: the plan grows
+      // linearly, and only a periodic lineage cut is needed to bound
+      // compile depth for deep reconstructions (each cut is one more
+      // QueryExecution of sequential stage latency, so don't cut more
+      // often than plan depth demands). In all mode the explode fans one
+      // partial path out per predecessor — every minimal route
+      // reconstructs in the same bounded round count.
       val preds = visited.select(col("source"), col("id"), col("preds"))
       var working = found.select(col("__a"), col("__b"), col("length"),
         array(col("__b")).as("path"),
         array().cast("array<string>").as("epath"), col("__b").as("cur"))
-        .localCheckpoint(eager = false)
-      var done: DataFrame = null
       var i = 0L
       while (i < maxLen) {
         i += 1
-        val fin = working.filter(col("cur") === col("__a"))
-          .select(col("__a"), col("__b"), col("path"), col("epath"),
-            col("length"))
-        done = if (done == null) fin else done.union(fin)
-        working = working.filter(col("cur") =!= col("__a"))
-          .join(preds, col("cur") === preds("id") &&
-            col("__a") === preds("source"))
+        working = working
+          .join(preds, working("cur") === preds("id") &&
+            working("__a") === preds("source"))
           .select(col("__a"), col("__b"), col("length"), col("path"),
-            col("epath"), explode(col("preds")).as("p"))
+            col("epath"), col("cur"), explode_outer(col("preds")).as("p"))
           .select(col("__a"), col("__b"), col("length"),
-            concat(array(col("p.pred")), col("path")).as("path"),
-            concat(array(col("p.prededge")), col("epath")).as("epath"),
-            col("p.pred").as("cur"))
-          .localCheckpoint(eager = false)
+            when(col("p").isNull, col("path"))
+              .otherwise(concat(array(col("p.pred")), col("path")))
+              .as("path"),
+            when(col("p").isNull, col("epath"))
+              .otherwise(concat(array(col("p.prededge")), col("epath")))
+              .as("epath"),
+            coalesce(col("p.pred"), col("cur")).as("cur"))
+        if (i % 4 == 0) working = working.localCheckpoint(eager = false)
       }
-      val finished = working.filter(col("cur") === col("__a"))
-        .select(col("__a"), col("__b"), col("path"), col("epath"),
-          col("length"))
-      done = if (done == null) finished else done.union(finished)
-      self.union(done.select(col("__a"), col("__b"), col("path"),
+      self.union(working.select(col("__a"), col("__b"), col("path"),
         col("epath"), col("length")))
-    } finally edges.unpersist()
+    }
   }
 
   /** Fully-lazy batched shortest paths (maxDepth ≤ [[LazyUnrollDepth]]):
-    * the SAME dataflow as the action-driven loop — per-hop frontier
-    * expansion with min-depth dedup, hit extraction against outstanding
-    * targets, target retirement, satisfied-source pruning, and backward
-    * path reconstruction — but with ZERO driver-side actions. Every hop
-    * and every reconstruction round is built lazily; per-step
-    * `localCheckpoint(eager = false)` turns each multiply-consumed frame
-    * into one shared RDD (computed once, cached in the job that first
-    * evaluates it), so the caller's single action runs the entire
-    * traversal as ONE Spark job. A maxDepth-4 query previously paid ~10
-    * sequential job latencies (~0.3 s each at local[32]) for a 42-row
-    * answer; here those become in-job stages, which AQE further collapses
-    * when frontiers go empty. Semantics are identical: a pair found at
-    * depth d is anti-joined out of the outstanding set, so it cannot
-    * reappear deeper, and in `all` mode every minimal predecessor at the
-    * SAME depth is kept. */
+    * per-hop frontier expansion with min-depth dedup, then ONE end-join
+    * of the reached set against the target pairs, then backward path
+    * reconstruction — with ZERO driver-side actions. Every hop and every
+    * reconstruction round is built lazily; per-step `localCheckpoint
+    * (eager = false)` turns each multiply-consumed frame into one shared
+    * RDD, so the caller's single action runs the entire traversal.
+    *
+    * Differences from the action-driven loop, both latency-motivated
+    * (the lazy unroll runs ALL maxDepth hops regardless, so early-exit
+    * bookkeeping buys nothing here and every checkpoint is a whole
+    * QueryExecution of sequential stage latency):
+    *  - no per-hop hit extraction / target retirement / satisfied-source
+    *    pruning (formerly 3 joins + 2 checkpoints per hop). Equivalent:
+    *    the visited anti-join admits each (source, vertex) exactly once,
+    *    at its minimal depth, so joining visited against the pair set
+    *    once at the end yields the same (pair, length) rows.
+    *  - `visited` is a plain union of checkpointed hop leaves (no
+    *    checkpoint of its own — unions of leaves re-plan cheaply).
+    *  - the edge side is the shared [[partitionedEdges]] cache and each
+    *    frontier checkpoint is explicitly partitioned on its join key,
+    *    so a hop's QueryExecution has exactly one (tiny) exchange; the
+    *    full edge table is never re-shuffled.
+    * In `all` mode every minimal predecessor at the SAME depth is kept. */
   private def shortestPathsPairsLazy(g: GraphState, pairs: DataFrame,
       maxDepth: Int, edgeTypes: Seq[String], undirected: Boolean,
       all: Boolean): DataFrame = {
-    val edges = hopEdges(g, edgeTypes, undirected)
+    val n = traversalPartitions(pairs.sparkSession)
+    val edges = partitionedEdges(hopEdges(g, edgeTypes, undirected))
     val p = pairs
       .select(col(pairs.columns(0)).as("__a"),
         col(pairs.columns(1)).as("__b"))
@@ -307,17 +383,15 @@ object Traversals {
     val self = p.filter(col("__a") === col("__b"))
       .select(col("__a"), col("__b"), array(col("__a")).as("path"),
         array().cast("array<string>").as("epath"), lit(0L).as("length"))
-    var tl = p.filter(col("__a") =!= col("__b"))
-      .localCheckpoint(eager = false)
+    val targets = p.filter(col("__a") =!= col("__b"))
     val emptyPreds = array()
       .cast("array<struct<pred:string,prededge:string>>")
-    var visited = tl.select(col("__a").as("source"))
+    var visited = targets.select(col("__a").as("source"))
       .dropDuplicates("source")
       .select(col("source"), col("source").as("id"), lit(0).as("depth"),
         emptyPreds.as("preds"))
-      .localCheckpoint(eager = false)
+      .repartition(n, col("id"))
     var frontier = visited.select("source", "id")
-    var foundParts = List.empty[DataFrame]
     var depth = 0
     while (depth < maxDepth) {
       depth += 1
@@ -326,60 +400,56 @@ object Traversals {
           struct(col("src").as("pred"), col("eid").as("prededge"))))
         else array(min(
           struct(col("src").as("pred"), col("eid").as("prededge"))))
-      val nxt = frontier
+      // repartition on `dst` satisfies the (source,dst) grouping (subset
+      // clustering) and, renamed to `id`, the next hop's join key; it is
+      // also the ReusedExchange anchor that dedupes the hop subtree
+      // copies the cut-free unroll creates (see [[HopsPerLineageCut]])
+      var nxt = frontier.hint("shuffle_hash")
         .join(edges, frontier("id") === edges("src"))
+        .repartition(n, col("dst"))
         .groupBy(col("source"), col("dst"))
         .agg(predsAgg.as("preds"))
         .select(col("source"), col("dst").as("id"), lit(depth).as("depth"),
           col("preds"))
         .join(visited.select("source", "id"), Seq("source", "id"),
           "left_anti")
-        .localCheckpoint(eager = false)
-      val hits = nxt
-        .join(tl, nxt("source") === tl("__a") && nxt("id") === tl("__b"))
-        .select(col("__a"), col("__b"),
-          col("depth").cast("long").as("length"))
-        .localCheckpoint(eager = false)
-      foundParts ::= hits
-      tl = tl.join(hits.select("__a", "__b"), Seq("__a", "__b"),
-        "left_anti").localCheckpoint(eager = false)
-      visited = visited.union(nxt).localCheckpoint(eager = false)
-      // sources with no outstanding targets stop expanding (pure
-      // dataflow pruning — no count needed to decide)
-      frontier = nxt.select("source", "id").join(
-        tl.select(col("__a").as("source")).dropDuplicates("source"),
-        Seq("source"), "left_semi")
+      if (depth % HopsPerLineageCut == 0)
+        nxt = nxt.localCheckpoint(eager = false)
+      visited = visited.union(nxt)
+      frontier = nxt.select("source", "id")
     }
-    val found = foundParts.reduce(_.union(_))
+    val found = visited.filter(col("depth") > 0)
+      .join(targets, col("source") === col("__a") && col("id") === col("__b"))
+      .select(col("__a"), col("__b"), col("depth").cast("long").as("length"))
+    // Backward reconstruction, fused: finished rows (cur == source) join
+    // the depth-0 visited entry whose preds array is EMPTY, so
+    // explode_outer passes them through unchanged — no fin/working split,
+    // one consumer per round, ZERO checkpoints: the entire walk (and the
+    // final union/count above it) is a single QueryExecution, in which
+    // the per-round `preds` exchanges are identical subplans Spark
+    // collapses via ReusedExchange. maxDepth ≤ LazyUnrollDepth bounds the
+    // chained-join plan depth.
     val preds = visited.select(col("source"), col("id"), col("preds"))
     var working = found.select(col("__a"), col("__b"), col("length"),
       array(col("__b")).as("path"),
       array().cast("array<string>").as("epath"), col("__b").as("cur"))
-      .localCheckpoint(eager = false)
-    var done: DataFrame = null
     var i = 0
     while (i < maxDepth) {
       i += 1
-      val fin = working.filter(col("cur") === col("__a"))
-        .select(col("__a"), col("__b"), col("path"), col("epath"),
-          col("length"))
-      done = if (done == null) fin else done.union(fin)
-      working = working.filter(col("cur") =!= col("__a"))
-        .join(preds, col("cur") === preds("id") &&
-          col("__a") === preds("source"))
+      working = working
+        .join(preds, working("cur") === preds("id") &&
+          working("__a") === preds("source"))
         .select(col("__a"), col("__b"), col("length"), col("path"),
-          col("epath"), explode(col("preds")).as("p"))
+          col("epath"), col("cur"), explode_outer(col("preds")).as("p"))
         .select(col("__a"), col("__b"), col("length"),
-          concat(array(col("p.pred")), col("path")).as("path"),
-          concat(array(col("p.prededge")), col("epath")).as("epath"),
-          col("p.pred").as("cur"))
-        .localCheckpoint(eager = false)
+          when(col("p").isNull, col("path"))
+            .otherwise(concat(array(col("p.pred")), col("path"))).as("path"),
+          when(col("p").isNull, col("epath"))
+            .otherwise(concat(array(col("p.prededge")), col("epath")))
+            .as("epath"),
+          coalesce(col("p.pred"), col("cur")).as("cur"))
     }
-    val finished = working.filter(col("cur") === col("__a"))
-      .select(col("__a"), col("__b"), col("path"), col("epath"),
-        col("length"))
-    done = if (done == null) finished else done.union(finished)
-    self.union(done.select(col("__a"), col("__b"), col("path"),
+    self.union(working.select(col("__a"), col("__b"), col("path"),
       col("epath"), col("length")))
   }
 
@@ -403,33 +473,33 @@ object Traversals {
       t: Seq[String] = Nil, undirected: Boolean = false,
       reversed: Boolean = false): DataFrame = {
     require(maxDepth >= 1 && minDepth >= 1 && minDepth <= maxDepth)
-    val edges = hopEdges(g, t, undirected, reversed)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var cur = sources
-        .select(array(col(sources.columns.head)).as("path"),
-          array().cast("array<string>").as("epath"),
-          col(sources.columns.head).as("endId"), lit(0).as("depth"))
-      var acc: DataFrame = null
-      var depth = 0
-      var cnt = cur.count()
-      while (depth < maxDepth && cnt > 0) {
-        depth += 1
-        // Cypher trail semantics: a RELATIONSHIP may not repeat within a
-        // path (vertices may — (a)-[e1]->(b)-[e2]->(a) is a valid trail).
-        cur = cur
-          .join(edges, cur("endId") === edges("src"))
-          .filter(!array_contains(col("epath"), col("eid")))
-          .select(concat(col("path"), array(col("dst"))).as("path"),
-            concat(col("epath"), array(col("eid"))).as("epath"),
-            col("dst").as("endId"), lit(depth).as("depth"))
-          .localCheckpoint(eager = false)
-        cnt = cur.count() // one job: loop control + checkpoint in one pass
-        if (depth >= minDepth)
-          acc = if (acc == null) cur else acc.union(cur)
-      }
-      val out = if (acc == null) cur.limit(0) else acc
-      out.select(col("path"), col("endId"), col("depth"))
-    } finally edges.unpersist()
+    val n = traversalPartitions(sources.sparkSession)
+    val edges = partitionedEdges(hopEdges(g, t, undirected, reversed))
+    var cur = sources
+      .select(array(col(sources.columns.head)).as("path"),
+        array().cast("array<string>").as("epath"),
+        col(sources.columns.head).as("endId"), lit(0).as("depth"))
+      .repartition(n, col("endId")) // co-partition with the edge cache
+    var acc: DataFrame = null
+    var depth = 0
+    var cnt = cur.count()
+    while (depth < maxDepth && cnt > 0) {
+      depth += 1
+      // Cypher trail semantics: a RELATIONSHIP may not repeat within a
+      // path (vertices may — (a)-[e1]->(b)-[e2]->(a) is a valid trail).
+      cur = cur.hint("shuffle_hash")
+        .join(edges, cur("endId") === edges("src"))
+        .filter(!array_contains(col("epath"), col("eid")))
+        .select(concat(col("path"), array(col("dst"))).as("path"),
+          concat(col("epath"), array(col("eid"))).as("epath"),
+          col("dst").as("endId"), lit(depth).as("depth"))
+        .repartition(n, col("endId")) // next hop joins co-partitioned
+        .localCheckpoint(eager = false)
+      cnt = cur.count() // one job: loop control + checkpoint in one pass
+      if (depth >= minDepth)
+        acc = if (acc == null) cur else acc.union(cur)
+    }
+    val out = if (acc == null) cur.limit(0) else acc
+    out.select(col("path"), col("endId"), col("depth"))
   }
 }
