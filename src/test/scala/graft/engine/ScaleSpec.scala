@@ -340,4 +340,48 @@ class ScaleSpec extends SparkSpec {
       measured.count())
     assert(measured.count() > 0)
   }
+
+  test("traversal hop joins never re-shuffle the edge table: a warm " +
+      "allShortestPaths' total shuffle is a fraction of the cold run's " +
+      "one-time partitioned-edge exchange") {
+    import java.util.concurrent.atomic.AtomicLong
+    val g = graft.sources.TpchGraph(
+      graft.sources.Tables(spark, sf("sf0.001")))
+    val bytes = new AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit =
+        bytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    def measure(body: => Unit): Long = {
+      // drain in-flight listener events from earlier work before marking
+      org.apache.spark.graft.TestShims
+        .drainListenerBus(spark.sparkContext, 30000)
+      bytes.set(0L)
+      body
+      org.apache.spark.graft.TestShims
+        .drainListenerBus(spark.sparkContext, 30000)
+      bytes.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      import spark.implicits._
+      def run(): Unit = {
+        val pairs = g.vertices.filter(col("label") === "part")
+          .select(lit("c:1").as("a"), col("id").as("b"))
+        assert(Traversals.shortestPathsPairs(g, pairs, maxDepth = 4,
+          all = true).count() > 0)
+      }
+      val cold = measure(run()) // includes the one-time edge exchange
+      val warm = measure(run()) // must reuse the partitioned edge cache
+      // Formerly each of the 4 hops re-shuffled the full edge table, so
+      // a regression puts warm at ~4x the edge-exchange share of cold;
+      // with the cache, warm is frontier-only traffic. Generous margin
+      // for dedup/pairs/reconstruction bytes.
+      assert(warm <= math.max(cold / 2, 64 * 1024),
+        s"warm traversal re-shuffled edges: cold=$cold B, warm=$warm B")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
