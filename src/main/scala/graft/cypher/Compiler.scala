@@ -224,6 +224,32 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     val pVar = pat.pathVar.getOrElse(freshVar())
     val maxDepth = rp.varLength.map(_._2).getOrElse(15)
     val withA = compilePattern(start, PathPat(None, false, pat.head, Nil))
+    if (!withA.has(bVar)) {
+      // Far endpoint unbound: the endpoint sets are independent, so
+      // NEVER materialize the a×b product — it plans as an unbroadcast
+      // CartesianProductExec with |a-parts|×|b-parts| partitions
+      // (measured 1764 tasks at sf1 for one customer × all parts).
+      // Sources drive one tree expansion; targets join the reached set
+      // once; the b node-frame re-attaches via the FOUND pairs only.
+      var bdf = nodeDf(np, bVar)
+      bdf = bdf.filter(propFilters(
+        Frame(bdf, withA.vars + (bVar -> NodeVar)), bVar, np.props))
+        .localCheckpoint(eager = false) // consumed by targets + re-attach
+      val pathsDf = Traversals.shortestPathsFromTo(g,
+          withA.df.select(col(s"${aVar}__id")),
+          bdf.select(col(s"${bVar}__id")), maxDepth,
+          edgeTypes = rp.types, undirected = rp.direction == 0,
+          all = pat.allPaths)
+        .select(col("__a"), col("__b"), col("path").as(s"${pVar}__path"),
+          col("epath").as(s"${pVar}__epath"))
+      val df = withA.df
+        .join(pathsDf, col(s"${aVar}__id") === col("__a"))
+        .join(bdf, col("__b") === col(s"${bVar}__id"))
+        .drop("__a", "__b")
+      return Frame(df, withA.vars + (bVar -> NodeVar) + (pVar -> PathVar))
+    }
+    // b already bound upstream: the pair set is correlated, run the
+    // explicit-pair engine on it
     val frame = compilePattern(withA, PathPat(None, false, np, Nil))
     val pairs = frame.df
       .select(col(s"${aVar}__id"), col(s"${bVar}__id"))

@@ -39,7 +39,8 @@ object StageProbe {
             f"cpu ${m.executorRunTime / 1e3}%6.2f s " +
             f"sw ${m.shuffleWriteMetrics.bytesWritten / 1e6}%7.1f MB " +
             f"sr ${m.shuffleReadMetrics.totalBytesRead / 1e6}%7.1f MB  " +
-            sc.stageInfo.name.take(60))
+            sc.stageInfo.rddInfos.map(r => s"${r.name}#${r.id}")
+              .mkString(",").take(160))
         }
     })
 

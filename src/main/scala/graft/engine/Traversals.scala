@@ -346,47 +346,29 @@ object Traversals {
     }
   }
 
-  /** Fully-lazy batched shortest paths (maxDepth ≤ [[LazyUnrollDepth]]):
-    * per-hop frontier expansion with min-depth dedup, then ONE end-join
-    * of the reached set against the target pairs, then backward path
-    * reconstruction — with ZERO driver-side actions. Every hop and every
-    * reconstruction round is built lazily; per-step `localCheckpoint
-    * (eager = false)` turns each multiply-consumed frame into one shared
-    * RDD, so the caller's single action runs the entire traversal.
-    *
-    * Differences from the action-driven loop, both latency-motivated
-    * (the lazy unroll runs ALL maxDepth hops regardless, so early-exit
-    * bookkeeping buys nothing here and every checkpoint is a whole
-    * QueryExecution of sequential stage latency):
-    *  - no per-hop hit extraction / target retirement / satisfied-source
-    *    pruning (formerly 3 joins + 2 checkpoints per hop). Equivalent:
-    *    the visited anti-join admits each (source, vertex) exactly once,
-    *    at its minimal depth, so joining visited against the pair set
-    *    once at the end yields the same (pair, length) rows.
-    *  - `visited` is a plain union of checkpointed hop leaves (no
-    *    checkpoint of its own — unions of leaves re-plan cheaply).
-    *  - the edge side is the shared [[partitionedEdges]] cache and each
-    *    frontier checkpoint is explicitly partitioned on its join key,
-    *    so a hop's QueryExecution has exactly one (tiny) exchange; the
-    *    full edge table is never re-shuffled.
-    * In `all` mode every minimal predecessor at the SAME depth is kept. */
-  private def shortestPathsPairsLazy(g: GraphState, pairs: DataFrame,
-      maxDepth: Int, edgeTypes: Seq[String], undirected: Boolean,
-      all: Boolean): DataFrame = {
-    val n = traversalPartitions(pairs.sparkSession)
+  /** Lazily-unrolled shortest-path TREE from a set of sources: per-hop
+    * frontier expansion with min-depth dedup, ZERO driver-side actions.
+    * `sources` must have a single column; returns the predecessor table
+    * (source, id, depth, preds ARRAY<STRUCT<pred,prededge>>) with one row
+    * per (source, reached vertex) at its MINIMAL depth (sources at 0,
+    * empty preds). The edge side is the shared [[partitionedEdges]]
+    * cache and each hop checkpoint is explicitly partitioned on its join
+    * key, so a hop's QueryExecution has exactly one (tiny) exchange —
+    * the full edge table is never re-shuffled. No per-hop hit
+    * extraction / target retirement: the lazy unroll runs all maxDepth
+    * hops regardless, so retirement bookkeeping (formerly 3 joins + 2
+    * checkpoints per hop) bought nothing — callers join targets against
+    * the returned tree once. In `all` mode every minimal predecessor at
+    * the SAME depth is kept. */
+  private def spTree(g: GraphState, sources: DataFrame, maxDepth: Int,
+      edgeTypes: Seq[String], undirected: Boolean, all: Boolean)
+      : DataFrame = {
+    val n = traversalPartitions(sources.sparkSession)
     val edges = partitionedEdges(hopEdges(g, edgeTypes, undirected))
-    val p = pairs
-      .select(col(pairs.columns(0)).as("__a"),
-        col(pairs.columns(1)).as("__b"))
-      .dropDuplicates("__a", "__b")
-      .localCheckpoint(eager = false)
-    val self = p.filter(col("__a") === col("__b"))
-      .select(col("__a"), col("__b"), array(col("__a")).as("path"),
-        array().cast("array<string>").as("epath"), lit(0L).as("length"))
-    val targets = p.filter(col("__a") =!= col("__b"))
     val emptyPreds = array()
       .cast("array<struct<pred:string,prededge:string>>")
-    var visited = targets.select(col("__a").as("source"))
+    var visited = sources
+      .select(col(sources.columns.head).as("source"))
       .dropDuplicates("source")
       .select(col("source"), col("source").as("id"), lit(0).as("depth"),
         emptyPreds.as("preds"))
@@ -401,9 +383,7 @@ object Traversals {
         else array(min(
           struct(col("src").as("pred"), col("eid").as("prededge"))))
       // repartition on `dst` satisfies the (source,dst) grouping (subset
-      // clustering) and, renamed to `id`, the next hop's join key; it is
-      // also the ReusedExchange anchor that dedupes the hop subtree
-      // copies the cut-free unroll creates (see [[HopsPerLineageCut]])
+      // clustering) and, renamed to `id`, the next hop's join key
       var nxt = frontier.hint("shuffle_hash")
         .join(edges, frontier("id") === edges("src"))
         .repartition(n, col("dst"))
@@ -418,23 +398,25 @@ object Traversals {
       visited = visited.union(nxt)
       frontier = nxt.select("source", "id")
     }
-    val found = visited.filter(col("depth") > 0)
-      .join(targets, col("source") === col("__a") && col("id") === col("__b"))
-      .select(col("__a"), col("__b"), col("depth").cast("long").as("length"))
-    // Backward reconstruction, fused: finished rows (cur == source) join
-    // the depth-0 visited entry whose preds array is EMPTY, so
-    // explode_outer passes them through unchanged — no fin/working split,
-    // one consumer per round, ZERO checkpoints: the entire walk (and the
-    // final union/count above it) is a single QueryExecution, in which
-    // the per-round `preds` exchanges are identical subplans Spark
-    // collapses via ReusedExchange. maxDepth ≤ LazyUnrollDepth bounds the
-    // chained-join plan depth.
+    visited
+  }
+
+  /** Backward path reconstruction over a [[spTree]] predecessor table,
+    * fused: a finished row (cur == source) joins the depth-0 visited
+    * entry whose preds array is EMPTY, so explode_outer passes it
+    * through unchanged — no fin/working split, one consumer per round,
+    * ZERO checkpoints: the whole walk is one QueryExecution in which the
+    * per-round `preds` exchanges are identical subplans Spark collapses
+    * via ReusedExchange. `found`: (__a source, __b target, length);
+    * returns (__a, __b, path, epath, length). */
+  private def reconstruct(found: DataFrame, visited: DataFrame,
+      rounds: Int): DataFrame = {
     val preds = visited.select(col("source"), col("id"), col("preds"))
     var working = found.select(col("__a"), col("__b"), col("length"),
       array(col("__b")).as("path"),
       array().cast("array<string>").as("epath"), col("__b").as("cur"))
     var i = 0
-    while (i < maxDepth) {
+    while (i < rounds) {
       i += 1
       working = working
         .join(preds, working("cur") === preds("id") &&
@@ -449,8 +431,71 @@ object Traversals {
             .as("epath"),
           coalesce(col("p.pred"), col("cur")).as("cur"))
     }
-    self.union(working.select(col("__a"), col("__b"), col("path"),
-      col("epath"), col("length")))
+    working.select(col("__a"), col("__b"), col("path"), col("epath"),
+      col("length"))
+  }
+
+  /** Fully-lazy batched shortest paths over an explicit pair list
+    * (maxDepth ≤ [[LazyUnrollDepth]]): [[spTree]] from the distinct
+    * sources, then ONE end-join of the reached set against the pair set
+    * (equivalent to per-hop hit extraction: the tree admits each
+    * (source, vertex) exactly once, at minimal depth), then the fused
+    * [[reconstruct]] walk. */
+  private def shortestPathsPairsLazy(g: GraphState, pairs: DataFrame,
+      maxDepth: Int, edgeTypes: Seq[String], undirected: Boolean,
+      all: Boolean): DataFrame = {
+    val p = pairs
+      .select(col(pairs.columns(0)).as("__a"),
+        col(pairs.columns(1)).as("__b"))
+      .dropDuplicates("__a", "__b")
+      .localCheckpoint(eager = false)
+    val self = p.filter(col("__a") === col("__b"))
+      .select(col("__a"), col("__b"), array(col("__a")).as("path"),
+        array().cast("array<string>").as("epath"), lit(0L).as("length"))
+    val targets = p.filter(col("__a") =!= col("__b"))
+    val visited = spTree(g, targets.select(col("__a")), maxDepth,
+      edgeTypes, undirected, all)
+    val found = visited.filter(col("depth") > 0)
+      .join(targets, col("source") === col("__a") && col("id") === col("__b"))
+      .select(col("__a"), col("__b"), col("depth").cast("long").as("length"))
+    self.union(reconstruct(found, visited, maxDepth))
+  }
+
+  /** Batched shortest paths from EVERY source to EVERY target (cartesian
+    * pair semantics) WITHOUT materializing the source×target product —
+    * the product of two MATCHed endpoint sets plans as an unbroadcast
+    * CartesianProductExec whose partition count is the PRODUCT of its
+    * sides (measured: 42×42 = 1764 tasks and 47 s of task time at sf1
+    * just to enumerate (customer c:1 × part) pairs the traversal then
+    * dedups back down). Here sources drive one [[spTree]] expansion and
+    * targets join once against the reached set; only FOUND pairs ever
+    * exist as rows. Falls back to the explicit-pair engine (which keeps
+    * early exit) past [[LazyUnrollDepth]]. */
+  def shortestPathsFromTo(g: GraphState, sources: DataFrame,
+      targets: DataFrame, maxDepth: Int, edgeTypes: Seq[String] = Nil,
+      undirected: Boolean = false, all: Boolean = false): DataFrame = {
+    if (maxDepth > LazyUnrollDepth)
+      return shortestPathsPairs(g, sources.crossJoin(
+        targets.withColumnRenamed(targets.columns.head, "__graft_b")),
+        maxDepth, edgeTypes, undirected, all)
+    // both endpoint sets are multiply consumed (self + tree / found
+    // join) and may sit on expensive scans — one lazy checkpoint each
+    // keeps those scans single-execution
+    val srcs = sources.select(col(sources.columns.head).as("__a"))
+      .dropDuplicates("__a")
+      .localCheckpoint(eager = false)
+    val tgts = targets.select(col(targets.columns.head).as("__b"))
+      .dropDuplicates("__b")
+      .localCheckpoint(eager = false)
+    val self = srcs.join(tgts, col("__a") === col("__b"))
+      .select(col("__a"), col("__b"), array(col("__a")).as("path"),
+        array().cast("array<string>").as("epath"), lit(0L).as("length"))
+    val visited = spTree(g, srcs, maxDepth, edgeTypes, undirected, all)
+    val found = visited.filter(col("depth") > 0)
+      .join(tgts, col("id") === col("__b"))
+      .select(col("source").as("__a"), col("__b"),
+        col("depth").cast("long").as("length"))
+    self.union(reconstruct(found, visited, maxDepth))
   }
 
   /** Single-pair convenience over the batched engine (kept for API

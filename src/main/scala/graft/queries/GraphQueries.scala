@@ -152,9 +152,11 @@ object GraphQueries {
       .select(col("id").as("src"))
     val regions = g.vertices.filter(col("label") === "region")
       .select(col("id").as("dst"))
-    val pairs = custs.crossJoin(regions) // 5 regions: broadcastable dim
-    graft.engine.Traversals.shortestPathsPairs(g, pairs, maxDepth = 2,
-      edgeTypes = Seq("IN_NATION", "IN_REGION"))
+    // cartesian pair semantics WITHOUT materializing customer×region
+    // rows: sources drive one tree expansion, targets join the reached
+    // set once (only found pairs ever exist as rows)
+    graft.engine.Traversals.shortestPathsFromTo(g, custs, regions,
+      maxDepth = 2, edgeTypes = Seq("IN_NATION", "IN_REGION"))
       .select(col("__a").as("src"), col("__b").as("dst"),
         array_join(col("path"), ">").as("path"), col("length"))
       .orderBy(col("src"), col("dst"))

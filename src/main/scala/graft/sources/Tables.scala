@@ -227,7 +227,15 @@ object TpchGraph {
       // filters into single pruned branch scans — `build` keeps that
       // path; at 100 TB the materialization is parquet partitioned by
       // label, giving the same pruning on disk.)
-      GraphState(g.vertices.cache(), g.edges.cache())
+      //
+      // Coalesce before caching: the union of per-table parquet scans
+      // inherits ALL input splits (measured 1764 cached partitions at
+      // sf1), and every downstream scan of the cache then pays per-task
+      // overhead 50× past useful parallelism. Coalesce is shuffle-free;
+      // the cap still leaves 2 waves per core.
+      val p = 2 * tb.spark.sparkContext.defaultParallelism
+      GraphState(g.vertices.coalesce(p).cache(),
+        g.edges.coalesce(p).cache())
     })
 
   def build(tb: Tables): GraphState = {
