@@ -42,6 +42,33 @@ object Traversals {
   private def traversalPartitions(spark: SparkSession): Int =
     math.min(8, spark.sessionState.conf.numShufflePartitions)
 
+  /** Build traversal plans with AQE OFF (restored on exit) — for the
+    * SIMPLE traversal shapes only ([[bfs]]/[[paths]]), whose every join
+    * is single-key and co-partitioned at [[traversalPartitions]]: there
+    * AQE has nothing to re-plan and each exchange costs a driver
+    * materialization round, so static planning compiles each hop QE to
+    * one job (g09 measured 0.66 → 0.48 s, 13 → 10 stages). Planning
+    * happens at `localCheckpoint(eager=false)` call time (`toRdd`
+    * forces it), so scoping the flag around plan CONSTRUCTION is
+    * enough; the caller's outer query still plans under its own AQE
+    * setting. Config writes are session-global, matching the
+    * driver-sequential way traversals are issued.
+    *
+    * MEASURED AND REJECTED for the pairs/tree engines
+    * ([[shortestPathsPairs]]/[[spTree]]): their compound-key
+    * (source,id) anti-joins and reconstruct joins sit on UNION inputs
+    * whose partitioning Spark cannot prove statically, so static plans
+    * fall back to 32-partition sort-merge exchanges where AQE converts
+    * to broadcasts at runtime — cy32 regressed 1.57 → 3.66 s (task
+    * time 3.7 → 40 s, widest stage 24 → 136 tasks). AQE's runtime
+    * broadcast conversion is load-bearing there; keep it. */
+  private def withStaticPlanning[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
+
   private def hopEdges(g: GraphState, edgeTypes: Seq[String],
       undirected: Boolean, reversed: Boolean = false): DataFrame = {
     val base = g.edges.select(col("id"), col("src"), col("dst"),
@@ -109,7 +136,7 @@ object Traversals {
     * at local[32] job scheduling, not data, dominates these traversals. */
   def bfs(g: GraphState, sources: DataFrame, maxDepth: Int,
       edgeType: Option[String] = None, undirected: Boolean = false)
-      : DataFrame = {
+      : DataFrame = withStaticPlanning(sources.sparkSession) {
     if (maxDepth <= LazyUnrollDepth)
       return bfsLazy(g, sources, maxDepth, edgeType.toSeq, undirected)
     val n = traversalPartitions(sources.sparkSession)
@@ -440,7 +467,14 @@ object Traversals {
     * sources, then ONE end-join of the reached set against the pair set
     * (equivalent to per-hop hit extraction: the tree admits each
     * (source, vertex) exactly once, at minimal depth), then the fused
-    * [[reconstruct]] walk. */
+    * [[reconstruct]] walk.
+    *
+    * MEASURED AND REJECTED: bounding the reconstruct rounds by the
+    * actual deepest found length (one driver `max(length)` action on a
+    * checkpointed `found`) — the extra QueryExecution costs more than
+    * the pass-through rounds it saves (cy32 1.99 → 2.55 s, sp01
+    * 1.24 → 1.58 s; a self-retired row's round is a broadcast-join
+    * no-op, the action is ~3 stages of scheduling latency). */
   private def shortestPathsPairsLazy(g: GraphState, pairs: DataFrame,
       maxDepth: Int, edgeTypes: Seq[String], undirected: Boolean,
       all: Boolean): DataFrame = {
@@ -516,7 +550,8 @@ object Traversals {
     * nature — always bound maxDepth; each expansion is one join. */
   def paths(g: GraphState, sources: DataFrame, minDepth: Int, maxDepth: Int,
       t: Seq[String] = Nil, undirected: Boolean = false,
-      reversed: Boolean = false): DataFrame = {
+      reversed: Boolean = false): DataFrame =
+      withStaticPlanning(sources.sparkSession) {
     require(maxDepth >= 1 && minDepth >= 1 && minDepth <= maxDepth)
     val n = traversalPartitions(sources.sparkSession)
     val edges = partitionedEdges(hopEdges(g, t, undirected, reversed))
