@@ -80,6 +80,83 @@ object GraphXBridge {
       .select(col("id"), col("component_id"))
   }
 
+  /** SCC of a BOUNDED graph — condensations whose vertex count is
+    * capped by a vocabulary (event-type transition digraphs, label
+    * co-occurrence graphs), never by corpus size — computed
+    * driver-side with Tarjan's algorithm under the same
+    * (id, component_id = minimum member id) contract as
+    * [[stronglyConnected]]. Rationale: GraphX's Pregel SCC spends ~77
+    * scheduled stages on a 10-vertex condensation (measured on gx07:
+    * 1.5–1.9 s steady of pure stage latency for 5 result rows); a
+    * condensation's edge list is at most vocabulary², so collecting it
+    * is the same bounded-driver discipline as the s10 greedy phase —
+    * and the `require` makes a corpus-scale graph fail loudly here
+    * rather than silently serializing through the driver. */
+  def stronglyConnectedBounded(g: GraphState, maxVertices: Int = 4096)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val ids = g.vertices.select(col("id").cast("string"))
+      .distinct().as[String].collect().sorted
+    require(ids.length <= maxVertices, s"stronglyConnectedBounded: " +
+      s"${ids.length} vertices exceed the $maxVertices driver bound — " +
+      "use stronglyConnected (distributed) instead")
+    val idx = ids.zipWithIndex.toMap
+    val adj = Array.fill(ids.length)(List.empty[Int])
+    g.edges.select(col("src").cast("string"), col("dst").cast("string"))
+      .distinct().as[(String, String)].collect()
+      .foreach { case (s, d) =>
+        for (si <- idx.get(s); di <- idx.get(d)) adj(si) ::= di }
+    val n = ids.length
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val sccStack = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val comp = Array.fill(n)(-1)
+    var counter = 0
+    var nComp = 0
+    // Tarjan with an explicit DFS stack (no recursion: a vocabulary
+    // bound of 4096 could still chain past the JVM stack depth)
+    val work = scala.collection.mutable.Stack.empty[(Int, Iterator[Int])]
+    def open(v: Int): Unit = {
+      index(v) = counter; low(v) = counter; counter += 1
+      sccStack += v; onStack(v) = true
+      work.push((v, adj(v).iterator))
+    }
+    for (root <- 0 until n if index(root) < 0) {
+      open(root)
+      while (work.nonEmpty) {
+        val (v, it) = work.top
+        if (it.hasNext) {
+          val w = it.next()
+          if (index(w) < 0) open(w)
+          else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          work.pop()
+          if (work.nonEmpty) {
+            val p = work.top._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            var w = -1
+            while (w != v) {
+              w = sccStack.remove(sccStack.length - 1)
+              onStack(w) = false
+              comp(w) = nComp
+            }
+            nComp += 1
+          }
+        }
+      }
+    }
+    val minId = new Array[String](nComp)
+    for (v <- 0 until n) {
+      val c = comp(v)
+      if (minId(c) == null || ids(v) < minId(c)) minId(c) = ids(v)
+    }
+    (0 until n).map(v => (ids(v), minId(comp(v))))
+      .toDF("id", "component_id")
+  }
+
   /** Fixed-iteration PageRank (GraphX `staticPageRank`), back as
     * (id, rank). Deterministic for a given graph and iteration count —
     * unlike the tolerance-converged variant there is no run-to-run
@@ -274,12 +351,15 @@ object GraphXBridge {
     * vertex id. Input contract matches [[kCore]]: canonical
     * (src < dst, distinct) undirected edges.
     *
-    * Scale shape: per round, one (id, label) count aggregation with
-    * map-side combine and one argmax via row_number-over-window —
-    * Spark rewrites the rn=1 filter to WindowGroupLimit, so only each
-    * partition's top candidate row reaches the final exchange.
-    * localCheckpoint cuts lineage per round (the kCore/BFS loop
-    * discipline). */
+    * Scale shape: per round, a (id,label) count aggregate and a per-id
+    * argmax — `min(struct(-c, label))`, i.e. max count then min label
+    * in one hash aggregate — BOTH with map-side partial combine, so
+    * each exchange ships combined rows, never the raw edge-scale join
+    * output. (Measured and rejected: an explicit repartition(id) to
+    * make both aggregates exchange-free — it moves the RAW join output
+    * and forfeits the partial combine; shuffle 78 → 92 MB and task
+    * time 2–3× at sf0.1.) Lazy per-round checkpoints cut lineage and
+    * materialize inside the next consumer's job. */
   def labelPropagation(edges: DataFrame, rounds: Int)
       (implicit spark: SparkSession): DataFrame = {
     val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
@@ -288,16 +368,15 @@ object GraphXBridge {
     var labels = sym.select(col("id")).distinct()
       .withColumn("label", col("id"))
     for (_ <- 1 to rounds) {
-      val cnt = sym
+      labels = sym
         .join(labels.withColumnRenamed("id", "nbr"), Seq("nbr"))
         .groupBy(col("id"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id"))
-        .orderBy(col("c").desc, col("label").asc)
-      labels = cnt.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("id"), col("label"))
-        .localCheckpoint()
+        .groupBy(col("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+          .as("m"))
+        .select(col("id"), col("m.l").as("label"))
+        .localCheckpoint(eager = false)
     }
     labels
   }

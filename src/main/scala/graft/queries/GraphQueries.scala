@@ -691,7 +691,11 @@ object GraphQueries {
     val vtx = ev
       .select(concat(lit("t:"), col("event_type")).as("id")).distinct()
       .withColumn("label", lit("etype"))
-    val scc = graft.engine.GraphXBridge.stronglyConnected(
+    // the transition digraph is a CONDENSATION: its vertex count is the
+    // event-type vocabulary (constant at every SF), so the bounded
+    // driver-side Tarjan replaces ~77 Pregel stages of pure scheduling
+    // (TraversalSpec pins it ≡ the distributed stronglyConnected)
+    val scc = graft.engine.GraphXBridge.stronglyConnectedBounded(
       graft.engine.GraphState(vtx, e))
     scc.orderBy(col("id"))
   }

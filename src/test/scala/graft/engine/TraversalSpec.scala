@@ -365,6 +365,16 @@ class TraversalSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(scc == Map("1" -> "1", "2" -> "1", "3" -> "1",
       "4" -> "4", "5" -> "4"))
+    // the bounded driver-side Tarjan must agree with the distributed
+    // path on the same graph (gx07 relies on this equivalence)
+    val bounded = GraphXBridge.stronglyConnectedBounded(g).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bounded == scc)
+    // and fail loudly past its vertex bound
+    val err = intercept[IllegalArgumentException] {
+      GraphXBridge.stronglyConnectedBounded(g, maxVertices = 2)
+    }
+    assert(err.getMessage.contains("driver bound"))
   }
 
   test("Neighborhood: exact sizes on a path graph; HyperBall agrees") {
