@@ -377,6 +377,30 @@ class TraversalSpec extends SparkSpec {
     assert(err.getMessage.contains("driver bound"))
   }
 
+  test("bounded Tarjan matches distributed SCC on random digraphs") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // seeded random digraphs (12 vertices, p=0.18): dense enough for
+    // multi-vertex SCCs, sparse enough for singletons and chains —
+    // the label contract (component = min member id) must agree with
+    // GraphX's Pregel SCC on every vertex
+    for (seed <- Seq(7L, 42L, 1234L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 12
+      val vs = (0 until n).map(i => (f"v$i%02d", "n",
+        Map.empty[String, String]))
+      val es = for {
+        i <- 0 until n; j <- 0 until n
+        if i != j && rnd.nextDouble() < 0.18
+      } yield (s"e$i-$j", f"v$i%02d", f"v$j%02d", "E")
+      val g = GraphState(vertexDf(vs: _*), edgeDf(es: _*))
+      val dist = GraphXBridge.stronglyConnected(g).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val bounded = GraphXBridge.stronglyConnectedBounded(g).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(bounded == dist, s"seed $seed: $bounded != $dist")
+    }
+  }
+
   test("Neighborhood: exact sizes on a path graph; HyperBall agrees") {
     // path a-b-c-d (undirected): 1-hop sizes 2,3,3,2; 2-hop 3,4,4,3
     val g = GraphState(
