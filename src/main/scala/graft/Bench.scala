@@ -89,16 +89,24 @@ object Bench {
         "null"
       }
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"median":$median,"worst":$worst,"sf":"$sfDir","full":$fullRef}"""
-    // ONE summary line, emitted AFTER spark.stop(): Spark's shutdown can
-    // interleave log lines on stdout, so printing before stop() risks
-    // the summary scrolling out of a tail-parse window — and printing
-    // both before AND after (the former shape) duplicated the line in
-    // the captured artifact. stop() is guarded so a shutdown failure
-    // cannot eat the summary.
+    // ONE summary line, emitted BEFORE spark.stop(): a wedged shutdown
+    // (hung streaming query / executor teardown) would otherwise eat
+    // the line entirely — a hang is not a Throwable, so no catch fires.
+    // Spark's own logging goes to stderr, so nothing interleaves on
+    // stdout after this print; the earlier both-before-and-after shape
+    // (which duplicated the line in the captured artifact) stays gone.
+    println(summary)
+    System.out.flush()
+    // watchdog: if stop() wedges, halt the JVM anyway — the summary is
+    // already out and Spark's shutdown hooks have had a minute to run
+    val watchdog = new Thread(() => {
+      Thread.sleep(60000L)
+      Runtime.getRuntime.halt(0)
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
     try spark.stop() catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
     }
-    println(summary)
-    System.out.flush()
   }
 }

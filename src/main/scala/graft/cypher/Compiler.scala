@@ -224,7 +224,28 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
     val pVar = pat.pathVar.getOrElse(freshVar())
     val maxDepth = rp.varLength.map(_._2).getOrElse(15)
     val withA = compilePattern(start, PathPat(None, false, pat.head, Nil))
-    if (!withA.has(bVar)) {
+    // the unbound-endpoint fast path evaluates b's property map against
+    // b's node frame ALONE — sound only when those expressions reference
+    // nothing but b itself. A correlated map like {region: a.region}
+    // must keep the pair-product path, where the combined frame resolves
+    // the outer variable (conservative check: unknown expression forms
+    // count as correlated).
+    def selfContained(e: Expr): Boolean = e match {
+      case EProp(v, _)    => v == bVar
+      case EVar(v)        => v == bVar
+      case ELit(_)        => true
+      case EBin(_, l, r)  => selfContained(l) && selfContained(r)
+      case ENot(x)        => selfContained(x)
+      case EIndex(b, i)   => selfContained(b) && selfContained(i)
+      case ESlice(b, f, t) =>
+        (Seq(b) ++ f ++ t).forall(selfContained)
+      case ECase(subj, whens, els) =>
+        (subj.toSeq ++ whens.flatMap(w => Seq(w._1, w._2)) ++ els.toSeq)
+          .forall(selfContained)
+      case EFunc(_, args, _) => args.forall(selfContained)
+      case _ => false
+    }
+    if (!withA.has(bVar) && np.props.values.forall(selfContained)) {
       // Far endpoint unbound: the endpoint sets are independent, so
       // NEVER materialize the a×b product — it plans as an unbroadcast
       // CartesianProductExec with |a-parts|×|b-parts| partitions
@@ -248,8 +269,8 @@ final class Compiler(g: GraphState)(implicit spark: SparkSession) {
         .drop("__a", "__b")
       return Frame(df, withA.vars + (bVar -> NodeVar) + (pVar -> PathVar))
     }
-    // b already bound upstream: the pair set is correlated, run the
-    // explicit-pair engine on it
+    // b bound upstream, or its property map references outer variables:
+    // the pair set is correlated, run the explicit-pair engine on it
     val frame = compilePattern(withA, PathPat(None, false, np, Nil))
     val pairs = frame.df
       .select(col(s"${aVar}__id"), col(s"${bVar}__id"))

@@ -102,7 +102,18 @@ object GraphXBridge {
       "use stronglyConnected (distributed) instead")
     val idx = ids.zipWithIndex.toMap
     val adj = Array.fill(ids.length)(List.empty[Int])
-    g.edges.select(col("src").cast("string"), col("dst").cast("string"))
+    // semi-join BOTH endpoints against the (bounded) vertex set BEFORE
+    // the distinct+collect: the vertex bound caps what reaches the
+    // driver at |V|², even when the edge table itself is corpus-scale
+    // (an unfiltered collect-then-drop would serialize every edge
+    // through the driver first)
+    val vset = g.vertices.select(col("id").cast("string").as("__vid"))
+      .distinct()
+    g.edges.select(col("src").cast("string").as("__s"),
+        col("dst").cast("string").as("__d"))
+      .join(vset.withColumnRenamed("__vid", "__s"), Seq("__s"), "left_semi")
+      .join(vset.withColumnRenamed("__vid", "__d"), Seq("__d"), "left_semi")
+      .select(col("__s"), col("__d")) // using-joins reorder keys first
       .distinct().as[(String, String)].collect()
       .foreach { case (s, d) =>
         for (si <- idx.get(s); di <- idx.get(d)) adj(si) ::= di }

@@ -84,16 +84,26 @@ object Traversals {
   /** Most cached hop-edge tables kept alive at once; each is one graph ×
     * edge-type-filter × direction combination (a session typically uses a
     * handful). Evicted entries unpersist — bounds executor memory even if
-    * a long session traverses many distinct (e.g. per-test) graphs. */
+    * a long session traverses many distinct (e.g. per-test) graphs.
+    *
+    * The key includes the OWNING SESSION: the cache is process-global
+    * and canonicalized plans compare equal across sessions, so a plan
+    * key alone would serve session A's persisted table to session B
+    * after A (and its SparkContext) stopped — failing with "Cannot
+    * call methods on a stopped SparkContext". Eviction tolerates
+    * dead-context entries (unpersist on one throws). */
   private val MaxCachedEdgeTables = 8
   private val edgeCache = new java.util.LinkedHashMap[
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
       DataFrame](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
         DataFrame]): Boolean =
-      if (size > MaxCachedEdgeTables) { e.getValue.unpersist(false); true }
-      else false
+      if (size > MaxCachedEdgeTables) {
+        try e.getValue.unpersist(false)
+        catch { case _: Throwable => () } // stopped context: entry just drops
+        true
+      } else false
   }
 
   /** Hop-edge table pre-partitioned by `src` and cached, keyed by the
@@ -109,7 +119,7 @@ object Traversals {
     * hop joins need NO exchange on either side at any depth. */
   private def partitionedEdges(df: DataFrame): DataFrame = {
     val n = traversalPartitions(df.sparkSession)
-    val key = df.queryExecution.analyzed.canonicalized
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
     edgeCache.synchronized {
       val hit = edgeCache.get(key)
       if (hit != null) hit
@@ -501,17 +511,16 @@ object Traversals {
     * CartesianProductExec whose partition count is the PRODUCT of its
     * sides (measured: 42×42 = 1764 tasks and 47 s of task time at sf1
     * just to enumerate (customer c:1 × part) pairs the traversal then
-    * dedups back down). Here sources drive one [[spTree]] expansion and
+    * dedups back down). Here sources drive one tree expansion and
     * targets join once against the reached set; only FOUND pairs ever
-    * exist as rows. Falls back to the explicit-pair engine (which keeps
-    * early exit) past [[LazyUnrollDepth]]. */
+    * exist as rows — in BOTH regimes: the lazy unroll up to
+    * [[LazyUnrollDepth]], and an eager per-hop loop past it (early exit
+    * on empty frontier or all pairs found; no per-source retirement —
+    * a source whose targets are all found keeps expanding until the
+    * GLOBAL exit, the price of never building the pair table). */
   def shortestPathsFromTo(g: GraphState, sources: DataFrame,
       targets: DataFrame, maxDepth: Int, edgeTypes: Seq[String] = Nil,
       undirected: Boolean = false, all: Boolean = false): DataFrame = {
-    if (maxDepth > LazyUnrollDepth)
-      return shortestPathsPairs(g, sources.crossJoin(
-        targets.withColumnRenamed(targets.columns.head, "__graft_b")),
-        maxDepth, edgeTypes, undirected, all)
     // both endpoint sets are multiply consumed (self + tree / found
     // join) and may sit on expensive scans — one lazy checkpoint each
     // keeps those scans single-execution
@@ -524,12 +533,83 @@ object Traversals {
     val self = srcs.join(tgts, col("__a") === col("__b"))
       .select(col("__a"), col("__b"), array(col("__a")).as("path"),
         array().cast("array<string>").as("epath"), lit(0L).as("length"))
+    if (maxDepth > LazyUnrollDepth)
+      return fromToEager(g, srcs, tgts, self, maxDepth, edgeTypes,
+        undirected, all)
     val visited = spTree(g, srcs, maxDepth, edgeTypes, undirected, all)
     val found = visited.filter(col("depth") > 0)
       .join(tgts, col("id") === col("__b"))
       .select(col("source").as("__a"), col("__b"),
         col("depth").cast("long").as("length"))
     self.union(reconstruct(found, visited, maxDepth))
+  }
+
+  /** Eager from-to engine (maxDepth > [[LazyUnrollDepth]]): the spTree
+    * hop shape driven by a per-hop loop-control job, exiting early when
+    * the frontier empties or every (source, target) pair is accounted
+    * for. The hop's one action is a single left-outer pass of the new
+    * frontier against the target set, yielding frontier size AND newly
+    * found pair count together (the tree admits each (source, vertex)
+    * once, at minimal depth, so found pairs never re-count).
+    * Reconstruction walks only to the deepest FOUND length — tracked
+    * driver-side for free by the loop. */
+  private def fromToEager(g: GraphState, srcs: DataFrame, tgts: DataFrame,
+      self: DataFrame, maxDepth: Int, edgeTypes: Seq[String],
+      undirected: Boolean, all: Boolean): DataFrame = {
+    val spark = srcs.sparkSession
+    val n = traversalPartitions(spark)
+    val edges = partitionedEdges(hopEdges(g, edgeTypes, undirected))
+    val nSrc = srcs.count() // materializes both endpoint checkpoints
+    val nTgt = tgts.count()
+    if (nSrc == 0 || nTgt == 0) return self
+    var remaining = nSrc * nTgt - self.count()
+    val emptyPreds = array()
+      .cast("array<struct<pred:string,prededge:string>>")
+    var visited = srcs.select(col("__a").as("source"))
+      .select(col("source"), col("source").as("id"), lit(0).as("depth"),
+        emptyPreds.as("preds"))
+      .repartition(n, col("id")) // co-partition with the edge cache
+      .localCheckpoint(eager = false) // materializes inside hop 1's job
+    var frontier = visited.select("source", "id")
+    var depth = 0
+    var maxLen = 0
+    var frontierNonEmpty = remaining > 0
+    val tMark = tgts.select(col("__b"), lit(1).as("__hit"))
+    while (depth < maxDepth && remaining > 0 && frontierNonEmpty) {
+      depth += 1
+      val predsAgg =
+        if (all) array_sort(collect_set(
+          struct(col("src").as("pred"), col("eid").as("prededge"))))
+        else array(min(
+          struct(col("src").as("pred"), col("eid").as("prededge"))))
+      val nxt = frontier.hint("shuffle_hash")
+        .join(edges, frontier("id") === edges("src"))
+        .repartition(n, col("dst"))
+        .groupBy(col("source"), col("dst"))
+        .agg(predsAgg.as("preds"))
+        .select(col("source"), col("dst").as("id"), lit(depth).as("depth"),
+          col("preds"))
+        .join(visited.select("source", "id"), Seq("source", "id"),
+          "left_anti")
+        .localCheckpoint(eager = false)
+      // the hop's ONE job: frontier size + new-pair count in one pass
+      // (targets unique on __b, so the left-outer join is 1:≤1)
+      val stats = nxt.join(tMark, nxt("id") === tMark("__b"), "left_outer")
+        .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))
+        .head()
+      val nTotal = stats.getLong(0)
+      val nHits = stats.getLong(1)
+      visited = visited.union(nxt)
+      if (depth % 3 == 0) visited = visited.localCheckpoint(eager = false)
+      if (nHits > 0) { remaining -= nHits; maxLen = depth }
+      frontier = nxt.select("source", "id")
+      frontierNonEmpty = nTotal > 0
+    }
+    val found = visited.filter(col("depth") > 0)
+      .join(tgts, col("id") === col("__b"))
+      .select(col("source").as("__a"), col("__b"),
+        col("depth").cast("long").as("length"))
+    self.union(reconstruct(found, visited, maxLen))
   }
 
   /** Single-pair convenience over the batched engine (kept for API

@@ -644,15 +644,28 @@ object Multimodal {
 
   /** Resize stage: binary-in/binary-out column transform — decodable
     * images REALLY rescale (Graphics2D bilinear into maxDim×maxDim,
-    * re-encoded PNG); opaque payloads cap at maxBytes by truncation. */
+    * re-encoded PNG); opaque payloads cap at maxBytes by truncation.
+    * `maxBytes` is a HARD cap on both paths: a re-encoded PNG that
+    * still exceeds it (tiny caps, busy pixels) re-rescales at halved
+    * dimensions until it fits, and if even a 1×1 PNG (~70 B) cannot,
+    * the cap wins over decodability via prefix truncation — an output
+    * column contracted to fit fixed-size storage must actually fit. */
   def resizeContent(media: DataFrame, maxBytes: Int, maxDim: Int = 32)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val rescaled = ImageIoCodec.resizeImage(r.content, maxDim, maxDim)
-        r.copy(content =
-          rescaled.getOrElse(OpaqueCodec.truncate(r.content, maxBytes)))
+        var dim = maxDim
+        var out = ImageIoCodec.resizeImage(r.content, dim, dim)
+        while (out.exists(_.length > maxBytes) && dim > 1) {
+          dim = math.max(1, dim / 2)
+          out = ImageIoCodec.resizeImage(r.content, dim, dim)
+        }
+        r.copy(content = out match {
+          case Some(b) if b.length <= maxBytes => b
+          case Some(b) => OpaqueCodec.truncate(b, maxBytes)
+          case None => OpaqueCodec.truncate(r.content, maxBytes)
+        })
       }
     }.toDF()
   }

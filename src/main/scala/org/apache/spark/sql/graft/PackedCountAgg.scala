@@ -38,9 +38,12 @@ import org.apache.spark.sql.types.LongType
   * partition's DISTINCT keys × 16 B must fit on the executor heap —
   * at 100 TB you size `spark.sql.shuffle.partitions` for the key
   * cardinality, exactly as you would for `HashAggregateExec`, whose
-  * spill path at that load is itself a performance cliff. The map
-  * grows by doubling from 64 Ki entries, so small partitions stay
-  * small.
+  * spill path at that load is itself a performance cliff. Working
+  * memory is O(distinct keys + one bounded chunk): past the radix
+  * switch, rows drain through a fixed-size chunk buffer (≤128 MB)
+  * into persistent per-shard tables, so row count — as opposed to key
+  * cardinality — never drives memory (a skewed low-cardinality
+  * partition costs what its table costs, not 8 B per row).
   *
   * Used by `GraphXBridge.linkCandidates` when the pair key packs into
   * one long (conf `spark.graft.packedCountAgg`, default on);
@@ -92,16 +95,113 @@ case class PackedKeyCountExec(
       .getConfString(PackedCountAgg.RadixThresholdKey, (1 << 22).toString)
       .toLong
     child.execute().mapPartitionsInternal { iter =>
-      // ---- phase 1: drain the partition's keys into one flat buffer.
-      // 8 B per row — at near-unique key multiplicity the same order as
-      // the table itself, and it buys the cardinality knowledge the
-      // direct-vs-radix choice needs (a shuffle iterator can't be sized
-      // in advance). Nulls and the sentinel-colliding 0 key are counted
-      // out-of-band here, once, for both aggregation paths.
+      val S = 256
+      // Radix mode engages once this many rows have been buffered —
+      // the conf value, but never more than 16M rows (128 MB of chunk
+      // buffer): past the switch, rows drain through FIXED-size chunks
+      // into PERSISTENT per-shard tables, so the operator's memory is
+      // O(distinct keys + one chunk), never O(partition rows). (The
+      // former shape buffered the whole partition before choosing a
+      // path — a skewed low-cardinality 500M-row partition cost ~8 GB
+      // of drain buffer where the table itself was KBs, and the bare
+      // `n << 1` growth overflowed at 2^30 rows.)
+      val switchAt: Long =
+        if (radixThreshold <= 0L) Long.MaxValue // radix disabled
+        else math.min(radixThreshold, 1L << 24)
+
       var buf = new Array[Long](1 << 14)
       var n = 0
       var zeroCnt = 0L
       var nullCnt = 0L
+
+      // ---- persistent per-shard count tables (radix mode) ----
+      // 256 open-addressed long→long tables, one per hash-top-byte
+      // shard; each chunk scatters with two sequential counting-sort
+      // passes, then inserts shard-by-shard so probes touch ONE
+      // distinct/256-sized table at a time (cache-resident at the 31M
+      // distinct keys of the gx18 sf1 core: ~2 MB/shard).
+      var radix = false
+      var shardKeys: Array[Array[Long]] = null
+      var shardCnts: Array[Array[Long]] = null
+      var shardUsed: Array[Int] = null
+      var scatter: Array[Long] = null
+      val counts = new Array[Int](S + 1)
+
+      def hashOf(k: Long): Long = k * -7046029254386353131L
+
+      def insert(s: Int, k: Long): Unit = {
+        var keys = shardKeys(s)
+        var cnts = shardCnts(s)
+        var mask = keys.length - 1
+        val h = hashOf(k)
+        var p = ((h ^ (h >>> 32)).toInt) & mask
+        var kp = keys(p)
+        while (kp != 0L && kp != k) { p = (p + 1) & mask; kp = keys(p) }
+        if (kp != 0L) { cnts(p) += 1L; return }
+        // new key: grow first if the insert would pass 5/8 load
+        if (shardUsed(s) + 1 >
+            keys.length - (keys.length >> 2) - (keys.length >> 3)) {
+          val cap = keys.length
+          val ncap = cap << 1
+          val nmask = ncap - 1
+          val nk = new Array[Long](ncap)
+          val nc = new Array[Long](ncap)
+          var i = 0
+          while (i < cap) {
+            val kk = keys(i)
+            if (kk != 0L) {
+              val hh = hashOf(kk)
+              var pp = ((hh ^ (hh >>> 32)).toInt) & nmask
+              while (nk(pp) != 0L) pp = (pp + 1) & nmask
+              nk(pp) = kk
+              nc(pp) = cnts(i)
+            }
+            i += 1
+          }
+          shardKeys(s) = nk; shardCnts(s) = nc
+          keys = nk; cnts = nc; mask = nmask
+          p = ((h ^ (h >>> 32)).toInt) & mask
+          while (keys(p) != 0L) p = (p + 1) & mask
+        }
+        keys(p) = k
+        cnts(p) = 1L
+        shardUsed(s) += 1
+      }
+
+      def flushChunk(): Unit = {
+        if (n == 0) return
+        java.util.Arrays.fill(counts, 0)
+        var i = 0
+        while (i < n) {
+          counts(((hashOf(buf(i)) >>> 56).toInt & (S - 1)) + 1) += 1
+          i += 1
+        }
+        i = 1
+        while (i <= S) { counts(i) += counts(i - 1); i += 1 }
+        val offsets = java.util.Arrays.copyOf(counts, S)
+        if (scatter == null || scatter.length < n)
+          scatter = new Array[Long](buf.length)
+        i = 0
+        while (i < n) {
+          val k = buf(i)
+          val s = (hashOf(k) >>> 56).toInt & (S - 1)
+          scatter(offsets(s)) = k
+          offsets(s) += 1
+          i += 1
+        }
+        var s = 0
+        while (s < S) {
+          var j = counts(s)
+          val end = counts(s + 1)
+          while (j < end) { insert(s, scatter(j)); j += 1 }
+          s += 1
+        }
+        n = 0
+      }
+
+      // ---- drain: nulls and the sentinel-colliding 0 key counted
+      // out-of-band once for both paths; other keys buffer until the
+      // radix switch, then flow chunk-by-chunk into the shard tables.
       while (iter.hasNext) {
         val row = iter.next()
         if (row.isNullAt(0)) nullCnt += 1L
@@ -109,7 +209,26 @@ case class PackedKeyCountExec(
           val k = row.getLong(0)
           if (k == 0L) zeroCnt += 1L
           else {
-            if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n << 1)
+            if (!radix && n.toLong >= switchAt) {
+              shardKeys = Array.fill(S)(new Array[Long](1 << 6))
+              shardCnts = Array.fill(S)(new Array[Long](1 << 6))
+              shardUsed = new Array[Int](S)
+              radix = true
+              flushChunk()
+            }
+            if (n == buf.length) {
+              if (radix) flushChunk()
+              else {
+                // overflow-safe growth (radix-disabled mode only —
+                // with radix on, the buffer never outgrows switchAt)
+                val grown = math.min(
+                  buf.length.toLong << 1, (Int.MaxValue - 8).toLong).toInt
+                require(grown > buf.length, "PackedKeyCountExec: " +
+                  "partition exceeds 2^31 rows with radix disabled " +
+                  s"(${PackedCountAgg.RadixThresholdKey}=0)")
+                buf = java.util.Arrays.copyOf(buf, grown)
+              }
+            }
             buf(n) = k
             n += 1
           }
@@ -172,69 +291,35 @@ case class PackedKeyCountExec(
         (keys, cnts)
       }
 
-      // ---- phase 2: pick the aggregation shape.
-      // Direct: one table over the whole buffer (small partitions).
-      // Radix: scatter keys into 256 shards by the hash's TOP byte
-      // (the table index folds in the low bits — disjoint, so shards
-      // stay uniform), then aggregate shard-by-shard with tables 256×
-      // smaller — cache-resident probes, DuckDB's radix-aggregate
-      // shape. The scatter is two sequential passes (counting sort);
-      // sequential bandwidth is ~10× random-probe bandwidth, so it
-      // pays for itself as soon as the flat table leaves L3. One shard
-      // table is alive at a time; a 1000-executor job sizes shuffle
-      // partitions so `rows × 16 B` fits the heap exactly as it would
-      // for HashAggregateExec — the shards only localize the probes.
-      val shardSlices: Array[(Array[Long], Int, Int)] =
-        if (radixThreshold <= 0L || n <= radixThreshold) {
-          if (n > 0) Array((buf, 0, n)) else Array.empty
-        } else {
-          val S = 256
-          val counts = new Array[Int](S + 1)
-          var i = 0
-          while (i < n) {
-            val h = buf(i) * -7046029254386353131L
-            counts(((h >>> 56).toInt & (S - 1)) + 1) += 1
-            i += 1
-          }
-          i = 1
-          while (i <= S) { counts(i) += counts(i - 1); i += 1 }
-          val offsets = java.util.Arrays.copyOf(counts, S)
-          val sorted = new Array[Long](n)
-          i = 0
-          while (i < n) {
-            val k = buf(i)
-            val h = k * -7046029254386353131L
-            val s = (h >>> 56).toInt & (S - 1)
-            sorted(offsets(s)) = k
-            offsets(s) += 1
-            i += 1
-          }
-          buf = null // the scattered copy replaces the drain buffer
-          (0 until S).iterator
-            .filter(s => counts(s + 1) > counts(s))
-            .map(s => (sorted, counts(s), counts(s + 1)))
-            .toArray
-        }
+      // ---- phase 2: emit.
+      // Direct mode (the input ended before the radix switch): one
+      // table over the whole buffer, exactly the original small-
+      // partition path. Radix mode: the shard tables already hold the
+      // final counts — flush the tail chunk and walk them in order.
+      if (radix) flushChunk()
+      val segments: Iterator[(Array[Long], Array[Long])] =
+        if (radix)
+          (0 until S).iterator.filter(shardUsed(_) > 0)
+            .map(s => (shardKeys(s), shardCnts(s)))
+        else if (n > 0) {
+          val kc = countSlice(buf, 0, n)
+          Iterator.single(kc)
+        } else Iterator.empty
 
       val out = new SpecificInternalRow(Seq(LongType, LongType))
       val proj = UnsafeProjection.create(
         Array[org.apache.spark.sql.types.DataType](LongType, LongType))
       new Iterator[InternalRow] {
-        private var shard = -1
         private var keys: Array[Long] = null
         private var cnts: Array[Long] = null
         private var i = 0
         private var zeroLeft = zeroCnt > 0L
         private var nullLeft = nullCnt > 0L
-        // Aggregates shards LAZILY, one at a time, as the consumer
-        // drains — only one shard's table is ever resident.
         private def advance(): Unit = {
           while (keys != null && i < keys.length && keys(i) == 0L) i += 1
           while (keys == null || i == keys.length) {
-            shard += 1
-            if (shard >= shardSlices.length) { keys = null; return }
-            val (src, from, until) = shardSlices(shard)
-            val kc = countSlice(src, from, until)
+            if (!segments.hasNext) { keys = null; return }
+            val kc = segments.next()
             keys = kc._1; cnts = kc._2; i = 0
             while (i < keys.length && keys(i) == 0L) i += 1
           }

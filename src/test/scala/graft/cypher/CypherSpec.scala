@@ -198,6 +198,31 @@ class CypherSpec extends SparkSpec {
     assert(rows.head.getSeq[String](1) == Seq("KNOWS", "WORKS_WITH"))
   }
 
+  test("deep-bound shortestPath with unbound endpoint: eager engine") {
+    // [*..12] exceeds the lazy unroll depth: the unbound-endpoint path
+    // must run the eager from-to loop, never a source×target product
+    val rows = q(
+      """MATCH (a:Person {id: "alice"})
+        |MATCH p = shortestPath((a)-[*..12]-(b:Person {id: "diana"}))
+        |RETURN size(nodes(p)) AS n""".stripMargin).collect()
+    assert(rows.length == 1 && rows.head.getInt(0) == 3)
+  }
+
+  test("shortestPath far endpoint with a CORRELATED property map") {
+    // {active: a.active} references the OUTER variable: the compiler
+    // must route this through the pair-product path — the unbound-
+    // endpoint tree fast path evaluates b's props against b's frame
+    // alone and cannot resolve a.active (formerly AnalysisException)
+    val rows = q(
+      """MATCH (a:Person {id: "alice"})
+        |MATCH p = shortestPath((a)-[*..3]-(b:Person {active: a.active}))
+        |RETURN b.name AS name""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    // active=true matches alice (self, zero-length path) and bob;
+    // charlie is active=false, diana has no active property
+    assert(rows == Set("Alice", "Bob"))
+  }
+
   test("allShortestPaths binds every minimal route through Cypher") {
     // alice-KNOWS->bob-WORKS_WITH->diana is the unique 2-hop route in
     // the fixture, so build a second route first: alice->charlie->diana

@@ -377,6 +377,20 @@ class TraversalSpec extends SparkSpec {
     assert(err.getMessage.contains("driver bound"))
   }
 
+  test("shortestPathsFromTo past the unroll depth: eager loop, no product") {
+    // maxDepth 12 > LazyUnrollDepth forces the eager from-to engine —
+    // same found-pairs-only semantics, early exit, no source×target
+    // cartesian (the former deep fallback crossJoined the endpoints)
+    val out = Traversals.shortestPathsFromTo(chain, srcDf("a"),
+        srcDf("c", "d", "iso"), maxDepth = 12)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getSeq[String](2), r.getLong(4))).toSet
+    assert(out == Set(
+      ("a", "c", Seq("a", "c"), 1L),        // the skip edge wins
+      ("a", "d", Seq("a", "c", "d"), 2L)))  // iso unreachable: no row
+  }
+
   test("bounded Tarjan matches distributed SCC on random digraphs") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     // seeded random digraphs (12 vertices, p=0.18): dense enough for
