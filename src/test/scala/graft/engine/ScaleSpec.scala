@@ -68,6 +68,39 @@ class ScaleSpec extends SparkSpec {
     assert(radix == generic, s"radix=${radix.take(5)}")
   }
 
+  test("PackedKeyCountExec chunked radix: mid-stream switch and " +
+      "buffer-full flushes reproduce the generic count exactly") {
+    import spark.implicits._
+    // 200k rows (≈50k per post-exchange partition at the test
+    // session's 4 shuffle partitions) with nulls, zeros, negatives, a
+    // hot key, and a ~10k-key tail: with radixThreshold=100 the switch
+    // fires mid-stream (buffer far from full) and the 16Ki chunk
+    // buffer then flushes on buffer-full several times — the two drain
+    // paths the threshold=1 pin (per-row flush) never exercises
+    val keys: Seq[java.lang.Long] = (0 until 200000).map { i =>
+      (i % 37) match {
+        case 0 => null
+        case 1 => java.lang.Long.valueOf(0L)
+        case 2 => java.lang.Long.valueOf(-42L)       // hot negative key
+        case _ => java.lang.Long.valueOf((i * 2654435761L) % 9973 - 4986)
+      }
+    }
+    val df = keys.toDF("k").repartition(3)
+    val generic = df.groupBy($"k").count()
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        r.getLong(1))).toMap
+    spark.conf.set(
+      org.apache.spark.sql.graft.PackedCountAgg.RadixThresholdKey, "100")
+    val packed = try {
+      org.apache.spark.sql.graft.PackedCountAgg.countByKey(df, "n")
+        .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+          r.getLong(1))).toMap
+    } finally spark.conf.unset(
+      org.apache.spark.sql.graft.PackedCountAgg.RadixThresholdKey)
+    assert(packed == generic,
+      s"sizes packed=${packed.size} generic=${generic.size}")
+  }
+
   test("containmentPairs plan: shuffle-hash joins, no broadcast of the " +
       "exploded postings or the array-doc sides") {
     import spark.implicits._
