@@ -38,12 +38,14 @@ import org.apache.spark.sql.types.LongType
   * partition's DISTINCT keys × 16 B must fit on the executor heap —
   * at 100 TB you size `spark.sql.shuffle.partitions` for the key
   * cardinality, exactly as you would for `HashAggregateExec`, whose
-  * spill path at that load is itself a performance cliff. Working
-  * memory is O(distinct keys + one bounded chunk): past the radix
-  * switch, rows drain through a fixed-size chunk buffer (≤128 MB)
-  * into persistent per-shard tables, so row count — as opposed to key
-  * cardinality — never drives memory (a skewed low-cardinality
-  * partition costs what its table costs, not 8 B per row).
+  * spill path at that load is itself a performance cliff. Drain
+  * memory is bounded: up to [[PackedCountAgg.PersistentSwitchKey]]
+  * rows (default 64M = 512 MB) the partition buffers flat — the lean
+  * path for near-unique keys (8–16 B × rows, one lazily-built shard
+  * table resident at a time) — and beyond it rows flow through
+  * bounded chunks into persistent per-shard tables, so a skewed
+  * low-cardinality giant partition costs O(distinct + chunk), never
+  * 8 B × rows unbounded.
   *
   * Used by `GraphXBridge.linkCandidates` when the pair key packs into
   * one long (conf `spark.graft.packedCountAgg`, default on);
@@ -94,33 +96,34 @@ case class PackedKeyCountExec(
     val radixThreshold = org.apache.spark.sql.internal.SQLConf.get
       .getConfString(PackedCountAgg.RadixThresholdKey, (1 << 22).toString)
       .toLong
+    // Past this many BUFFERED rows per partition the drain stops being
+    // one flat buffer and switches to bounded chunks feeding PERSISTENT
+    // per-shard count tables — the backstop that keeps a skewed
+    // low-cardinality giant partition at O(distinct + chunk) memory
+    // instead of 8 B × rows (the former unconditional drain also
+    // overflowed its bare `n << 1` growth at 2^30 rows). The default
+    // (64M rows = 512 MB of buffer) sits above every measured workload
+    // (gx18 sf1: ~46M rows/partition), because below the switch the
+    // one-shot path is ~2× leaner for the near-unique-key case this
+    // operator exists for: 8–16 B × rows of flat longs vs ~26 B ×
+    // distinct of persistent hash slots, with only ONE lazily-built
+    // shard table resident at a time.
+    val persistentSwitch = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(PackedCountAgg.PersistentSwitchKey,
+        (1L << 26).toString).toLong
     child.execute().mapPartitionsInternal { iter =>
       val S = 256
-      // Radix mode engages once this many rows have been buffered —
-      // the conf value, but never more than 16M rows (128 MB of chunk
-      // buffer): past the switch, rows drain through FIXED-size chunks
-      // into PERSISTENT per-shard tables, so the operator's memory is
-      // O(distinct keys + one chunk), never O(partition rows). (The
-      // former shape buffered the whole partition before choosing a
-      // path — a skewed low-cardinality 500M-row partition cost ~8 GB
-      // of drain buffer where the table itself was KBs, and the bare
-      // `n << 1` growth overflowed at 2^30 rows.)
-      val switchAt: Long =
-        if (radixThreshold <= 0L) Long.MaxValue // radix disabled
-        else math.min(radixThreshold, 1L << 24)
-
       var buf = new Array[Long](1 << 14)
       var n = 0
       var zeroCnt = 0L
       var nullCnt = 0L
 
-      // ---- persistent per-shard count tables (radix mode) ----
+      // ---- persistent per-shard count tables (past persistentSwitch)
       // 256 open-addressed long→long tables, one per hash-top-byte
       // shard; each chunk scatters with two sequential counting-sort
-      // passes, then inserts shard-by-shard so probes touch ONE
-      // distinct/256-sized table at a time (cache-resident at the 31M
-      // distinct keys of the gx18 sf1 core: ~2 MB/shard).
-      var radix = false
+      // passes, then inserts shard-by-shard so probes touch one
+      // bounded table at a time.
+      var persistent = false
       var shardKeys: Array[Array[Long]] = null
       var shardCnts: Array[Array[Long]] = null
       var shardUsed: Array[Int] = null
@@ -168,40 +171,50 @@ case class PackedKeyCountExec(
         shardUsed(s) += 1
       }
 
-      def flushChunk(): Unit = {
-        if (n == 0) return
-        java.util.Arrays.fill(counts, 0)
-        var i = 0
-        while (i < n) {
-          counts(((hashOf(buf(i)) >>> 56).toInt & (S - 1)) + 1) += 1
-          i += 1
-        }
-        i = 1
-        while (i <= S) { counts(i) += counts(i - 1); i += 1 }
-        val offsets = java.util.Arrays.copyOf(counts, S)
-        if (scatter == null || scatter.length < n)
-          scatter = new Array[Long](buf.length)
-        i = 0
-        while (i < n) {
-          val k = buf(i)
-          val s = (hashOf(k) >>> 56).toInt & (S - 1)
-          scatter(offsets(s)) = k
-          offsets(s) += 1
-          i += 1
-        }
-        var s = 0
-        while (s < S) {
-          var j = counts(s)
-          val end = counts(s + 1)
-          while (j < end) { insert(s, scatter(j)); j += 1 }
-          s += 1
+      // Scatter buf[0,n) into the persistent shard tables, in ≤4M-row
+      // sub-slices so the scatter scratch never mirrors a large buffer.
+      def flushToShards(): Unit = {
+        val slice = 1 << 22
+        if (scatter == null)
+          scatter = new Array[Long](math.min(n, slice).max(1))
+        var from = 0
+        while (from < n) {
+          val until = math.min(from + slice, n)
+          java.util.Arrays.fill(counts, 0)
+          var i = from
+          while (i < until) {
+            counts(((hashOf(buf(i)) >>> 56).toInt & (S - 1)) + 1) += 1
+            i += 1
+          }
+          i = 1
+          while (i <= S) { counts(i) += counts(i - 1); i += 1 }
+          val offsets = java.util.Arrays.copyOf(counts, S)
+          if (scatter.length < until - from)
+            scatter = new Array[Long](until - from)
+          i = from
+          while (i < until) {
+            val k = buf(i)
+            val s = (hashOf(k) >>> 56).toInt & (S - 1)
+            scatter(offsets(s)) = k
+            offsets(s) += 1
+            i += 1
+          }
+          var s = 0
+          while (s < S) {
+            var j = counts(s)
+            val end = counts(s + 1)
+            while (j < end) { insert(s, scatter(j)); j += 1 }
+            s += 1
+          }
+          from = until
         }
         n = 0
       }
 
       // ---- drain: nulls and the sentinel-colliding 0 key counted
-      // out-of-band once for both paths; other keys buffer until the
-      // radix switch, then flow chunk-by-chunk into the shard tables.
+      // out-of-band once for all paths; other keys buffer flat until
+      // persistentSwitch, then flow chunk-by-chunk into the shard
+      // tables (memory O(distinct + chunk) from there on).
       while (iter.hasNext) {
         val row = iter.next()
         if (row.isNullAt(0)) nullCnt += 1L
@@ -209,23 +222,23 @@ case class PackedKeyCountExec(
           val k = row.getLong(0)
           if (k == 0L) zeroCnt += 1L
           else {
-            if (!radix && n.toLong >= switchAt) {
+            if (!persistent && n.toLong >= persistentSwitch) {
               shardKeys = Array.fill(S)(new Array[Long](1 << 6))
               shardCnts = Array.fill(S)(new Array[Long](1 << 6))
               shardUsed = new Array[Int](S)
-              radix = true
-              flushChunk()
+              persistent = true
+              flushToShards()
+              if (buf.length > (1 << 22)) // release the big flat buffer
+                buf = new Array[Long](1 << 22)
             }
             if (n == buf.length) {
-              if (radix) flushChunk()
+              if (persistent) flushToShards()
               else {
-                // overflow-safe growth (radix-disabled mode only —
-                // with radix on, the buffer never outgrows switchAt)
                 val grown = math.min(
                   buf.length.toLong << 1, (Int.MaxValue - 8).toLong).toInt
                 require(grown > buf.length, "PackedKeyCountExec: " +
-                  "partition exceeds 2^31 rows with radix disabled " +
-                  s"(${PackedCountAgg.RadixThresholdKey}=0)")
+                  "partition exceeds 2^31 buffered rows — lower " +
+                  PackedCountAgg.PersistentSwitchKey)
                 buf = java.util.Arrays.copyOf(buf, grown)
               }
             }
@@ -292,19 +305,45 @@ case class PackedKeyCountExec(
       }
 
       // ---- phase 2: emit.
-      // Direct mode (the input ended before the radix switch): one
-      // table over the whole buffer, exactly the original small-
-      // partition path. Radix mode: the shard tables already hold the
-      // final counts — flush the tail chunk and walk them in order.
-      if (radix) flushChunk()
+      // Persistent mode: the shard tables already hold the final
+      // counts — flush the tail chunk and walk them. Otherwise the
+      // whole partition sits in `buf`: aggregate DIRECT (one table)
+      // below radixThreshold rows, or via the one-shot radix — scatter
+      // once, then LAZY per-slice tables so only one shard's table is
+      // ever resident (the lean path for near-unique keys: flat longs,
+      // not persistent hash slots).
       val segments: Iterator[(Array[Long], Array[Long])] =
-        if (radix)
+        if (persistent) {
+          flushToShards()
           (0 until S).iterator.filter(shardUsed(_) > 0)
             .map(s => (shardKeys(s), shardCnts(s)))
-        else if (n > 0) {
-          val kc = countSlice(buf, 0, n)
-          Iterator.single(kc)
-        } else Iterator.empty
+        } else if (n == 0) Iterator.empty
+        else if (radixThreshold <= 0L || n <= radixThreshold) {
+          Iterator.single(countSlice(buf, 0, n))
+        } else {
+          java.util.Arrays.fill(counts, 0)
+          var i = 0
+          while (i < n) {
+            counts(((hashOf(buf(i)) >>> 56).toInt & (S - 1)) + 1) += 1
+            i += 1
+          }
+          i = 1
+          while (i <= S) { counts(i) += counts(i - 1); i += 1 }
+          val offsets = java.util.Arrays.copyOf(counts, S)
+          val sorted = new Array[Long](n)
+          i = 0
+          while (i < n) {
+            val k = buf(i)
+            val s = (hashOf(k) >>> 56).toInt & (S - 1)
+            sorted(offsets(s)) = k
+            offsets(s) += 1
+            i += 1
+          }
+          buf = null // the scattered copy replaces the drain buffer
+          (0 until S).iterator
+            .filter(s => counts(s + 1) > counts(s))
+            .map(s => countSlice(sorted, counts(s), counts(s + 1)))
+        }
 
       val out = new SpecificInternalRow(Seq(LongType, LongType))
       val proj = UnsafeProjection.create(
@@ -361,6 +400,13 @@ object PackedCountAgg {
     * (default 4M rows ≈ the table size where probes start missing L3).
     * Set to 0 to force the direct single-table path. */
   val RadixThresholdKey = "spark.graft.packedCountAgg.radixThreshold"
+
+  /** Buffered rows per partition above which the drain abandons the
+    * flat one-shot buffer for bounded chunks feeding persistent
+    * per-shard count tables — the memory backstop for skewed
+    * low-cardinality giant partitions (default 64M rows = 512 MB;
+    * memory past the switch is O(distinct keys + one chunk)). */
+  val PersistentSwitchKey = "spark.graft.packedCountAgg.persistentSwitch"
 
   def enabled(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get(ConfKey, "true").toBoolean

@@ -73,10 +73,12 @@ class ScaleSpec extends SparkSpec {
     import spark.implicits._
     // 200k rows (≈50k per post-exchange partition at the test
     // session's 4 shuffle partitions) with nulls, zeros, negatives, a
-    // hot key, and a ~10k-key tail: with radixThreshold=100 the switch
-    // fires mid-stream (buffer far from full) and the 16Ki chunk
-    // buffer then flushes on buffer-full several times — the two drain
-    // paths the threshold=1 pin (per-row flush) never exercises
+    // hot key, and a ~10k-key tail — compared key-for-key against the
+    // generic aggregate under BOTH escape hatches: one-shot radix
+    // (radixThreshold=100, lazy per-slice tables) and the persistent
+    // chunked mode (persistentSwitch=100: mid-stream switch with a
+    // partially-filled buffer, then several buffer-full chunk flushes
+    // into the persistent shard tables)
     val keys: Seq[java.lang.Long] = (0 until 200000).map { i =>
       (i % 37) match {
         case 0 => null
@@ -89,16 +91,21 @@ class ScaleSpec extends SparkSpec {
     val generic = df.groupBy($"k").count()
       .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0),
         r.getLong(1))).toMap
-    spark.conf.set(
-      org.apache.spark.sql.graft.PackedCountAgg.RadixThresholdKey, "100")
-    val packed = try {
-      org.apache.spark.sql.graft.PackedCountAgg.countByKey(df, "n")
-        .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0),
-          r.getLong(1))).toMap
-    } finally spark.conf.unset(
+    def packedWith(key: String): Map[Any, Long] = {
+      spark.conf.set(key, "100")
+      try org.apache.spark.sql.graft.PackedCountAgg.countByKey(df, "n")
+        .collect().map(r => ((if (r.isNullAt(0)) null else r.getLong(0))
+          : Any, r.getLong(1))).toMap
+      finally spark.conf.unset(key)
+    }
+    val oneShot = packedWith(
       org.apache.spark.sql.graft.PackedCountAgg.RadixThresholdKey)
-    assert(packed == generic,
-      s"sizes packed=${packed.size} generic=${generic.size}")
+    assert(oneShot == generic,
+      s"one-shot radix: ${oneShot.size} vs ${generic.size}")
+    val persisted = packedWith(
+      org.apache.spark.sql.graft.PackedCountAgg.PersistentSwitchKey)
+    assert(persisted == generic,
+      s"persistent chunks: ${persisted.size} vs ${generic.size}")
   }
 
   test("containmentPairs plan: shuffle-hash joins, no broadcast of the " +
