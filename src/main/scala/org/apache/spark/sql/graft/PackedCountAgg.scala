@@ -41,11 +41,13 @@ import org.apache.spark.sql.types.LongType
   * spill path at that load is itself a performance cliff. Drain
   * memory is bounded: up to [[PackedCountAgg.PersistentSwitchKey]]
   * rows (default 64M = 512 MB) the partition buffers flat — the lean
-  * path for near-unique keys (8–16 B × rows, one lazily-built shard
-  * table resident at a time) — and beyond it rows flow through
-  * bounded chunks into persistent per-shard tables, so a skewed
-  * low-cardinality giant partition costs O(distinct + chunk), never
-  * 8 B × rows unbounded.
+  * path for near-unique keys, whose worst-case transient is ~24 B ×
+  * rows (power-of-two buffer slack plus the one-shot radix's
+  * same-size scatter copy held briefly alongside it; one lazily-built
+  * shard table resident at a time after that) — and beyond it rows
+  * flow through bounded chunks into persistent per-shard tables, so a
+  * skewed low-cardinality giant partition costs O(distinct + chunk),
+  * never 8 B × rows unbounded.
   *
   * Used by `GraphXBridge.linkCandidates` when the pair key packs into
   * one long (conf `spark.graft.packedCountAgg`, default on);
@@ -171,34 +173,44 @@ case class PackedKeyCountExec(
         shardUsed(s) += 1
       }
 
-      // Scatter buf[0,n) into the persistent shard tables, in ≤4M-row
-      // sub-slices so the scatter scratch never mirrors a large buffer.
+      // Counting-sort src[from,until) by hash top byte into dest[0,…):
+      // after the call, counts(s)..counts(s+1) are shard s's bounds in
+      // dest. The ONE scatter implementation both aggregation modes
+      // share (a drifted copy would silently desynchronize them).
+      def scatterByShard(src: Array[Long], from: Int, until: Int,
+          dest: Array[Long]): Unit = {
+        java.util.Arrays.fill(counts, 0)
+        var i = from
+        while (i < until) {
+          counts(((hashOf(src(i)) >>> 56).toInt & (S - 1)) + 1) += 1
+          i += 1
+        }
+        i = 1
+        while (i <= S) { counts(i) += counts(i - 1); i += 1 }
+        val offsets = java.util.Arrays.copyOf(counts, S)
+        i = from
+        while (i < until) {
+          val k = src(i)
+          val s = (hashOf(k) >>> 56).toInt & (S - 1)
+          dest(offsets(s)) = k
+          offsets(s) += 1
+          i += 1
+        }
+      }
+
+      // Scatter buf[0,n) into the persistent shard tables, in
+      // chunk-sized sub-slices so the scatter scratch never mirrors a
+      // large buffer.
       def flushToShards(): Unit = {
-        val slice = 1 << 22
         if (scatter == null)
-          scatter = new Array[Long](math.min(n, slice).max(1))
+          scatter = new Array[Long](
+            math.min(n, PackedCountAgg.ChunkRows).max(1))
         var from = 0
         while (from < n) {
-          val until = math.min(from + slice, n)
-          java.util.Arrays.fill(counts, 0)
-          var i = from
-          while (i < until) {
-            counts(((hashOf(buf(i)) >>> 56).toInt & (S - 1)) + 1) += 1
-            i += 1
-          }
-          i = 1
-          while (i <= S) { counts(i) += counts(i - 1); i += 1 }
-          val offsets = java.util.Arrays.copyOf(counts, S)
+          val until = math.min(from + PackedCountAgg.ChunkRows, n)
           if (scatter.length < until - from)
             scatter = new Array[Long](until - from)
-          i = from
-          while (i < until) {
-            val k = buf(i)
-            val s = (hashOf(k) >>> 56).toInt & (S - 1)
-            scatter(offsets(s)) = k
-            offsets(s) += 1
-            i += 1
-          }
+          scatterByShard(buf, from, until, scatter)
           var s = 0
           while (s < S) {
             var j = counts(s)
@@ -228,8 +240,8 @@ case class PackedKeyCountExec(
               shardUsed = new Array[Int](S)
               persistent = true
               flushToShards()
-              if (buf.length > (1 << 22)) // release the big flat buffer
-                buf = new Array[Long](1 << 22)
+              if (buf.length > PackedCountAgg.ChunkRows)
+                buf = new Array[Long](PackedCountAgg.ChunkRows) // release the big flat buffer
             }
             if (n == buf.length) {
               if (persistent) flushToShards()
@@ -321,28 +333,16 @@ case class PackedKeyCountExec(
         else if (radixThreshold <= 0L || n <= radixThreshold) {
           Iterator.single(countSlice(buf, 0, n))
         } else {
-          java.util.Arrays.fill(counts, 0)
-          var i = 0
-          while (i < n) {
-            counts(((hashOf(buf(i)) >>> 56).toInt & (S - 1)) + 1) += 1
-            i += 1
-          }
-          i = 1
-          while (i <= S) { counts(i) += counts(i - 1); i += 1 }
-          val offsets = java.util.Arrays.copyOf(counts, S)
           val sorted = new Array[Long](n)
-          i = 0
-          while (i < n) {
-            val k = buf(i)
-            val s = (hashOf(k) >>> 56).toInt & (S - 1)
-            sorted(offsets(s)) = k
-            offsets(s) += 1
-            i += 1
-          }
+          scatterByShard(buf, 0, n, sorted)
           buf = null // the scattered copy replaces the drain buffer
+          // counts is shared scratch: snapshot the boundaries the LAZY
+          // segment iterator will read (nothing else mutates counts in
+          // non-persistent mode, but the copy makes that local)
+          val bounds = counts.clone()
           (0 until S).iterator
-            .filter(s => counts(s + 1) > counts(s))
-            .map(s => countSlice(sorted, counts(s), counts(s + 1)))
+            .filter(s => bounds(s + 1) > bounds(s))
+            .map(s => countSlice(sorted, bounds(s), bounds(s + 1)))
         }
 
       val out = new SpecificInternalRow(Seq(LongType, LongType))
@@ -398,8 +398,16 @@ object PackedCountAgg {
     * the hash's top byte and aggregates shard-by-shard with
     * cache-resident tables instead of one DRAM-sized flat table
     * (default 4M rows ≈ the table size where probes start missing L3).
-    * Set to 0 to force the direct single-table path. */
+    * Set to 0 to force the direct single-table path — BELOW the
+    * [[PersistentSwitchKey]] bound only: a partition that crosses the
+    * persistent switch always takes the bounded chunked path (the
+    * memory backstop outranks the debugging knob); raise the switch
+    * too if a truly flat run of a giant partition is intended. */
   val RadixThresholdKey = "spark.graft.packedCountAgg.radixThreshold"
+
+  /** Chunk granularity (rows) shared by the persistent-mode drain
+    * buffer and the scatter scratch: 4M rows = 32 MB each. */
+  val ChunkRows: Int = 1 << 22
 
   /** Buffered rows per partition above which the drain abandons the
     * flat one-shot buffer for bounded chunks feeding persistent
