@@ -1315,11 +1315,88 @@ object CypherDriven {
       .orderBy(col("src_type"), col("dst_type"))
   }
 
+  /** Stream-stream LEFT OUTER interval join, eviction semantics pinned
+    * end-to-end: inner matches emit as they form, but an unmatched
+    * click emits its (click_id, NULL) row ONLY when the watermark
+    * passes its last possible match time and join state is evicted —
+    * Append mode cannot know "no match" any earlier. The closed-form
+    * boundary (probed empirically, dev.ProbeOuterJoin): the final
+    * watermark is min over BOTH watermarked columns of the ms-FLOORED
+    * max event time minus the 1 h delay (Spark tracks event-time stats
+    * in milliseconds), and a click is evicted iff cts < wm strictly.
+    * Clicks the final watermark never passes stay in state and are
+    * NEVER emitted — the streaming-semantics difference a batch LEFT
+    * JOIN hides, and exactly what bounds join state at 100 TB. The
+    * two-batch time-ordered replay advances the watermark mid-stream
+    * so eviction actually fires; time-ordered halves mean no row is
+    * ever late (st05 pins the inner pair set; st17 pins late-drop). */
+  val st19 = QueryDef.sql("st19_stream_outer_join",
+    """WITH clicks AS (
+      |  SELECT event_id AS click_id, user_id, ts AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT event_id AS view_id, user_id AS vuid, ts AS vts
+      |  FROM events WHERE event_type = 'view'),
+      |wm AS (
+      |  SELECT least(
+      |      (SELECT date_trunc('milliseconds', max(cts)) FROM clicks),
+      |      (SELECT date_trunc('milliseconds', max(vts)) FROM views))
+      |    - INTERVAL 1 HOUR AS w),
+      |pairs AS (
+      |  SELECT c.click_id, v.view_id
+      |  FROM clicks c JOIN views v ON c.user_id = v.vuid
+      |   AND v.vts >= c.cts - INTERVAL 3600 SECOND AND v.vts <= c.cts)
+      |SELECT click_id, view_id FROM pairs
+      |UNION ALL
+      |SELECT c.click_id, CAST(NULL AS BIGINT) AS view_id
+      |FROM clicks c, wm
+      |WHERE c.cts < wm.w
+      |  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.click_id = c.click_id)
+      |ORDER BY click_id, view_id NULLS FIRST""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir).events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .localCheckpoint()
+    val mm = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("b")).head()
+    val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val cut = new java.sql.Timestamp(t0 + (t1 - t0) * 2 / 3)
+    val base = java.nio.file.Files.createTempDirectory("st19")
+    val stage = base.resolve("in")
+    java.nio.file.Files.createDirectories(stage)
+    def stageRange(pred: org.apache.spark.sql.Column, tag: String): Unit = {
+      val tmp = base.resolve(s"half_$tag").toString
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(s"$tag.parquet"))
+    }
+    stageRange(col("ts") < lit(cut), "a")
+    val name = s"st19_ojoin_${memSink.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream
+        .schema(
+          "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .parquet(stage.toString)
+        .transform(e =>
+          graft.streaming.EventStreams.clickViewJoinOuter(e, 3600))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      q.processAllAvailable() // batch 1: advances the watermark
+      stageRange(col("ts") >= lit(cut), "b")
+      q.processAllAvailable() // batch 2 + final no-data eviction batch
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
+      .orderBy(col("click_id"), col("view_id").asc_nulls_first)
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, cy27, cy28, cy29, cy30, cy31, cy32, cy33,
       st01, st02, st03, st04, st05, st06, st07,
-      st09, st10, st12, st13, st14, st15, st16, st17, st18, tj01, tj02,
-      tj03, tj04, tj05, tj06)
+      st09, st10, st12, st13, st14, st15, st16, st17, st18, st19, tj01,
+      tj02, tj03, tj04, tj05, tj06)
 }

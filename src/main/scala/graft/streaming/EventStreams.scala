@@ -430,6 +430,33 @@ object EventStreams {
       .select(col("click_id"), col("view_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: clickViewJoin's pair set
+    * PLUS one (click_id, NULL) row per click that matched no view —
+    * emitted only when the watermark passes the click's last possible
+    * match time and its state is evicted (Append mode can't know "no
+    * match" any earlier). This is the streaming-semantics difference a
+    * batch LEFT JOIN hides: unmatched rows near the stream's head —
+    * clicks the final watermark never passed — stay in state and are
+    * never emitted. At production scale the state bound is identical to
+    * the inner join's (watermark × arrival rate); the outer rows ride
+    * the same eviction pass the state store already does. */
+  def clickViewJoinOuter(events: DataFrame, windowSeconds: Int): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    clicks.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("vts") >= col("cts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("vts") <= col("cts"),
+      "left_outer")
+      .select(col("click_id"), col("view_id"))
+  }
+
   /** Drive any of the above as a real streaming query from a parquet dir,
     * landing results in an in-memory table — used by tests and as the
     * template for production sinks (kafka/parquet/foreachBatch).

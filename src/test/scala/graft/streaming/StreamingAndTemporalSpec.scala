@@ -74,6 +74,51 @@ class StreamingAndTemporalSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("left-outer stream join: unmatched emits on eviction, tail is retained") {
+    // Hand-built two-batch replay pinning the THREE outcome classes of
+    // the watermarked left-outer join, independent of testdata:
+    //   click A matches a view        -> inner pair, emitted on match
+    //   click B unmatched, cts < wm   -> (B, NULL) emitted on eviction
+    //   click C unmatched, cts > wm   -> retained in state, NEVER emitted
+    // wm(final) = min(ms-floored max cts, ms-floored max vts) - 1 h
+    //           = min(22:30, 23:00) - 1 h = 21:30  (dev.ProbeOuterJoin)
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-03-01 $hhmm:00")
+    val schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, " +
+      "event_type STRING"
+    val batch1 = Seq(
+      (1L, 1L, ts("09:30"), "view"),   // V1: matches A
+      (2L, 1L, ts("10:00"), "click"),  // A
+      (3L, 2L, ts("10:10"), "click"))  // B: no view for user 2
+    val batch2 = Seq(
+      (4L, 3L, ts("22:30"), "click"),  // C: view arrives AFTER cts
+      (5L, 3L, ts("23:00"), "view"))   // V2: vts > cts, no match
+    val stage = java.nio.file.Files.createTempDirectory("oj_fixture")
+    def land(rows: Seq[(Long, Long, java.sql.Timestamp, String)],
+        tag: String): Unit = {
+      val tmp = stage.resolve(s"w_$tag").toString
+      spark.createDataFrame(rows)
+        .toDF("event_id", "user_id", "ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(s"$tag.parquet"))
+    }
+    land(batch1, "a")
+    val q = spark.readStream.schema(schema).parquet(stage.toString)
+      .transform(e => EventStreams.clickViewJoinOuter(e, 3600))
+      .writeStream.format("memory").queryName("oj_semantics")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    q.processAllAvailable()
+    land(batch2, "b")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("oj_semantics").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(got == Set((2L, 1L), (3L, -1L))) // A matched; B evicted; C retained
+  }
+
   test("rangeJoinBinned equals the naive cross-join filter") {
     val ev = graft.sources.Tables(spark, sf("sf0.001")).events
       .select(col("event_id"), col("ts"))
