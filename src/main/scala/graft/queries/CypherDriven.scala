@@ -1392,11 +1392,88 @@ object CypherDriven {
       .orderBy(col("click_id"), col("view_id").asc_nulls_first)
   }
 
+  /** JOIN-STATE CHECKPOINT RECOVERY: incarnation 1 runs the watermarked
+    * stream-stream interval join over the time-ordered FIRST half and
+    * STOPS; the second half arrives; a NEW query restarts from the same
+    * checkpoint. Every (click ≥ cut, view < cut) pair within the hour
+    * window can only be produced from join state RESTORED off the
+    * state-store checkpoint — state loss drops those pairs, batch
+    * reprocessing duplicates committed ones, and either hash-fails
+    * against the plain batch-join oracle. st16 pins the same contract
+    * for a stateless sink; this is the stateful-operator half a 100 TB
+    * pipeline actually leans on. (Time-ordered halves mean no row is
+    * late; views old enough to be evicted between incarnations — vts +
+    * 1 h < wm₁ — are out of window for every second-half click, so the
+    * final pair set is exactly the batch join.) */
+  val st20 = QueryDef.sql("st20_join_state_recovery",
+    """SELECT c.event_id AS click_id, v.event_id AS view_id
+      |FROM events c JOIN events v
+      |  ON c.user_id = v.user_id
+      | AND c.event_type = 'click' AND v.event_type = 'view'
+      | AND v.ts >= c.ts - INTERVAL 3600 SECOND AND v.ts <= c.ts
+      |ORDER BY click_id, view_id""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir).events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .localCheckpoint()
+    // The cut must STRADDLE at least one joined pair or the recovery
+    // property is vacuous (a midpoint cut splits zero pairs at every
+    // tested SF — the 1 h window is tiny against the stream's span):
+    // cut at the latest click with a strictly-earlier matching view,
+    // so that click lands in incarnation 2 while its view(s) — within
+    // the watermark, see scaladoc — sit only in incarnation 1's state.
+    val cutRow = ev.filter(col("event_type") === "click").alias("c")
+      .join(ev.filter(col("event_type") === "view").alias("v"),
+        col("c.user_id") === col("v.user_id") &&
+          col("v.ts") >= col("c.ts") - expr("INTERVAL 3600 SECONDS") &&
+          col("v.ts") < col("c.ts"))
+      .agg(max(col("c.ts"))).head()
+    require(!cutRow.isNullAt(0), "st20: no click/view pair with a " +
+      "strictly earlier view — the recovery cut would straddle nothing")
+    val cut = cutRow.getTimestamp(0)
+    val base = java.nio.file.Files.createTempDirectory("st20")
+    val stage = base.resolve("in")
+    val out = base.resolve("out")
+    val ckpt = base.resolve("ckpt")
+    java.nio.file.Files.createDirectories(stage)
+    def stageRange(pred: org.apache.spark.sql.Column, tag: String): Unit = {
+      val tmp = base.resolve(s"half_$tag").toString
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(s"$tag.parquet"))
+    }
+    // state-store count is fixed by the FIRST incarnation; both runs
+    // pin the same shuffle-partition count
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    def runOnce(): Unit = {
+      val q = s.readStream
+        .schema(
+          "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .parquet(stage.toString)
+        .transform(e => graft.streaming.EventStreams.clickViewJoin(e, 3600))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    try {
+      stageRange(col("ts") < lit(cut), "a")
+      runOnce() // incarnation 1: half the input, join state checkpointed
+      stageRange(col("ts") >= lit(cut), "b")
+      runOnce() // restart: cross-cut pairs need the RESTORED view state
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(out.toString).orderBy(col("click_id"), col("view_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
       cy12, cy13, cy14, cy15, cy16, cy17, cy18, cy19, cy20, cy21, cy22,
       cy23, cy24, cy25, cy26, cy27, cy28, cy29, cy30, cy31, cy32, cy33,
       st01, st02, st03, st04, st05, st06, st07,
-      st09, st10, st12, st13, st14, st15, st16, st17, st18, st19, tj01,
-      tj02, tj03, tj04, tj05, tj06)
+      st09, st10, st12, st13, st14, st15, st16, st17, st18, st19, st20,
+      tj01, tj02, tj03, tj04, tj05, tj06)
 }
