@@ -119,6 +119,33 @@ class StreamingAndTemporalSpec extends SparkSpec {
     assert(got == Set((2L, 1L), (3L, -1L))) // A matched; B evicted; C retained
   }
 
+  test("stateful streams on the RocksDB state store match the default provider") {
+    // The default HDFSBackedStateStore keeps every version's map on the
+    // executor heap — at 100 TB streaming state the production provider
+    // is RocksDB (spilled, changelog-checkpointed). Pin that the two
+    // most state-shaped operators (interval join; watermarked windowed
+    // agg) produce IDENTICAL results under it, so the provider is a
+    // deployment conf, not a semantics change.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    def joinSet(tag: String): Set[(Long, Long)] =
+      EventStreams.runToMemory(spark, eventsDir, s"rocks_join_$tag",
+          ev => EventStreams.clickViewJoin(ev, 3600))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def aggSet(tag: String): Set[Row] =
+      EventStreams.runToMemory(spark, eventsDir, s"rocks_agg_$tag",
+          ev => EventStreams.windowedAggregates(ev))
+        .collect().toSet
+    val (joinDefault, aggDefault) = (joinSet("d"), aggSet("d"))
+    spark.conf.set(key, rocks)
+    try {
+      assert(joinSet("r") == joinDefault)
+      assert(aggSet("r") == aggDefault)
+      assert(joinDefault.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("rangeJoinBinned equals the naive cross-join filter") {
     val ev = graft.sources.Tables(spark, sf("sf0.001")).events
       .select(col("event_id"), col("ts"))
