@@ -77,8 +77,9 @@ object Multimodal {
       Option(content).getOrElse(Array.emptyByteArray).take(maxBytes)
 
     /** Block sampling: every k-th 16-byte block as a "frame" — the
-      * fixed-stride window sampler for opaque streams (a real video
-      * frame sampler slots in here at deploy time). */
+      * fixed-stride window sampler for OPAQUE streams. The decodable
+      * analogue is [[ImageIoCodec.sampleFrameLums]]: real every-k-th
+      * frame decode over a multi-frame container (gate m10). */
     def sampleBlocks(content: Array[Byte], everyK: Int): Seq[Array[Byte]] = {
       val bytes = Option(content).getOrElse(Array.emptyByteArray)
       bytes.grouped(16).zipWithIndex
@@ -139,6 +140,92 @@ object Multimodal {
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, "jpg", bos)
       bos.toByteArray
+    }
+
+    /** Deterministic real ANIMATED GIF: one uniform-gray frame per
+      * entry of `lums`, written through the JDK's GIF sequence writer
+      * over an EXPLICIT 256-gray IndexColorModel (the writer preserves
+      * a supplied palette verbatim, so frame k decodes back to exactly
+      * gray `lums(k)` — no quantization anywhere). The multi-frame
+      * container stands in for video: the frame-sampling pipeline
+      * (decode every k-th frame, featurize) is what a real codec
+      * swap-in would feed. */
+    def encodeGifFrames(lums: Seq[Int], width: Int, height: Int)
+        : Array[Byte] = {
+      val ramp = Array.tabulate(256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        lums.foreach { g =>
+          val img = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) { raster.setSample(x, y, 0, g & 0xff); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null),
+            writer.getDefaultWriteParam)
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      bos.toByteArray
+    }
+
+    /** Decode every `everyK`-th frame of a multi-frame container (GIF)
+      * to its mean luminance (the 299/587/114 integer formula shared
+      * with [[featurize]]): returns (total frame count, per-sampled-
+      * frame (index, mean lum)). None when the bytes don't decode —
+      * the honest null, never a throw, a corrupt asset must not kill a
+      * 100 TB sweep. */
+    def sampleFrameLums(bytes: Array[Byte], everyK: Int)
+        : Option[(Int, Seq[(Int, Int)])] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(in)
+          if (!readers.hasNext) return None
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val n = r.getNumImages(true)
+            if (n < 1) return None
+            val samples = (0 until n by everyK).map { i =>
+              val img = r.read(i)
+              var sum = 0L
+              var cnt = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (299 * ((rgb >> 16) & 0xff) +
+                    587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                  cnt += 1L
+                  x += 1
+                }
+                y += 1
+              }
+              (i, if (cnt == 0) 0 else (sum / cnt).toInt)
+            }
+            Some((n, samples))
+          } finally r.dispose()
+        } finally if (in != null) in.close()
+      } catch {
+        case _: java.io.IOException => None
+        case _: RuntimeException => None
+      }
     }
 
     /** JPEG (width, height) straight from the SOF marker segment — a
@@ -581,6 +668,44 @@ object Multimodal {
           WavCodec.encodeWavBands(16000, 1, 50, values), None)
       }
     }.toDF()
+  }
+
+  /** Media table of REAL multi-frame animated GIFs: doc `id` carries
+    * 3 + id % 5 frames, frame k uniformly gray 10 + (id·3 + k·17) % 236
+    * — closed-form content a frame-sampling gate can pin exactly (the
+    * 299/587/114 luminance of gray g is g: the weights sum to 1000). */
+  def syntheticGifs(documents: DataFrame)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (3 + id % 5).toInt
+        val lums = Seq.tabulate(n)(k => (10 + (id * 3 + k * 17) % 236).toInt)
+        MediaRow(id, "video", ImageIoCodec.encodeGifFrames(lums, 8, 8), None)
+      }
+    }.toDF()
+  }
+
+  final case class FrameSample(asset_id: Long, frame_idx: Int, lum: Int,
+      n_frames: Int)
+
+  /** Frame sampling over a REAL multi-frame container: decode every
+    * `everyK`-th frame, mean-pool luminance per frame. One decoder per
+    * partition iterator (mapPartitions), rows independent — the same
+    * shape a video-codec swap-in would keep. Undecodable assets yield
+    * no rows (honest skip, not a crash). */
+  def sampleGifFrames(media: DataFrame, everyK: Int)
+      (implicit spark: SparkSession): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        ImageIoCodec.sampleFrameLums(r.content, everyK) match {
+          case Some((n, samples)) =>
+            samples.map { case (i, lum) => FrameSample(r.asset_id, i, lum, n) }
+          case None => Nil
+        }
+      }
+    }
   }
 
   final case class JpegProbe(asset_id: Long, width: Int, height: Int,

@@ -1020,6 +1020,34 @@ object PipelineQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** REAL multi-frame FRAME SAMPLING: every asset is an actual animated
+    * GIF (JDK sequence writer, explicit 256-gray palette — zero
+    * quantization) with 3 + id % 5 frames, frame k uniformly gray
+    * 10 + (id·3 + k·17) % 236; the engine decodes every 2nd frame
+    * through the imageio reader and mean-pools luminance. The oracle
+    * restates frame count and per-sampled-frame luminance in closed
+    * form — a decode that misses frames, misorders them, or touches
+    * pixel values hash-fails. Supersedes the opaque block-sampling
+    * stand-in (m02) as the video-shaped path: the container, frame
+    * indexing, and per-frame decode are real; only the codec is the
+    * GIF stand-in a production video codec would replace. */
+  val m10 = QueryDef.sql("m10_gif_frame_features",
+    """SELECT doc_id AS asset_id, CAST(t.k AS BIGINT) AS frame_idx,
+      |  CAST(10 + (doc_id * 3 + t.k * 17) % 236 AS BIGINT) AS lum,
+      |  CAST(3 + doc_id % 5 AS BIGINT) AS n_frames
+      |FROM documents, generate_series(0, 6) AS t(k)
+      |WHERE t.k % 2 = 0 AND t.k < 3 + doc_id % 5
+      |ORDER BY asset_id, frame_idx""".stripMargin) { (s, dir) =>
+    implicit val sp = s
+    val media = graft.multimodal.Multimodal.syntheticGifs(
+      Tables(s, dir).documents)
+    graft.multimodal.Multimodal.sampleGifFrames(media, everyK = 2).toDF()
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("lum").cast("long").as("lum"),
+        col("n_frames").cast("long").as("n_frames"))
+      .orderBy(col("asset_id"), col("frame_idx"))
+  }
+
   /** Int8-quantized top-k — the cheap candidate stage of quantized
     * retrieval (4–8× scan-bytes reduction at 100 TB), oracle-exact
     * because quantization TRUNCATES (pure function of the double bits;
@@ -3263,7 +3291,7 @@ object PipelineQueries {
     Seq(t01, t02, t03, t04, t05, d01, d02, d03, d04, d05, d06, d07, d08,
       d09, d10, d11, d12, d13, st08, st11, s01, s02, s03, s04, s05, s06, s07,
       s08, s09, s10, s11, s12, s13, s14, s15, s16,
-      m01, m02, m03, m04, m05, m06, m07, m08, m09,
+      m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
       p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, in01, io01,
       io02, io03, io04, io05, io06, io07, io08, io09, t06, t07, t08, t09,
