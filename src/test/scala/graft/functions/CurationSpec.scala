@@ -10,6 +10,30 @@ import graft.SparkSpec
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("observe counters ride the pipeline's own pass and match recounts") {
+    val docs = graft.sources.Tables(spark, sf("sf0.001")).documents
+    val enriched = docs.select(col("doc_id"), col("source"), col("text"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+    val (kept, obsIn, obsKept) = ObserveOps.observedFilter(
+      enriched, col("n_tokens") >= 40, "len_filter", "text")
+    // ONE terminal action drives the pipeline AND delivers every counter
+    val grouped = kept.groupBy(col("source")).count().collect()
+    assert(grouped.nonEmpty)
+    val inRow = obsIn.get
+    val keptRow = obsKept.get
+    // independently recomputed ground truth (the second scan the
+    // production pipeline avoids)
+    val nIn = docs.count()
+    val keptDf = enriched.filter(col("n_tokens") >= 40)
+    val nKept = keptDf.count()
+    val charsKept = keptDf.agg(sum(length(col("text")))).head().getLong(0)
+    assert(inRow("rows") == nIn)
+    assert(keptRow("rows") == nKept)
+    assert(keptRow("chars") == charsKept)
+    assert(inRow("empty_docs").asInstanceOf[Long] >= 0L)
+    assert(nKept < nIn) // the filter actually drops rows at this SF
+  }
+
   test("stratifiedSample keeps per-stratum fractions and is deterministic") {
     val docs = (1 to 4000).map(i =>
       (i.toLong, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
