@@ -35,13 +35,8 @@ object ProbeOuterJoin {
     val base = java.nio.file.Files.createTempDirectory("probe_oj")
     val stage = base.resolve("in")
     java.nio.file.Files.createDirectories(stage)
-    def stageRange(pred: org.apache.spark.sql.Column, tag: String): Unit = {
-      val tmp = base.resolve(s"half_$tag").toString
-      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.startsWith("part-")).get
-      java.nio.file.Files.copy(part.toPath, stage.resolve(s"$tag.parquet"))
-    }
+    def stageRange(pred: org.apache.spark.sql.Column, tag: String): Unit =
+      graft.queries.Fixtures.landSingleFile(ev.filter(pred), base, stage, tag)
     stageRange(col("ts") < lit(cut), "a")
 
     val name = "probe_oj_out"

@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * to know what it kept and dropped — `observe` rides the existing
   * pass: each counter is an aggregate the executors fold alongside the
   * real work, delivered to the driver with the job's completion event
-  * (zero extra shuffle, zero extra scan, works identically under
-  * whole-stage codegen and in Structured Streaming sinks).
+  * (zero extra shuffle, zero extra scan, unaffected by whole-stage
+  * codegen). BATCH ONLY: the `Observation` API rejects streaming
+  * Datasets — a streaming pipeline uses the name-based
+  * `df.observe(name, exprs*)` plus a `StreamingQueryListener` to read
+  * the same counters per micro-batch.
   *
   * Usage: thread each stage through [[stageCounters]], run the terminal
   * action, then read every [[Observation]] — the spec pins the counters

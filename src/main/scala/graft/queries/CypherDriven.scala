@@ -1161,15 +1161,9 @@ object CypherDriven {
     val ckpt = base.resolve("ckpt")
     java.nio.file.Files.createDirectories(stage)
     val ev = Tables(s, dir).events.select(col("event_id"))
-    def stageHalf(even: Boolean, tag: String): Unit = {
-      val tmp = base.resolve(s"half_$tag").toString
-      ev.filter((col("event_id") % 2 === 0) === even)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.startsWith("part-")).get
-      java.nio.file.Files.copy(part.toPath,
-        stage.resolve(s"$tag.parquet"))
-    }
+    def stageHalf(even: Boolean, tag: String): Unit =
+      Fixtures.landSingleFile(
+        ev.filter((col("event_id") % 2 === 0) === even), base, stage, tag)
     def runOnce(): Unit = {
       val q = s.readStream.schema("event_id BIGINT")
         .parquet(stage.toString)
@@ -1224,14 +1218,9 @@ object CypherDriven {
     java.nio.file.Files.createDirectories(stage)
     val ev = Tables(s, dir).events
       .select(col("event_id"), col("ts"), col("event_type"))
-    def stageHalf(even: Boolean, tag: String): Unit = {
-      val tmp = base.resolve(s"half_$tag").toString
-      ev.filter((col("event_id") % 2 === 0) === even)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.startsWith("part-")).get
-      java.nio.file.Files.copy(part.toPath, stage.resolve(s"$tag.parquet"))
-    }
+    def stageHalf(even: Boolean, tag: String): Unit =
+      Fixtures.landSingleFile(
+        ev.filter((col("event_id") % 2 === 0) === even), base, stage, tag)
     stageHalf(even = true, "a")
     val name = s"st17_late_${memSink.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -1294,14 +1283,9 @@ object CypherDriven {
       col("ts") >= cut1 && col("ts") < cut2,
       col("ts") >= cut2)
     ranges.zipWithIndex.foreach { case (cond, i) =>
-      val tmp = base.resolve(s"chunk_$i").toString
-      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.startsWith("part-")).get
-      val dst = stage.resolve(s"c$i.parquet")
-      java.nio.file.Files.copy(part.toPath, dst)
       // mtime IS the file-source ordering: pin it explicitly
-      dst.toFile.setLastModified(1000000L * (i + 1))
+      Fixtures.landSingleFile(ev.filter(cond), base, stage, s"c$i",
+        mtimeMs = Some(1000000L * (i + 1)))
     }
     graft.streaming.EventStreams.runToMemory(s, stage.toString,
         s"st18_trans_${memSink.incrementAndGet()}",
@@ -1362,13 +1346,8 @@ object CypherDriven {
     val base = java.nio.file.Files.createTempDirectory("st19")
     val stage = base.resolve("in")
     java.nio.file.Files.createDirectories(stage)
-    def stageRange(pred: org.apache.spark.sql.Column, tag: String): Unit = {
-      val tmp = base.resolve(s"half_$tag").toString
-      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.startsWith("part-")).get
-      java.nio.file.Files.copy(part.toPath, stage.resolve(s"$tag.parquet"))
-    }
+    def stageRange(pred: org.apache.spark.sql.Column, tag: String): Unit =
+      Fixtures.landSingleFile(ev.filter(pred), base, stage, tag)
     stageRange(col("ts") < lit(cut), "a")
     val name = s"st19_ojoin_${memSink.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -1435,13 +1414,8 @@ object CypherDriven {
     val out = base.resolve("out")
     val ckpt = base.resolve("ckpt")
     java.nio.file.Files.createDirectories(stage)
-    def stageRange(pred: org.apache.spark.sql.Column, tag: String): Unit = {
-      val tmp = base.resolve(s"half_$tag").toString
-      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.startsWith("part-")).get
-      java.nio.file.Files.copy(part.toPath, stage.resolve(s"$tag.parquet"))
-    }
+    def stageRange(pred: org.apache.spark.sql.Column, tag: String): Unit =
+      Fixtures.landSingleFile(ev.filter(pred), base, stage, tag)
     // state-store count is fixed by the FIRST incarnation; both runs
     // pin the same shuffle-partition count
     val prev = s.conf.get("spark.sql.shuffle.partitions")

@@ -56,6 +56,31 @@ object Fixtures {
     * only the empty directory entry and the downstream stream silently
     * reads zero rows, so both shapes are handled. Returns the staged
     * directory path. */
+  /** Land `df` as ONE flat parquet file `<stage>/<tag>.parquet`. The
+    * scratch write dir lives under `scratchBase`, which must be OUTSIDE
+    * `stage` — a streaming file source lists `stage` recursively, so a
+    * scratch dir inside it would double-ingest every staged row.
+    * `mtimeMs` pins the file's modification time (the file source's
+    * arrival order) when batch order is contractual. */
+  def landSingleFile(df: org.apache.spark.sql.DataFrame,
+      scratchBase: java.nio.file.Path, stage: java.nio.file.Path,
+      tag: String, mtimeMs: Option[Long] = None): Unit = {
+    require(!stage.toAbsolutePath.normalize.startsWith(
+      scratchBase.toAbsolutePath.normalize) || scratchBase != stage,
+      s"scratch $scratchBase must not equal the staged dir $stage")
+    require(!scratchBase.toAbsolutePath.normalize.startsWith(
+      stage.toAbsolutePath.normalize),
+      s"scratch $scratchBase must live outside the staged dir $stage")
+    val tmp = scratchBase.resolve(s"w_$tag").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val dst = stage.resolve(s"$tag.parquet")
+    java.nio.file.Files.copy(part.toPath, dst)
+    mtimeMs.foreach(dst.toFile.setLastModified(_))
+  }
+
   def stageTable(dir: String, table: String, prefix: String): String = {
     import java.nio.file.{Files, Paths}
     val stage = Files.createTempDirectory(prefix)

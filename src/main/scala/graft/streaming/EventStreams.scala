@@ -414,21 +414,8 @@ object EventStreams {
     * shape Structured Streaming's state store supports. Inner join:
     * matches emit as they form, so a bounded source yields the complete
     * deterministic pair set. */
-  def clickViewJoin(events: DataFrame, windowSeconds: Int): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"),
-        col("user_id"), col("ts").as("cts"))
-      .withWatermark("cts", "1 hour")
-    val views = events.filter(col("event_type") === "view")
-      .select(col("event_id").as("view_id"),
-        col("user_id").as("v_user_id"), col("ts").as("vts"))
-      .withWatermark("vts", "1 hour")
-    clicks.join(views,
-      col("user_id") === col("v_user_id") &&
-        col("vts") >= col("cts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
-        col("vts") <= col("cts"))
-      .select(col("click_id"), col("view_id"))
-  }
+  def clickViewJoin(events: DataFrame, windowSeconds: Int): DataFrame =
+    clickViewJoinImpl(events, windowSeconds, "inner")
 
   /** Stream-stream LEFT OUTER interval join: clickViewJoin's pair set
     * PLUS one (click_id, NULL) row per click that matched no view —
@@ -440,7 +427,18 @@ object EventStreams {
     * never emitted. At production scale the state bound is identical to
     * the inner join's (watermark × arrival rate); the outer rows ride
     * the same eviction pass the state store already does. */
-  def clickViewJoinOuter(events: DataFrame, windowSeconds: Int): DataFrame = {
+  def clickViewJoinOuter(events: DataFrame, windowSeconds: Int): DataFrame =
+    clickViewJoinImpl(events, windowSeconds, "left_outer")
+
+  /** Shared builder for the inner/outer interval join. The 1 h
+    * watermark DELAY is late-data tolerance, independent of
+    * `windowSeconds`: state eviction is derived by Spark from the join
+    * CONDITION plus the watermark (a click expires only when no
+    * non-late view can still satisfy `vts <= cts`), so a window longer
+    * than the delay evicts correctly — the two knobs need not be
+    * coupled. */
+  private def clickViewJoinImpl(events: DataFrame, windowSeconds: Int,
+      joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"),
         col("user_id"), col("ts").as("cts"))
@@ -453,7 +451,7 @@ object EventStreams {
       col("user_id") === col("v_user_id") &&
         col("vts") >= col("cts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
         col("vts") <= col("cts"),
-      "left_outer")
+      joinType)
       .select(col("click_id"), col("view_id"))
   }
 

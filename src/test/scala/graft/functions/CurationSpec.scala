@@ -27,10 +27,13 @@ class CurationSpec extends SparkSpec {
     val keptDf = enriched.filter(col("n_tokens") >= 40)
     val nKept = keptDf.count()
     val charsKept = keptDf.agg(sum(length(col("text")))).head().getLong(0)
+    val charsIn = docs.agg(sum(length(col("text")))).head().getLong(0)
+    val emptyIn = docs.filter(length(trim(col("text"))) === 0).count()
     assert(inRow("rows") == nIn)
+    assert(inRow("chars") == charsIn)
+    assert(inRow("empty_docs") == emptyIn)
     assert(keptRow("rows") == nKept)
     assert(keptRow("chars") == charsKept)
-    assert(inRow("empty_docs").asInstanceOf[Long] >= 0L)
     assert(nKept < nIn) // the filter actually drops rows at this SF
   }
 

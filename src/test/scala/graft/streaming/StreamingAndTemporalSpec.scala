@@ -92,17 +92,17 @@ class StreamingAndTemporalSpec extends SparkSpec {
     val batch2 = Seq(
       (4L, 3L, ts("22:30"), "click"),  // C: view arrives AFTER cts
       (5L, 3L, ts("23:00"), "view"))   // V2: vts > cts, no match
-    val stage = java.nio.file.Files.createTempDirectory("oj_fixture")
+    // scratch writes OUTSIDE the source dir: the file source lists
+    // `stage` recursively, so an inside scratch double-ingests rows
+    val base = java.nio.file.Files.createTempDirectory("oj_fixture")
+    val stage = base.resolve("in")
+    java.nio.file.Files.createDirectories(stage)
     def land(rows: Seq[(Long, Long, java.sql.Timestamp, String)],
-        tag: String): Unit = {
-      val tmp = stage.resolve(s"w_$tag").toString
-      spark.createDataFrame(rows)
-        .toDF("event_id", "user_id", "ts", "event_type")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.startsWith("part-")).get
-      java.nio.file.Files.copy(part.toPath, stage.resolve(s"$tag.parquet"))
-    }
+        tag: String): Unit =
+      graft.queries.Fixtures.landSingleFile(
+        spark.createDataFrame(rows)
+          .toDF("event_id", "user_id", "ts", "event_type"),
+        base, stage, tag)
     land(batch1, "a")
     val q = spark.readStream.schema(schema).parquet(stage.toString)
       .transform(e => EventStreams.clickViewJoinOuter(e, 3600))
@@ -113,10 +113,12 @@ class StreamingAndTemporalSpec extends SparkSpec {
     land(batch2, "b")
     q.processAllAvailable()
     q.stop()
-    val got = spark.table("oj_semantics").collect()
+    val rows = spark.table("oj_semantics").collect()
+    val got = rows
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
       .toSet
     assert(got == Set((2L, 1L), (3L, -1L))) // A matched; B evicted; C retained
+    assert(rows.length == 2) // exact multiset: nothing emitted twice
   }
 
   test("stateful streams on the RocksDB state store match the default provider") {
