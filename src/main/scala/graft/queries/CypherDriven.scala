@@ -1337,18 +1337,17 @@ object CypherDriven {
       |WHERE c.cts < wm.w
       |  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.click_id = c.click_id)
       |ORDER BY click_id, view_id NULLS FIRST""".stripMargin) { (s, dir) =>
-    val ev = Tables(s, dir).events
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .localCheckpoint()
-    val mm = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("b")).head()
-    val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
-    val cut = new java.sql.Timestamp(t0 + (t1 - t0) * 2 / 3)
+    val halves = st19Halves(s, dir)
+    // the SOURCE dir must be fresh per run (file b arrives mid-stream),
+    // but the expensive half writes memoize per (fixture, dir): per-run
+    // cost is two Files.copy
     val base = java.nio.file.Files.createTempDirectory("st19")
     val stage = base.resolve("in")
     java.nio.file.Files.createDirectories(stage)
-    def stageRange(pred: org.apache.spark.sql.Column, tag: String): Unit =
-      Fixtures.landSingleFile(ev.filter(pred), base, stage, tag)
-    stageRange(col("ts") < lit(cut), "a")
+    def arrive(tag: String): Unit = java.nio.file.Files.copy(
+      java.nio.file.Paths.get(halves, s"$tag.parquet"),
+      stage.resolve(s"$tag.parquet"))
+    arrive("a")
     val name = s"st19_ojoin_${memSink.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1363,13 +1362,34 @@ object CypherDriven {
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
         .start()
       q.processAllAvailable() // batch 1: advances the watermark
-      stageRange(col("ts") >= lit(cut), "b")
+      arrive("b")
       q.processAllAvailable() // batch 2 + final no-data eviction batch
       q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
       .orderBy(col("click_id"), col("view_id").asc_nulls_first)
-  }
+  }.withStage((s, dir) => { st19Halves(s, dir); () })
+
+  /** st19's two time-ordered event halves, memoized per (fixture, dir):
+    * the cut is the 2/3 point of the time span — batch 1 must advance
+    * the watermark past some unmatched clicks while later ones remain
+    * in state, and time-ordered halves mean no row is ever late. */
+  private def st19Halves(s: SparkSession, dir: String): String =
+    Fixtures.staged("st19_halves", dir) { tmp =>
+      val dest = java.nio.file.Paths.get(tmp)
+      val scratch = java.nio.file.Files.createTempDirectory("st19_scratch")
+      val ev = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+        .localCheckpoint()
+      val mm = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("b")).head()
+      val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      val cut = new java.sql.Timestamp(t0 + (t1 - t0) * 2 / 3)
+      Fixtures.landSingleFile(ev.filter(col("ts") < lit(cut)),
+        scratch, dest, "a")
+      Fixtures.landSingleFile(ev.filter(col("ts") >= lit(cut)),
+        scratch, dest, "b")
+    }
 
   /** JOIN-STATE CHECKPOINT RECOVERY: incarnation 1 runs the watermarked
     * stream-stream interval join over the time-ordered FIRST half and
@@ -1391,31 +1411,15 @@ object CypherDriven {
       | AND c.event_type = 'click' AND v.event_type = 'view'
       | AND v.ts >= c.ts - INTERVAL 3600 SECOND AND v.ts <= c.ts
       |ORDER BY click_id, view_id""".stripMargin) { (s, dir) =>
-    val ev = Tables(s, dir).events
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .localCheckpoint()
-    // The cut must STRADDLE at least one joined pair or the recovery
-    // property is vacuous (a midpoint cut splits zero pairs at every
-    // tested SF — the 1 h window is tiny against the stream's span):
-    // cut at the latest click with a strictly-earlier matching view,
-    // so that click lands in incarnation 2 while its view(s) — within
-    // the watermark, see scaladoc — sit only in incarnation 1's state.
-    val cutRow = ev.filter(col("event_type") === "click").alias("c")
-      .join(ev.filter(col("event_type") === "view").alias("v"),
-        col("c.user_id") === col("v.user_id") &&
-          col("v.ts") >= col("c.ts") - expr("INTERVAL 3600 SECONDS") &&
-          col("v.ts") < col("c.ts"))
-      .agg(max(col("c.ts"))).head()
-    require(!cutRow.isNullAt(0), "st20: no click/view pair with a " +
-      "strictly earlier view — the recovery cut would straddle nothing")
-    val cut = cutRow.getTimestamp(0)
+    val halves = st20Halves(s, dir)
     val base = java.nio.file.Files.createTempDirectory("st20")
     val stage = base.resolve("in")
     val out = base.resolve("out")
     val ckpt = base.resolve("ckpt")
     java.nio.file.Files.createDirectories(stage)
-    def stageRange(pred: org.apache.spark.sql.Column, tag: String): Unit =
-      Fixtures.landSingleFile(ev.filter(pred), base, stage, tag)
+    def arrive(tag: String): Unit = java.nio.file.Files.copy(
+      java.nio.file.Paths.get(halves, s"$tag.parquet"),
+      stage.resolve(s"$tag.parquet"))
     // state-store count is fixed by the FIRST incarnation; both runs
     // pin the same shuffle-partition count
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -1435,13 +1439,43 @@ object CypherDriven {
       q.stop()
     }
     try {
-      stageRange(col("ts") < lit(cut), "a")
+      arrive("a")
       runOnce() // incarnation 1: half the input, join state checkpointed
-      stageRange(col("ts") >= lit(cut), "b")
+      arrive("b")
       runOnce() // restart: cross-cut pairs need the RESTORED view state
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.read.parquet(out.toString).orderBy(col("click_id"), col("view_id"))
-  }
+  }.withStage((s, dir) => { st20Halves(s, dir); () })
+
+  /** st20's two event halves, memoized per (fixture, dir). The cut must
+    * STRADDLE at least one joined pair or the recovery property is
+    * vacuous (a midpoint cut splits zero pairs at every tested SF — the
+    * 1 h window is tiny against the stream's span): cut at the latest
+    * click with a strictly-earlier matching view, so that click lands
+    * in incarnation 2 while its view(s) — within the watermark, see the
+    * gate scaladoc — sit only in incarnation 1's state. */
+  private def st20Halves(s: SparkSession, dir: String): String =
+    Fixtures.staged("st20_halves", dir) { tmp =>
+      val dest = java.nio.file.Paths.get(tmp)
+      val scratch = java.nio.file.Files.createTempDirectory("st20_scratch")
+      val ev = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+        .localCheckpoint()
+      val cutRow = ev.filter(col("event_type") === "click").alias("c")
+        .join(ev.filter(col("event_type") === "view").alias("v"),
+          col("c.user_id") === col("v.user_id") &&
+            col("v.ts") >= col("c.ts") - expr("INTERVAL 3600 SECONDS") &&
+            col("v.ts") < col("c.ts"))
+        .agg(max(col("c.ts"))).head()
+      require(!cutRow.isNullAt(0), "st20: no click/view pair with a " +
+        "strictly earlier view — the recovery cut would straddle nothing")
+      val cut = cutRow.getTimestamp(0)
+      Fixtures.landSingleFile(ev.filter(col("ts") < lit(cut)),
+        scratch, dest, "a")
+      Fixtures.landSingleFile(ev.filter(col("ts") >= lit(cut)),
+        scratch, dest, "b")
+    }
 
   val all: Seq[QueryDef] =
     Seq(cy01, cy02, cy03, cy04, cy05, cy06, cy07, cy08, cy09, cy10, cy11,
