@@ -590,14 +590,24 @@ class TraversalSpec extends SparkSpec {
         rnd.nextInt(60).toLong)).filter(p => p._1 != p._2))
     for (edges <- cases) {
       val df = edges.toDF("id1", "id2")
-      val star = StarCC.components(df).collect()
+      // default conf: these graphs are under the bound → driver
+      // union-find path
+      val uf = StarCC.components(df).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // bound 0: force the distributed star-contraction fixpoint
+      spark.conf.set("spark.graft.starcc.driverCollectBound", "0")
+      val star = try {
+        StarCC.components(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally spark.conf.unset("spark.graft.starcc.driverCollectBound")
       val g = Graph.fromEdges(
         spark.sparkContext.parallelize(
           edges.map(p => Edge(p._1, p._2, ()))), ())
       val gx = g.connectedComponents().vertices.collect().toMap
       assert(star == gx.map { case (k, v) => (k, v) },
         s"star=${star.toSeq.sorted.take(8)} gx=${gx.toSeq.sorted.take(8)}")
+      assert(uf == star,
+        s"uf=${uf.toSeq.sorted.take(8)} star=${star.toSeq.sorted.take(8)}")
     }
   }
 
