@@ -184,13 +184,23 @@ final class QueryCompiler(g: GraphState) {
     * intermediates; use `compileAll` for the multi-output shape). */
   def compile(q: GraphQuery): DataFrame = compileAll(q).last
 
-  /** Compile to all outputs in order — `Include` emits its inner result as
-    * an additional output (reference: queries.rs:637-654). */
-  def compileAll(q: GraphQuery): Seq[DataFrame] = q match {
-    case i: Include =>
-      val inner = compileAll(i.inner)
-      inner :+ inner.last
-    case other => Seq(compileOne(other))
+  /** Compile to all outputs in order — every `Include` in the chain emits
+    * its inner result as an additional output, ahead of the final one
+    * (reference: queries.rs:637-654; output count mirrors
+    * `GraphQuery.outputLen`, queries.rs:125-147 — including Includes
+    * nested under later pipe stages, e.g. `a.include.outbound()` yields
+    * [a, a.outbound()]). */
+  def compileAll(q: GraphQuery): Seq[DataFrame] = {
+    def includes(n: GraphQuery): Seq[DataFrame] = n match {
+      case i: Include                  => includes(i.inner) :+ compileOne(i.inner)
+      case p: Pipe                     => includes(p.inner)
+      case p: PipeProperty             => includes(p.inner)
+      case p: PipeWithPropertyPresence => includes(p.inner)
+      case p: PipeWithPropertyValue    => includes(p.inner)
+      case c: Count                    => includes(c.inner)
+      case _                           => Nil
+    }
+    includes(q) :+ compileOne(q)
   }
 
   private def compileOne(q: GraphQuery): DataFrame = q match {

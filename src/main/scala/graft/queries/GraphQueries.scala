@@ -1053,8 +1053,64 @@ object GraphQueries {
       k = 50)
   }
 
+  /** SpecificEdgeQuery (queries.rs:422-446): point lookups by
+    * (src, edge_type, dst) triples. All five candidate regions are
+    * requested for nations 1–3, so the result is exactly each nation's
+    * one true IN_REGION edge — the key list assumes nothing about the
+    * generated nation→region mapping, and the 12 non-existent keys pin
+    * the miss path. */
+  val g10 = QueryDef.sql("g10_specific_edge",
+    """SELECT 'n:' || n_nationkey AS src, 'r:' || n_regionkey AS dst
+      |FROM nation WHERE n_nationkey IN (1, 2, 3)
+      |ORDER BY src""".stripMargin) { (s, dir) =>
+    val g = TpchGraph(Tables(s, dir))
+    val keys = for { n <- Seq(1, 2, 3); r <- 0 to 4 }
+      yield (s"n:$n", "IN_REGION", s"r:$r")
+    QueryCompiler(g).compile(SpecificEdge(keys))
+      .select(col("src"), col("dst")).orderBy(col("src"))
+  }
+
+  /** PipeWithPropertyValue (queries.rs:590-635), both polarities in one
+    * chain: BUILDING customers' orders filtered to priority == 1-URGENT
+    * AND status != F on the piped vertex frontier. */
+  val g11 = QueryDef.sql("g11_pipe_property_value",
+    """SELECT 'o:' || o_orderkey AS id FROM orders
+      |JOIN customer ON c_custkey = o_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderpriority = '1-URGENT'
+      |  AND o_orderstatus <> 'F'
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val g = TpchGraph(Tables(s, dir))
+    val q = VertexWithPropertyValue("mktsegment", "BUILDING")
+      .outbound(t = Some("PLACED")).outbound()
+      .withPropertyValue("priority", "1-URGENT")
+      .withPropertyValue("status", "F", equal = false)
+    QueryCompiler(g).compile(q).select(col("id")).orderBy(col("id"))
+  }
+
+  /** IncludeQuery multi-output (queries.rs:637-654): the included
+    * intermediate frontier (AUTOMOBILE customers) is emitted ahead of
+    * the final hop result (their orders); outputs are tagged by
+    * position and unioned so the whole multi-output shape hashes
+    * against one relational oracle. */
+  val g12 = QueryDef.sql("g12_include_multi_output",
+    """SELECT * FROM (
+      |  SELECT 0 AS output_ix, 'c:' || c_custkey AS id FROM customer
+      |  WHERE c_mktsegment = 'AUTOMOBILE'
+      |  UNION ALL
+      |  SELECT 1, 'o:' || o_orderkey FROM orders
+      |  JOIN customer ON c_custkey = o_custkey
+      |  WHERE c_mktsegment = 'AUTOMOBILE')
+      |ORDER BY output_ix, id""".stripMargin) { (s, dir) =>
+    val g = TpchGraph(Tables(s, dir))
+    val q = VertexWithPropertyValue("mktsegment", "AUTOMOBILE")
+      .include.outbound(t = Some("PLACED")).outbound()
+    QueryCompiler(g).compileAll(q).zipWithIndex.map { case (df, i) =>
+      df.select(lit(i).as("output_ix"), col("id"))
+    }.reduce(_ unionAll _).orderBy(col("output_ix"), col("id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, sp01, gx01, gx02,
-      gx03, gx04, gx05, gx06, gx07, gx08, gx09, gx10, gx11, gx12, gx13,
-      gx14, gx15, gx16, gx17, gx18, gst01)
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12,
+      sp01, gx01, gx02, gx03, gx04, gx05, gx06, gx07, gx08, gx09, gx10,
+      gx11, gx12, gx13, gx14, gx15, gx16, gx17, gx18, gst01)
 }

@@ -87,6 +87,13 @@ class QueryCompilerSpec extends SparkSpec {
     val outs = QueryCompiler(pipeFixture).compileAll(
       Include(SpecificVertex(Seq("v1"))))
     assert(outs.length == 2)
+    // nested under a pipe: compileAll output count matches outputLen,
+    // first output = the included frontier, last = the hop result
+    val chained = QueryCompiler(pipeFixture).compileAll(q)
+    assert(chained.length == q.outputLen)
+    assert(chained.head.select("id").collect().map(_.getString(0)).toSet
+      == Set("v1"))
+    assert(chained.last.columns.contains("edge_type"))
   }
 
   test("PipeProperty explodes properties; named variant filters") {
