@@ -200,7 +200,13 @@ final class QueryCompiler(g: GraphState) {
       case c: Count                    => includes(c.inner)
       case _                           => Nil
     }
-    includes(q) :+ compileOne(q)
+    val outs = includes(q) :+ compileOne(q)
+    // fail fast if this recursion ever diverges from outputLen's
+    // (GraphQuery.scala) — the two enumerate the same Include set
+    require(outs.length == q.outputLen,
+      s"compileAll produced ${outs.length} outputs but outputLen " +
+        s"promises ${q.outputLen} for $q")
+    outs
   }
 
   private def compileOne(q: GraphQuery): DataFrame = q match {

@@ -58,10 +58,18 @@ object StarCC {
       .localCheckpoint(eager = false)
     var eCount = e.count() // materializes the lazy checkpoint
 
-    val driverBound = spark.conf.getOption(
-      "spark.graft.starcc.driverCollectBound")
-      .map(_.toLong).getOrElse(DefaultDriverCollectBound)
-    if (eCount <= driverBound) {
+    val boundKey = "spark.graft.starcc.driverCollectBound"
+    val driverBound = spark.conf.getOption(boundKey)
+      .map(v => try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$boundKey must be a long edge count (0 disables the driver " +
+            s"path), got: '$v'")
+      })
+      .getOrElse(DefaultDriverCollectBound)
+    // bound 0 (or negative) disables the driver path outright — even an
+    // EMPTY canonical edge set then runs the distributed fixpoint, so a
+    // test forcing the distributed leg really exercises it.
+    if (driverBound > 0 && eCount <= driverBound) {
       // bounded by the measured count: ≤ driverBound (a,b) long pairs
       val out = driverUnionFind(e.collect().map(r =>
         (r.getLong(0), r.getLong(1))))

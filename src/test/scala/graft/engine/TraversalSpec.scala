@@ -590,10 +590,15 @@ class TraversalSpec extends SparkSpec {
         rnd.nextInt(60).toLong)).filter(p => p._1 != p._2))
     for (edges <- cases) {
       val df = edges.toDF("id1", "id2")
-      // default conf: these graphs are under the bound → driver
-      // union-find path
-      val uf = StarCC.components(df).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // explicit default bound: these graphs are under it → driver
+      // union-find path (pinned, not inherited, so a conf leak from
+      // another test can't collapse both legs onto one path)
+      spark.conf.set("spark.graft.starcc.driverCollectBound",
+        StarCC.DefaultDriverCollectBound.toString)
+      val uf = try {
+        StarCC.components(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally spark.conf.unset("spark.graft.starcc.driverCollectBound")
       // bound 0: force the distributed star-contraction fixpoint
       spark.conf.set("spark.graft.starcc.driverCollectBound", "0")
       val star = try {
