@@ -1,9 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute load average, or -1 when /proc/loadavg is unreadable
+    * (non-Linux) — the artifact records the miss rather than guessing. */
+  private def loadavg1(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Three straight rounds of driver-shot bench artifacts were
+    // measurement contamination (r7-r9 verdicts: r9 driver 288.5 s vs
+    // judge idle-box 140.1 s — a uniform contention factor, not a code
+    // path). The artifact now records the environment so a contended
+    // run is self-identifying, and waits (bounded) for a busy box to
+    // drain before starting rather than producing a number that has to
+    // be re-adjudicated by hand.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
+    val idleWaitS = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT", "300").toInt
+    val waitDeadline = System.nanoTime() + idleWaitS * 1000L * 1000 * 1000
+    while (loadavg1() > loadGate && System.nanoTime() < waitDeadline) {
+      System.err.println(
+        f"[bench] 1-min load ${loadavg1()}%.2f > $loadGate%.1f — waiting " +
+          s"for the box to drain (up to ${idleWaitS}s total)")
+      Thread.sleep(5000L)
+    }
+    val loadStart = loadavg1()
+    val contended = loadStart > loadGate
+    if (contended) System.err.println(
+      f"[bench] WARNING: starting CONTENDED (1-min load $loadStart%.2f > " +
+        f"$loadGate%.1f after ${idleWaitS}s) — timings in this artifact " +
+        "are inflated by box contention; re-run on an idle box before " +
+        "reading them as code performance")
+    var loadMax = loadStart
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,6 +67,11 @@ object Bench {
         q.run(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      // per-query load sample: a mid-run contention spike (another
+      // process waking up) is attributable to the specific queries it
+      // inflated, not smeared over the whole artifact
+      val qLoad = loadavg1()
+      if (qLoad > loadMax) loadMax = qLoad
       val t =
         try {
           // deterministic fixture staging (persisted indexes/catalogs/
@@ -48,14 +84,18 @@ object Bench {
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           -1.0 // a failed query must not masquerade as a fast one
         }
-      q.name -> t
+      (q.name, t, qLoad)
     }
     def fmt(v: Double): String =
       if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // per-query 1-min load samples (full dict only): lets any inflated
+    // timing be matched to the contention that caused it after the fact
+    val qLoads = results.map { case (k, _, l) =>
+      s"\"" + k + "\":" + f"$l%.2f" }.mkString("{", ",", "}")
     // -1 sentinels are reported per-query but excluded from the total
-    val passed = results.collect { case (_, v) if v >= 0 => v }
+    val passed = results.collect { case (_, v, _) if v >= 0 => v }
     val nFailed = results.size - passed.size
     val total = fmt(passed.sum)
     // median -1 (not 0.000) when nothing passed: an all-failed run must
@@ -68,9 +108,13 @@ object Bench {
     // worst-5 by time, so the headline line carries the hot spots even
     // when the full dict doesn't fit the harness's 2KB tail capture
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    val loadEnd = loadavg1()
+    if (loadEnd > loadMax) loadMax = loadEnd
+    val heapGb = Runtime.getRuntime.maxMemory() / (1024.0 * 1024 * 1024)
+    val env = f"""{"cpus":${Runtime.getRuntime.availableProcessors()},"heap_max_gb":$heapGb%.1f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"load_max":$loadMax%.2f,"load_gate":$loadGate%.1f,"contended":$contended}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"env":$env,"queries":$qs,"query_load":$qLoads,"sf":"$sfDir"}"""
     // full per-query dict: an EARLIER stdout line + a file — the LAST
     // line is a compact summary that always fits the driver's tail
     // capture window (round 4's per-query line exceeded it → parsed:null)
@@ -88,7 +132,7 @@ object Bench {
           s"[bench] full-dict write failed: ${e.getMessage}")
         "null"
       }
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"median":$median,"worst":$worst,"sf":"$sfDir","full":$fullRef}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"median":$median,"worst":$worst,"env":$env,"sf":"$sfDir","full":$fullRef}"""
     // ONE summary line, emitted BEFORE spark.stop(): a wedged shutdown
     // (hung streaming query / executor teardown) would otherwise eat
     // the line entirely — a hang is not a Throwable, so no catch fires.

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CypherDriven, GraphQueries, PipelineQueries, QueryDef,
-  Relational}
+import graft.queries.{ApiQueries, CypherDriven, GraphQueries,
+  PipelineQueries, QueryDef, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
 
   val allQueries: Seq[QueryDef] = {
     val qs = Relational.all ++ GraphQueries.all ++ CypherDriven.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ ApiQueries.all
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty,
       s"duplicate gate query names: ${dups.mkString(", ")}")

@@ -189,7 +189,11 @@ final class QueryCompiler(g: GraphState) {
     * (reference: queries.rs:637-654; output count mirrors
     * `GraphQuery.outputLen`, queries.rs:125-147 — including Includes
     * nested under later pipe stages, e.g. `a.include.outbound()` yields
-    * [a, a.outbound()]). */
+    * [a, a.outbound()]). Count does NOT swallow nested Includes: the
+    * reference's runtime emits them too (include_query.rs:7-31 asserts
+    * 3 outputs for include().outbound().include().count(); its
+    * output_len `Count(_) => 1` is only a Vec-capacity hint — see the
+    * outputLen Scaladoc). Gate g13_count_over_include pins this. */
   def compileAll(q: GraphQuery): Seq[DataFrame] = {
     def includes(n: GraphQuery): Seq[DataFrame] = n match {
       case i: Include                  => includes(i.inner) :+ compileOne(i.inner)

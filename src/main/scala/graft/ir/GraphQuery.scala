@@ -56,7 +56,19 @@ sealed trait GraphQuery {
   }
 
   /** Number of output values this query tree emits
-    * (reference: queries.rs:125-147 — `Include` adds intermediates). */
+    * (reference: queries.rs:125-147 — `Include` adds intermediates).
+    *
+    * INTENTIONAL divergence from the reference's `output_len`
+    * (queries.rs:139: `Count(_) => 1`): at RUNTIME the reference emits
+    * every Include intermediate even under a terminal Count — its own
+    * integration test asserts `include().outbound().include().count()`
+    * produces THREE outputs (lib/src/tests/include_query.rs:7-31:
+    * Vertices, Edges, Count(5)). `output_len` there is only a
+    * `Vec::with_capacity` hint (queries.rs:126-128), so undercounting
+    * is a missed reallocation, not a semantics statement. We follow the
+    * test-asserted runtime behavior — `Count => inner.outputLen` — and
+    * keep compileAll's recursion in lockstep (GraphEngine.scala); gate
+    * g13_count_over_include pins the 3-output shape end-to-end. */
   def outputLen: Int = this match {
     case i: Include                  => i.inner.outputLen + 1
     case p: Pipe                     => p.inner.outputLen

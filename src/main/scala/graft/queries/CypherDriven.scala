@@ -1363,7 +1363,35 @@ object CypherDriven {
         .start()
       q.processAllAvailable() // batch 1: advances the watermark
       arrive("b")
-      q.processAllAvailable() // batch 2 + final no-data eviction batch
+      q.processAllAvailable() // batch 2
+      // ADVICE r9: the eviction (NULL) rows ride a NO-DATA batch that
+      // processAllAvailable does not contractually await — stopping here
+      // could intermittently miss them. Poll until the last committed
+      // batch reports the final watermark (min over both watermarked
+      // columns of the ms-floored max event time minus the 1 h delay —
+      // the same closed form the oracle's wm CTE encodes); progress is
+      // posted after the batch commits, so reaching it means the
+      // eviction rows are in the sink. Bounded: fail loudly rather than
+      // hang or silently under-emit.
+      val expectMs = {
+        val r = Tables(s, dir).events
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("event_type")).agg(max(col("ts")).as("m"))
+          .collect()
+          .map(x => x.getString(0) -> x.getTimestamp(1).getTime).toMap
+        math.min(r("click"), r("view")) - 3600L * 1000 // getTime ms-floors
+      }
+      def wmMs: Long = Option(q.lastProgress)
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .map(w => java.time.Instant.parse(w).toEpochMilli)
+        .getOrElse(Long.MinValue)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (wmMs < expectMs && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      require(wmMs >= expectMs,
+        s"st19: committed watermark $wmMs never reached expected " +
+          s"$expectMs within 60 s — the eviction no-data batch did not " +
+          "run; stopping now would silently drop outer-join rows")
       q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)

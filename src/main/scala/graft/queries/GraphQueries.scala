@@ -1109,8 +1109,45 @@ object GraphQueries {
     }.reduce(_ unionAll _).orderBy(col("output_ix"), col("id"))
   }
 
+  /** Count over nested Includes — mirrors the reference's own nested
+    * include integration test (lib/src/tests/include_query.rs:7-31:
+    * `include().outbound().include().count()` → [Vertices, Edges,
+    * Count]); pins that a terminal Count does NOT swallow Include
+    * intermediates even though output_len (queries.rs:139) undercounts
+    * them (it is only a Vec-capacity hint there — see
+    * GraphQuery.outputLen). Output 0: MACHINERY customers; output 1:
+    * their PLACED edges; output 2: the edge count. */
+  val g13 = QueryDef.sql("g13_count_over_include",
+    """SELECT * FROM (
+      |  SELECT 0 AS output_ix, 'c:' || c_custkey AS val FROM customer
+      |  WHERE c_mktsegment = 'MACHINERY'
+      |  UNION ALL
+      |  SELECT 1, 'c:' || c_custkey || '>o:' || o_orderkey
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  WHERE c_mktsegment = 'MACHINERY'
+      |  UNION ALL
+      |  SELECT 2, CAST(count(*) AS VARCHAR)
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  WHERE c_mktsegment = 'MACHINERY')
+      |ORDER BY output_ix, val""".stripMargin) { (s, dir) =>
+    val g = TpchGraph(Tables(s, dir))
+    val q = VertexWithPropertyValue("mktsegment", "MACHINERY")
+      .include.outbound(t = Some("PLACED")).include.count
+    val outs = QueryCompiler(g).compileAll(q)
+    require(outs.length == 3,
+      s"Count-over-Include must emit 3 outputs (include_query.rs:7-31), " +
+        s"got ${outs.length}")
+    Seq(
+      outs(0).select(lit(0).as("output_ix"), col("id").as("val")),
+      outs(1).select(lit(1).as("output_ix"),
+        concat(col("src"), lit(">"), col("dst")).as("val")),
+      outs(2).select(lit(2).as("output_ix"),
+        col("count").cast("string").as("val"))
+    ).reduce(_ unionAll _).orderBy(col("output_ix"), col("val"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12,
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13,
       sp01, gx01, gx02, gx03, gx04, gx05, gx06, gx07, gx08, gx09, gx10,
       gx11, gx12, gx13, gx14, gx15, gx16, gx17, gx18, gst01)
 }
