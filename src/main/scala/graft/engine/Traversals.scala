@@ -34,8 +34,17 @@ object Traversals {
     * `threshold` empty-frontier shuffle stages (cheap: AQE coalesces
     * empty exchanges) for all of that. Deeper traversals keep the loop:
     * early exit actually saves hops there, and a 15-deep unrolled plan
-    * with no materialization barrier risks compile-time blowup. */
-  private val LazyUnrollDepth = 8
+    * with no materialization barrier risks compile-time blowup.
+    * Conf-overridable (`spark.graft.traversal.lazyUnrollDepth`) for
+    * regime A/Bs — set 0 to force the eager early-exit loop at any
+    * depth. Round-10 cy32 A/B (idle box, min-of-2 × 2 sessions): lazy
+    * 2.5–3.0 s / 32 stages vs eager-forced 3.4–3.9 s / 41 stages — the
+    * per-hop loop-control jobs cost more than early exit saves even
+    * when expansion dies at depth 2 of 4, so lazy stays the shallow
+    * default. */
+  private def LazyUnrollDepth: Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.traversal.lazyUnrollDepth", "8").toInt
 
   /** Partition count for every traversal exchange (edge cache + frontier
     * repartitions — must agree for co-partitioned hop joins). */
