@@ -13,7 +13,8 @@ object D13Probe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .appName("d13probe").master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toInt)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -37,6 +38,21 @@ object D13Probe {
       })
 
     val df = spark.read.parquet(s"$dir/documents.parquet")
+    if (args.contains("--cands")) {
+      // candidate-volume census: how many pairs reach the verify join,
+      // and how many serialized array-bytes they would drag through it
+      val (docs, cand) = graft.functions.DedupOps
+        .containmentDocsAndCands(df, "doc_id", "text", 3, 9000)
+      val stats = docs.agg(count(lit(1)), avg(col("sz")),
+        avg(size(col("gids")).cast("long") * 4L + 16L)).head()
+      println(f"[probe] docs=${stats.getLong(0)} avg_shingles=" +
+        f"${stats.getDouble(1)}%.1f avg_array_bytes=${stats.getDouble(2)}%.0f")
+      val t0 = System.nanoTime()
+      val c = cand.count()
+      println(f"[probe] candidates=$c (${(System.nanoTime() - t0) / 1e9}%.1f s)" +
+        f" verify-shuffle ≈ ${c * stats.getDouble(2) / 1e9}%.1f GB/side")
+      spark.stop(); return
+    }
     (1 to reps).foreach { r =>
       val t0 = System.nanoTime()
       val n = graft.functions.DedupOps

@@ -3,29 +3,42 @@ package graft.dev
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-off ~sf1 dataset builder for the scale rehearsal (PLANS.md):
-  * unions the driver's sf0.1 tables 10× with key-space remapping, so
-  * the heavy operator family can be timed at 10× the proven SF without
+/** One-off ~sfN dataset builder for the scale rehearsals (PLANS.md):
+  * unions the driver's sf0.1 tables N× with key-space remapping, so
+  * the heavy operator family can be timed at N× the proven SF without
   * touching /root/testdata.
   *
   *   sbt "runMain graft.dev.MakeSf1 /root/testdata/sf0.1 /tmp/sf1 10"
+  *   sbt "runMain graft.dev.MakeSf1 /root/testdata/sf0.1 /tmp/sf10 100"
   *
   * Remap discipline (what makes the copy honest):
   *   - every key column shifts by replica × (its table's key span), so
-  *     joins keep referential integrity and key cardinality grows 10×
+  *     joins keep referential integrity and key cardinality grows N×
   *     (orderkeys, custkeys, partkeys, doc_ids, vec_ids, user_ids);
   *   - `documents.text` gets a per-replica suffix token: replicas are
   *     NEAR-duplicates (~10-doc clusters), so dedup/LSH operators face
-  *     10× docs AND realistic cluster structure, not 10× exact copies;
+  *     N× docs AND realistic cluster structure, not N× exact copies;
   *   - `embeddings.embedding` gets a per-replica first-component nudge
   *     (+0.01·replica) — cosine geometry shifts slightly per replica
-  *     instead of collapsing to 10 identical points per vector;
-  *   - `events` shifts user/event ids (10× users, same per-user
+  *     instead of collapsing to N identical points per vector;
+  *   - `events` shifts user/event ids (N× users, same per-user
   *     activity shape; ts untouched so window/watermark density grows
-  *     10× per time bucket — the hard direction).
+  *     N× per time bucket — the hard direction).
   *   - nation/region/part/customer/supplier/orders scale with their
   *     key shifts; region/nation stay fixed (they are fixed in TPC-H
   *     at every SF).
+  *
+  * Past 10 copies the replicas form GROUPS of 10 (group = replica/10):
+  * near-duplicate structure stays within a group, and a group-specific
+  * transform breaks similarity ACROSS groups — documents get a
+  * per-group prefix on every word (shingle sets become disjoint),
+  * customer names a per-group two-letter tag (edit distance ≥2 between
+  * any two groups). Without this, 100 naive copies would make every
+  * dedup cluster and fuzzy-name bucket 100 rows wide — output growing
+  * with the SQUARE of the scale factor is a fixture artifact, not what
+  * 10× more real data looks like (real corpora grow in cluster COUNT,
+  * not cluster width). Replicas 0-9 are bit-identical to the sf1
+  * build at any copy count, so the pinned sf1 manifest stays valid.
   */
 object MakeSf1 {
   def main(args: Array[String]): Unit = {
@@ -74,7 +87,15 @@ object MakeSf1 {
     write("nation", t.nation)
 
     write("customer", replicate(t.customer) { (df, i) =>
+      val g = i / 10
       df.withColumn("c_custkey", col("c_custkey") + lit(i * ckSpan))
+        .withColumn("c_name",
+          if (g == 0) col("c_name")
+          // two repeated letters: edit distance ≥2 between any two
+          // groups and vs the untagged group 0 — fuzzy (dist ≤1)
+          // name clusters stay 10 wide at any copy count
+          else concat(col("c_name"),
+            lit(s" q${('a' + g - 1).toChar}${('a' + g - 1).toChar}")))
     })
     write("supplier", replicate(t.supplier) { (df, i) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(i * skSpan))
@@ -92,10 +113,18 @@ object MakeSf1 {
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * skSpan))
     })
     write("documents", replicate(t.documents) { (df, i) =>
+      val g = i / 10; val m = i % 10
+      // per-group word prefix first (disjoint shingle sets across
+      // groups), then the within-group near-dup suffix — each group
+      // mirrors the sf1 cluster structure over fresh text
+      val grouped =
+        if (g == 0) col("text")
+        else array_join(
+          transform(split(col("text"), " "),
+            w => concat(lit(s"g${g}_"), w)), " ")
       df.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
         .withColumn("text",
-          if (i == 0) col("text")
-          else concat(col("text"), lit(s" r$i")))
+          if (m == 0) grouped else concat(grouped, lit(s" r$m")))
     })
     write("embeddings", replicate(t.embeddings) { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * vecSpan))

@@ -633,36 +633,101 @@ object DedupOps {
     * Returns (id1, id2, c1_bp, c2_bp), id1 < id2. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, thresholdBp: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{shims, SortedIntersectCountIntExpr}
+    val (docs, cand) =
+      containmentDocsAndCands(df, idCol, textCol, n, thresholdBp)
+    // exact intersection per candidate pair, straight off the sorted
+    // dictionary-id arrays (zero-allocation int merge); same pinning —
+    // the array sides are ~docs × shingle-count × 4 B, never
+    // broadcastable at scale. This join's shuffle is candidates ×
+    // array-bytes — the operator's true scale cost, and candidates on
+    // a near-dup-heavy corpus are driven by cluster width (sf1
+    // measured: 7.5M candidates for 248k true pairs over 50k docs in
+    // 10-replica clusters). The sf10 rehearsal measured the old
+    // STRING-array form of this shuffle at ~190 GB (1.2 KB/array, two
+    // join legs) — it filled the disk; dictionary ints cut it ~6×
+    // (sf1: 9.4 GB/side → 1.9 GB total on the verify leg).
+    val d1 = docs.select(col("id").as("id1"), col("gids").as("g1"),
+      col("sz").as("sz1"))
+    val d2 = docs.select(col("id").as("id2"), col("gids").as("g2"),
+      col("sz").as("sz2"))
+    cand.join(d1.hint("shuffle_hash"), Seq("id1"))
+      .join(d2.hint("shuffle_hash"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        shims.column(SortedIntersectCountIntExpr(
+          shims.expression(col("g1")), shims.expression(col("g2"))))
+          .as("inter"),
+        col("sz1"), col("sz2"))
+      .select(col("id1"), col("id2"),
+        expr("10000L * inter div sz1").as("c1_bp"),
+        expr("10000L * inter div sz2").as("c2_bp"))
+      .filter(greatest(col("c1_bp"), col("c2_bp")) >= thresholdBp)
+  }
+
+  /** Candidate-generation half of [[containmentPairs]] — exposed so
+    * dev probes can measure candidate volume separately from the
+    * verify join. Returns (docs, cand): the checkpointed per-doc
+    * dictionary-id table (id, gids sorted ARRAY<INT>, sz) and the
+    * distinct (id1 < id2) candidate pairs. */
+  private[graft] def containmentDocsAndCands(df: DataFrame,
+      idCol: String, textCol: String, n: Int, thresholdBp: Int)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graft.{shims, HashedShingleSetExpr,
-      SortedIntersectCountExpr}
-    // Per-doc shingle tables, pinned (at production scale this is the
-    // persisted shingle table): the STRING arrays (sorted — the exact
-    // intersection is a sorted merge) carry the exact semantics; the
-    // HASHED arrays drive candidate generation so every shuffle, join
-    // and window below runs on fixed-width longs (the string-keyed form
-    // was GC-bound at sf1: 110 s+ of collector time per stage).
-    val docs = df.select(col(idCol).as("id"),
-        shingleSet(col(textCol), n).as("shs0"),
-        shims.column(HashedShingleSetExpr(
-          shims.expression(col(textCol)), n)).as("hshs"))
-      .select(col("id"), array_sort(col("shs0")).as("shs"),
-        size(col("shs0")).cast("long").as("sz"),
-        col("hshs"), size(col("hshs")).cast("long").as("hsz"))
+    val sp = df.sparkSession
+    // Repartition BEFORE materializing: the scan's partitioning is
+    // sized by compressed text bytes, but the frames below hold the
+    // exploded/deserialized shingle sets (10-50× the text) —
+    // inheriting a 128 MB-of-parquet split puts whole-corpus fractions
+    // in single tasks (the sf10 rehearsal OOMed exactly there: 500k
+    // docs arriving as 4 scan partitions). Hashing by id bounds
+    // per-task state at docs/shufflePartitions regardless of layout.
+    val nPart = sp.sessionState.conf.numShufflePartitions
+    val base = df.repartition(nPart, col(idCol))
+      .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("shs0"))
+      .select(col("id"), col("shs0"),
+        size(col("shs0")).cast("long").as("sz"))
+    // EXACT global dictionary: every distinct STRING shingle gets a
+    // unique dense int id (zipWithIndex — contiguous, one extra count
+    // job). Injective by construction, so set-intersection counts over
+    // ids equal the string-set counts UNCONDITIONALLY (unlike 64-bit
+    // hashing, which is exact only up to collisions), while every
+    // shuffle, join, window and the verify merge below runs on
+    // fixed-width ints. At 100 TB the dictionary is the corpus shingle
+    // vocabulary — billions of rows but linear in corpus size and
+    // hash-partitioned; past 2³¹ distinct shingles promote gid to LONG
+    // (the require below makes that boundary loud, not silent).
+    // localCheckpoint pins the assignment: zipWithIndex ids depend on
+    // partition-internal row order, which a recompute need not repeat.
+    import sp.implicits._
+    val vocab = base.select(explode(col("shs0")).as("g_str")).distinct()
+      .as[String].rdd.zipWithIndex()
+      .map { case (s, i) =>
+        require(i <= Int.MaxValue.toLong,
+          "shingle vocabulary exceeds 2^31 — promote gid to LONG")
+        (s, i.toInt)
+      }.toDF("g_str", "gid")
+      .localCheckpoint()
+    // Per-doc dictionary-id table, pinned (at production scale this is
+    // the persisted shingle table): one encode pass — explode, join the
+    // vocabulary on the string, re-assemble sorted int arrays. The
+    // join is a plain shuffle join of the posting stream (docs ×
+    // shingles rows) against the vocabulary — both linear in corpus.
+    val docs = base.select(col("id"), col("sz"),
+        explode(col("shs0")).as("g_str"))
+      .join(vocab, Seq("g_str"))
+      .groupBy(col("id"), col("sz"))
+      .agg(array_sort(collect_list(col("gid"))).as("gids"))
       .localCheckpoint()
     val sh = docs.select(col("id"), col("sz"),
-      explode(col("hshs")).as("g"))
-    // global rarity order: document frequency asc, hash asc
+      explode(col("gids")).as("g"))
+    // global rarity order: document frequency asc, id asc
     val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // prefix length derived from the STRING-set size: a qualifying pair
-    // needs string overlap ≥ ⌈T·sz/10⁴⌉, and each in-doc hash collision
-    // (there are sz − hsz of them) can absorb at most one common
-    // shingle, so the guaranteed HASH overlap is ⌈T·sz/10⁴⌉ − (sz−hsz)
-    // and the sound prefix is hsz − that + 1 = sz − ⌈T·sz/10⁴⌉ + 1
-    // (row_number caps it at the hsz rows that exist). The earlier
-    // hsz-derived form was short by ≈ (1−T/10⁴)·collisions — exact only
-    // when the doc's shingles hash collision-free; this form is exact
-    // unconditionally and identical (collisions are ~2⁻⁶⁴ rare) in cost.
+    // a qualifying pair needs overlap ≥ ⌈T·sz/10⁴⌉ of the smaller
+    // doc's sz distinct shingles, so in ANY fixed total order the
+    // other document must contain one of its first
+    // sz − ⌈T·sz/10⁴⌉ + 1 ids (the dictionary is injective — no
+    // collision slack; the order is per-run but globally consistent,
+    // which is all prefix-filter soundness needs)
     val prefLen = col("sz") -
       expr(s"(${thresholdBp.toLong}L * sz + 9999L) div 10000L") + 1L
     val rankW = Window.partitionBy(col("id")).orderBy(col("df"), col("g"))
@@ -684,24 +749,7 @@ object DedupOps {
       .select(least(col("pid"), col("fid")).as("id1"),
         greatest(col("pid"), col("fid")).as("id2"))
       .distinct()
-    // exact intersection per candidate pair, straight off the sorted
-    // string arrays (zero-allocation merge); same pinning — the array
-    // sides are ~docs × shingle-bytes, never broadcastable at scale
-    val d1 = docs.select(col("id").as("id1"), col("shs").as("shs1"),
-      col("sz").as("sz1"))
-    val d2 = docs.select(col("id").as("id2"), col("shs").as("shs2"),
-      col("sz").as("sz2"))
-    cand.join(d1.hint("shuffle_hash"), Seq("id1"))
-      .join(d2.hint("shuffle_hash"), Seq("id2"))
-      .select(col("id1"), col("id2"),
-        shims.column(SortedIntersectCountExpr(
-          shims.expression(col("shs1")), shims.expression(col("shs2"))))
-          .as("inter"),
-        col("sz1"), col("sz2"))
-      .select(col("id1"), col("id2"),
-        expr("10000L * inter div sz1").as("c1_bp"),
-        expr("10000L * inter div sz2").as("c2_bp"))
-      .filter(greatest(col("c1_bp"), col("c2_bp")) >= thresholdBp)
+    (docs, cand)
   }
 
   /** The full-inverted-index form of [[containmentPairs]] — Σ C(df,2)

@@ -905,3 +905,44 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** |A ∩ B| for two SORTED-ascending ARRAY<INT> columns — the
+  * dictionary-encoded sibling of [[SortedIntersectCountExpr]]: when set
+  * elements have been mapped through an injective dictionary (string
+  * shingle → dense int id), intersection counts are IDENTICAL to the
+  * string-set counts, and the merge compares 4-byte ints instead of
+  * variable-length UTF8 — the verify join of the containment-dedup
+  * operator shuffles ~6× fewer bytes per candidate pair this way. */
+case class SortedIntersectCountIntExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count_int"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val xi = x.getInt(i)
+      val yj = y.getInt(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountIntExpr =
+    copy(left = newLeft, right = newRight)
+}
