@@ -8,6 +8,54 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** com.sun.management bean for system-vs-process CPU sampling, or
+    * null where the platform doesn't expose it (the artifact then
+    * records -1 samples instead of fabricating idleness). */
+  private val osBean: com.sun.management.OperatingSystemMXBean =
+    try java.lang.management.ManagementFactory.getPlatformMXBean(
+      classOf[com.sun.management.OperatingSystemMXBean])
+    catch { case _: Throwable => null }
+
+  /** External CPU steal over the interval since the PREVIOUS call, in
+    * cores: (system CPU − this process's CPU) × nproc. The 1-min
+    * loadavg cannot separate another process's work from the bench's
+    * own 32 Spark threads (a heavy query legitimately drives load
+    * toward 32, which made four straight rounds of `contended` flags
+    * wrong); this difference can, because getCpuLoad/getProcessCpuLoad
+    * both integrate over exactly the same window. -1 when the platform
+    * returns no sample. Call once before the loop to prime the window. */
+  private def externalCores(): Double = {
+    if (osBean == null) return -1.0
+    val sys = osBean.getCpuLoad
+    val proc = osBean.getProcessCpuLoad
+    if (sys.isNaN || proc.isNaN || sys < 0 || proc < 0) -1.0
+    else math.max(0.0, (sys - proc) *
+      Runtime.getRuntime.availableProcessors())
+  }
+
+  /** Next unclaimed per-round snapshot path for the full dict: round N
+    * is inferred as 1 + the highest committed BENCH_r<N>.json (the
+    * driver writes one per round), and an already-claimed
+    * BENCH_FULL_r<N>.json (e.g. the driver's run, when the judge
+    * re-benches the same round) gets a b/c/... suffix instead of being
+    * clobbered — r9 and r10 both lost the driver's full dict to a
+    * later same-file write. */
+  private def snapshotPath(): java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    val cwd = java.nio.file.Paths.get(".")
+    val re = "BENCH_r(\\d+)\\.json".r
+    val maxR =
+      try java.nio.file.Files.list(cwd).iterator().asScala
+        .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
+          .map(_.group(1).toInt)).foldLeft(0)(math.max)
+      catch { case _: Throwable => 0 }
+    val n = maxR + 1
+    ("" +: ('b' to 'z').map(_.toString)).iterator
+      .map(sfx => java.nio.file.Paths.get(s"BENCH_FULL_r$n$sfx.json"))
+      .find(p => !java.nio.file.Files.exists(p))
+      .getOrElse(java.nio.file.Paths.get(s"BENCH_FULL_r${n}_overflow.json"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,8 +76,8 @@ object Bench {
       Thread.sleep(5000L)
     }
     val loadStart = loadavg1()
-    val contended = loadStart > loadGate
-    if (contended) System.err.println(
+    val startContended = loadStart > loadGate
+    if (startContended) System.err.println(
       f"[bench] WARNING: starting CONTENDED (1-min load $loadStart%.2f > " +
         f"$loadGate%.1f after ${idleWaitS}s) — timings in this artifact " +
         "are inflated by box contention; re-run on an idle box before " +
@@ -61,6 +109,7 @@ object Bench {
     // GC pause) once recorded 86 s for a query whose steady state is 3 s
     // (round-5 gx06); the min of two back-to-back executions is immune to
     // any one-off stall while still measuring a full end-to-end run.
+    externalCores() // prime the CPU-sample window at loop entry
     val results = SparkEntry.allQueries.map { q =>
       def rep(): Double = {
         val t0 = System.nanoTime()
@@ -84,18 +133,38 @@ object Bench {
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           -1.0 // a failed query must not masquerade as a fast one
         }
-      (q.name, t, qLoad)
+      // external-steal sample integrated over exactly this query's
+      // staging+reps window (the previous call closed the last one):
+      // this, not the loadavg, is what decides `contended`
+      val ext = externalCores()
+      (q.name, t, qLoad, ext)
     }
+    // A query ran contended iff OTHER processes burned more than the
+    // gate's worth of cores during its window. The flag covers the
+    // whole run: a contended start (pre-loop) or any contended query.
+    val contendedQueries =
+      results.collect { case (k, _, _, e) if e > loadGate => k }
+    val extMax = (results.map(_._4) :+ -1.0).max
+    val contended = startContended || contendedQueries.nonEmpty
+    if (contendedQueries.nonEmpty) System.err.println(
+      s"[bench] WARNING: ${contendedQueries.size} queries ran with " +
+        f"external CPU above the gate (max $extMax%.2f cores) — their " +
+        "timings are inflated by box contention: " +
+        contendedQueries.mkString(", "))
     def fmt(v: Double): String =
       if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-query 1-min load samples (full dict only): lets any inflated
     // timing be matched to the contention that caused it after the fact
-    val qLoads = results.map { case (k, _, l) =>
+    val qLoads = results.map { case (k, _, l, _) =>
       s"\"" + k + "\":" + f"$l%.2f" }.mkString("{", ",", "}")
+    // per-query external-steal samples (cores of non-bench CPU during
+    // the query's window; -1 = platform gave no sample)
+    val qExt = results.map { case (k, _, _, e) =>
+      s"\"" + k + "\":" + f"$e%.2f" }.mkString("{", ",", "}")
     // -1 sentinels are reported per-query but excluded from the total
-    val passed = results.collect { case (_, v, _) if v >= 0 => v }
+    val passed = results.collect { case (_, v, _, _) if v >= 0 => v }
     val nFailed = results.size - passed.size
     val total = fmt(passed.sum)
     // median -1 (not 0.000) when nothing passed: an all-failed run must
@@ -108,13 +177,18 @@ object Bench {
     // worst-5 by time, so the headline line carries the hot spots even
     // when the full dict doesn't fit the harness's 2KB tail capture
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val loadEnd = loadavg1()
     if (loadEnd > loadMax) loadMax = loadEnd
     val heapGb = Runtime.getRuntime.maxMemory() / (1024.0 * 1024 * 1024)
-    val env = f"""{"cpus":${Runtime.getRuntime.availableProcessors()},"heap_max_gb":$heapGb%.1f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"load_max":$loadMax%.2f,"load_gate":$loadGate%.1f,"contended":$contended}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"env":$env,"queries":$qs,"query_load":$qLoads,"sf":"$sfDir"}"""
+    // the summary line names the inflated queries (capped so the line
+    // still fits the driver's tail capture; the full dict has per-query
+    // ext samples for all of them)
+    val cqJson = contendedQueries.take(20)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val env = f"""{"cpus":${Runtime.getRuntime.availableProcessors()},"heap_max_gb":$heapGb%.1f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"load_max":$loadMax%.2f,"load_gate":$loadGate%.1f,"ext_max_cores":$extMax%.2f,"n_contended_queries":${contendedQueries.size},"contended_queries":$cqJson,"contended":$contended}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"env":$env,"queries":$qs,"query_load":$qLoads,"query_ext":$qExt,"sf":"$sfDir"}"""
     // full per-query dict: an EARLIER stdout line + a file — the LAST
     // line is a compact summary that always fits the driver's tail
     // capture window (round 4's per-query line exceeded it → parsed:null)
@@ -126,6 +200,17 @@ object Bench {
       try {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+        // per-round snapshot too: BENCH_FULL.json is a working-tree
+        // convenience that later runs legitimately overwrite; the
+        // suffixed copy is the durable per-run record
+        try {
+          val snap = snapshotPath()
+          java.nio.file.Files.writeString(snap, full + "\n")
+          System.err.println(s"[bench] full dict snapshotted to $snap")
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] snapshot write failed: ${e.getMessage}")
+        }
         "\"BENCH_FULL.json\""
       } catch { case e: Throwable =>
         System.err.println(

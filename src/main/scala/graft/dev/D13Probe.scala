@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * show up as CPU vs collector vs shuffle, not just wall-clock. */
 object D13Probe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/sf1")
-    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    // flags are position-independent; positionals parse from the rest
+    val pos = args.filterNot(_.startsWith("--"))
+    val dir = pos.headOption.getOrElse("/tmp/sf1")
+    val reps = pos.lift(1).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .appName("d13probe").master(s"local[$cpus]")

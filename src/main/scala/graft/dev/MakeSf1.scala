@@ -45,6 +45,12 @@ object MakeSf1 {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // the per-group customer tag is a single repeated letter a-z: past
+    // group 26 (copies > 270) it would walk into punctuation and break
+    // the documented edit-distance-≥2 property between groups
+    require(copies <= 270,
+      s"copies=$copies > 270: single-letter group tags run out at 'z' " +
+        "(group 26) — extend the tag to two base-26 letters first")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

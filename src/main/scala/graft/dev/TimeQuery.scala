@@ -17,9 +17,11 @@ import graft.SparkEntry
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val names = args.headOption.getOrElse("q01_pricing_summary").split(',').toSeq
-    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    // flags are position-independent; positionals parse from the rest
+    val pos = args.filterNot(_.startsWith("--"))
+    val names = pos.headOption.getOrElse("q01_pricing_summary").split(',').toSeq
+    val dir = pos.lift(1).getOrElse("/root/testdata/sf0.1")
+    val reps = pos.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -682,10 +682,19 @@ object DedupOps {
     // docs arriving as 4 scan partitions). Hashing by id bounds
     // per-task state at docs/shufflePartitions regardless of layout.
     val nPart = sp.sessionState.conf.numShufflePartitions
+    // localCheckpoint for two reasons: (1) vocab AND the encode join
+    // below both consume base — unpinned, the normalization+shingling
+    // scan (the most expensive pass here) runs twice; (2) vocab is
+    // pinned but base would not be, so a nondeterministic recompute of
+    // the source could present shingles the vocabulary never saw, and
+    // the inner join(vocab) would silently DROP them, deflating
+    // intersection counts with no error. Pinning base makes the encode
+    // join see exactly the rows the vocabulary was built from.
     val base = df.repartition(nPart, col(idCol))
       .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("shs0"))
       .select(col("id"), col("shs0"),
         size(col("shs0")).cast("long").as("sz"))
+      .localCheckpoint()
     // EXACT global dictionary: every distinct STRING shingle gets a
     // unique dense int id (zipWithIndex — contiguous, one extra count
     // job). Injective by construction, so set-intersection counts over
