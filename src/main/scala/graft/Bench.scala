@@ -33,6 +33,21 @@ object Bench {
       Runtime.getRuntime.availableProcessors())
   }
 
+  /** (steal, iowait) jiffies from /proc/stat's cpu summary line, or
+    * (-1,-1) where unreadable. Hypervisor steal is the contention
+    * dimension NEITHER loadavg nor the process-vs-system CPU split can
+    * see on a VM: the host runs someone else's work, every timing
+    * inflates, and the guest's own accounting looks idle. The box's
+    * cumulative counter shows ~20k s of historical steal, so the
+    * artifact must carry this signal. */
+  private def procStatStealIo(): (Long, Long) =
+    try {
+      val cols = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+")
+      (cols(8).toLong, cols(5).toLong) // steal, iowait (USER_HZ jiffies)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   /** Next unclaimed per-round snapshot path for the full dict: round N
     * is inferred as 1 + the highest committed BENCH_r<N>.json (the
     * driver writes one per round), and an already-claimed
@@ -110,6 +125,8 @@ object Bench {
     // (round-5 gx06); the min of two back-to-back executions is immune to
     // any one-off stall while still measuring a full end-to-end run.
     externalCores() // prime the CPU-sample window at loop entry
+    var lastStealIo = procStatStealIo()
+    var lastWindowNs = System.nanoTime()
     val results = SparkEntry.allQueries.map { q =>
       def rep(): Double = {
         val t0 = System.nanoTime()
@@ -133,38 +150,58 @@ object Bench {
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           -1.0 // a failed query must not masquerade as a fast one
         }
-      // external-steal sample integrated over exactly this query's
-      // staging+reps window (the previous call closed the last one):
-      // this, not the loadavg, is what decides `contended`
+      // external-steal samples integrated over exactly this query's
+      // staging+reps window (the previous samples closed the last
+      // one): these, not the loadavg, decide `contended`.
+      // ext  = other PROCESSES' CPU (system − this process);
+      // steal = the HYPERVISOR running other guests (/proc/stat), the
+      //   dimension ext can't see on a VM — in cores of this window.
       val ext = externalCores()
-      (q.name, t, qLoad, ext)
+      val nowNs = System.nanoTime()
+      val si = procStatStealIo()
+      val windowS = math.max(1e-9, (nowNs - lastWindowNs) / 1e9)
+      val steal =
+        if (si._1 < 0 || lastStealIo._1 < 0) -1.0
+        else (si._1 - lastStealIo._1) / 100.0 / windowS
+      val iowait =
+        if (si._2 < 0 || lastStealIo._2 < 0) -1.0
+        else (si._2 - lastStealIo._2) / 100.0 / windowS
+      lastStealIo = si; lastWindowNs = nowNs
+      (q.name, t, qLoad, ext, steal, iowait)
     }
-    // A query ran contended iff OTHER processes burned more than the
-    // gate's worth of cores during its window. The flag covers the
-    // whole run: a contended start (pre-loop) or any contended query.
-    val contendedQueries =
-      results.collect { case (k, _, _, e) if e > loadGate => k }
+    // A query ran contended iff OTHER work (processes on this guest,
+    // or the hypervisor's other guests) burned more than the gate's
+    // worth of cores during its window. The flag covers the whole
+    // run: a contended start (pre-loop) or any contended query.
+    val contendedQueries = results.collect {
+      case (k, _, _, e, s, _) if math.max(e, 0) + math.max(s, 0)
+        > loadGate => k
+    }
     val extMax = (results.map(_._4) :+ -1.0).max
+    val stealMax = (results.map(_._5) :+ -1.0).max
+    val iowaitMax = (results.map(_._6) :+ -1.0).max
     val contended = startContended || contendedQueries.nonEmpty
     if (contendedQueries.nonEmpty) System.err.println(
       s"[bench] WARNING: ${contendedQueries.size} queries ran with " +
-        f"external CPU above the gate (max $extMax%.2f cores) — their " +
-        "timings are inflated by box contention: " +
-        contendedQueries.mkString(", "))
+        f"external CPU above the gate (ext max $extMax%.2f, steal max " +
+        f"$stealMax%.2f cores) — their timings are inflated by box " +
+        "contention: " + contendedQueries.mkString(", "))
     def fmt(v: Double): String =
       if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _, _, _) =>
+      s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // per-query 1-min load samples (full dict only): lets any inflated
     // timing be matched to the contention that caused it after the fact
-    val qLoads = results.map { case (k, _, l, _) =>
+    val qLoads = results.map { case (k, _, l, _, _, _) =>
       s"\"" + k + "\":" + f"$l%.2f" }.mkString("{", ",", "}")
-    // per-query external-steal samples (cores of non-bench CPU during
-    // the query's window; -1 = platform gave no sample)
-    val qExt = results.map { case (k, _, _, e) =>
+    // per-query external CPU (other processes) and hypervisor steal,
+    // in cores over the query's window; -1 = no sample available
+    val qExt = results.map { case (k, _, _, e, _, _) =>
       s"\"" + k + "\":" + f"$e%.2f" }.mkString("{", ",", "}")
+    val qSteal = results.map { case (k, _, _, _, s, _) =>
+      s"\"" + k + "\":" + f"$s%.2f" }.mkString("{", ",", "}")
     // -1 sentinels are reported per-query but excluded from the total
-    val passed = results.collect { case (_, v, _, _) if v >= 0 => v }
+    val passed = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }
     val nFailed = results.size - passed.size
     val total = fmt(passed.sum)
     // median -1 (not 0.000) when nothing passed: an all-failed run must
@@ -177,7 +214,7 @@ object Bench {
     // worst-5 by time, so the headline line carries the hot spots even
     // when the full dict doesn't fit the harness's 2KB tail capture
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val loadEnd = loadavg1()
     if (loadEnd > loadMax) loadMax = loadEnd
@@ -187,8 +224,8 @@ object Bench {
     // ext samples for all of them)
     val cqJson = contendedQueries.take(20)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val env = f"""{"cpus":${Runtime.getRuntime.availableProcessors()},"heap_max_gb":$heapGb%.1f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"load_max":$loadMax%.2f,"load_gate":$loadGate%.1f,"ext_max_cores":$extMax%.2f,"n_contended_queries":${contendedQueries.size},"contended_queries":$cqJson,"contended":$contended}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"env":$env,"queries":$qs,"query_load":$qLoads,"query_ext":$qExt,"sf":"$sfDir"}"""
+    val env = f"""{"cpus":${Runtime.getRuntime.availableProcessors()},"heap_max_gb":$heapGb%.1f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"load_max":$loadMax%.2f,"load_gate":$loadGate%.1f,"ext_max_cores":$extMax%.2f,"steal_max_cores":$stealMax%.2f,"iowait_max_cores":$iowaitMax%.2f,"n_contended_queries":${contendedQueries.size},"contended_queries":$cqJson,"contended":$contended}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"env":$env,"queries":$qs,"query_load":$qLoads,"query_ext":$qExt,"query_steal":$qSteal,"sf":"$sfDir"}"""
     // full per-query dict: an EARLIER stdout line + a file — the LAST
     // line is a compact summary that always fits the driver's tail
     // capture window (round 4's per-query line exceeded it → parsed:null)
