@@ -26,6 +26,8 @@ object StarCCForce {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // surface the [starcc] leg line (spark.graft.debug-gated)
+    spark.conf.set(graft.util.Dbg.ConfKey, "true")
     val q = graft.SparkEntry.allQueries.find(_.name == qName)
       .getOrElse(sys.error(s"no gate named $qName"))
     val boundKey = "spark.graft.starcc.driverCollectBound"

@@ -31,6 +31,9 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // rehearsal harness: surface the engine's gated diagnostics
+    // (StarCC leg choice, linkpred bucket decisions)
+    spark.conf.set(graft.util.Dbg.ConfKey, "true")
 
     // stage-level metrics between marks: shuffle write bytes + widest stage
     val shuffleBytes = new AtomicLong(0L)

@@ -574,10 +574,14 @@ object GraphXBridge {
     scoreCandidates(cand, deg)
   }
 
-  /** Shared candidate generation for the link-prediction family:
-    * returns (cand = non-adjacent (id1, id2, common) pairs, deg). */
-  private def linkCandidates(edges: DataFrame, maxCenterDegree: Int)
-      : (DataFrame, DataFrame) = {
+  /** Shared preparation for the link-prediction family: the capped
+    * per-center sorted adjacency frame, the (localCheckpoint()ed)
+    * symmetric-degree frame, and the id-packability verdict. */
+  private case class WedgePrep(adj: DataFrame, deg: DataFrame,
+      edges: DataFrame, integral: Boolean, packable: Boolean)
+
+  private def prepareWedges(edges: DataFrame, maxCenterDegree: Int)
+      : WedgePrep = {
     val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
     // |V|-sized and referenced three times (packability probe + both
@@ -596,23 +600,10 @@ object GraphXBridge {
           .select(col("id").as("w")), Seq("w"), "left_semi")
     val adj = bounded.groupBy(col("w"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-    // (ids[i], ids[j]) for i<j: posexplode anchors id1, slice emits its
-    // ordered partners — C(deg,2) rows, generated inside the scan stage
-    val rawPairs = adj
-      .select(posexplode(col("ids")).as(Seq("i", "id1")), col("ids"))
-      .select(col("id1"),
-        explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
-    // Aggregation discipline (measured, dev.TimeGx18, sf0.1 full
-    // graph: 148M wedges over 101M distinct pairs): pair multiplicity
-    // is ~1.5, so the default partial+final aggregate hashes every
-    // wedge map-side to save almost nothing — repartitioning by the
-    // key FIRST satisfies the aggregate's distribution and the planner
-    // emits ONE complete HashAggregate (46 s → 15 s end-to-end).
     // When ids are integral and fit 32 bits (checked against the
     // ALREADY-NEEDED degree frame — one tiny job), the pair key packs
     // into a single long: one-word hash/compare instead of a two-field
-    // row buys another ~20%. pk order == (id1, id2) order (both
-    // non-negative), so downstream tie-breaks are unaffected.
+    // row buys ~20% in the aggregate.
     val integral = Seq("src", "dst").forall(c =>
       edges.schema(c).dataType match {
         case org.apache.spark.sql.types.LongType |
@@ -629,56 +620,103 @@ object GraphXBridge {
         max(col("id").cast("long"))).head()
       !r.isNullAt(0) && r.getLong(0) >= 0 && r.getLong(1) < (1L << 31)
     }
-    // Existing-edge removal rides the SAME partitioning: a left-anti
-    // SHUFFLED-HASH join (hint) against the pair-key — the default
-    // sort-merge anti would SORT the ~|pairs| aggregate output just to
-    // drop |E| of them, and an unconditional broadcast of the edge
-    // list would not survive a 100 TB edge table. Shuffle-hash builds
-    // a per-partition table of only the edges landing in that
-    // partition and streams the aggregate side untouched (its
-    // partitioning from the repartition above already satisfies the
-    // join's distribution — no extra exchange, no sort).
-    val cand =
-      if (packable) {
-        val pkOf = (a: Column, b: Column) =>
-          shiftleft(a.cast("long"), 32) + b.cast("long")
-        val rawPk = rawPairs
-          .select(pkOf(col("id1"), col("id2")).as("pk"))
-        // Count-by-packed-key through the dedicated physical operator
-        // (open-addressed long→long table — see PackedCountAgg's
-        // scaladoc for the measured HashAggregateExec gap); its
-        // required distribution plants the same single by-key exchange
-        // the explicit repartition used to. Conf-off fallback keeps
-        // the generic plan.
-        val aggPk =
-          if (org.apache.spark.sql.graft.PackedCountAgg
-              .enabled(edges.sparkSession))
-            org.apache.spark.sql.graft.PackedCountAgg
-              .countByKey(rawPk, "common")
-          else rawPk
-            .repartition(col("pk"))
-            .groupBy(col("pk")).agg(count(lit(1)).as("common"))
-        val edgePk = edges.select(pkOf(col("src"), col("dst")).as("pk"))
-        aggPk.join(edgePk.hint("shuffle_hash"), Seq("pk"), "left_anti")
-          .select(shiftrightunsigned(col("pk"), 32).as("id1"),
-            col("pk").bitwiseAND(lit((1L << 32) - 1)).as("id2"),
-            col("common"))
-      } else {
-        // output id type must be a function of the input TYPE, not of
-        // runtime id values (packability) — integral ids always come
-        // back as LongType from either branch
-        val (o1, o2) =
-          if (integral) (col("id1").cast("long").as("id1"),
-            col("id2").cast("long").as("id2"))
-          else (col("id1"), col("id2"))
-        rawPairs.repartition(col("id1"), col("id2"))
-          .groupBy(col("id1"), col("id2"))
-          .agg(count(lit(1)).as("common"))
-          .join(edges.select(col("src").as("id1"), col("dst").as("id2"))
-            .hint("shuffle_hash"), Seq("id1", "id2"), "left_anti")
-          .select(o1, o2, col("common"))
+    WedgePrep(adj, deg, edges, integral, packable)
+  }
+
+  /** (ids[i], ids[j]) for i<j: posexplode anchors id1, slice emits its
+    * ordered partners — C(deg,2) rows, generated inside the scan
+    * stage. */
+  private def rawPairsOf(adj: DataFrame): DataFrame = adj
+    .select(posexplode(col("ids")).as(Seq("i", "id1")), col("ids"))
+    .select(col("id1"),
+      explode(expr("slice(ids, i + 2, size(ids))")).as("id2"))
+
+  /** Aggregated non-adjacent (id1, id2, common) candidate pairs from a
+    * prepared adjacency. `bucket = Some((b, i))` restricts BOTH the
+    * wedge stream and the edge anti-join side to pair keys with
+    * pmod(key, b) == i — an exact partition of the pair space, applied
+    * map-side BEFORE the by-key exchange so a pass's shuffle writes
+    * only ~wedges/b rows (the disk bound [[topLinkPredictions]]'
+    * sequential passes rely on).
+    *
+    * Aggregation discipline (measured, dev.TimeGx18, sf0.1 full
+    * graph: 148M wedges over 101M distinct pairs): pair multiplicity
+    * is ~1.5, so the default partial+final aggregate hashes every
+    * wedge map-side to save almost nothing — repartitioning by the
+    * key FIRST satisfies the aggregate's distribution and the planner
+    * emits ONE complete HashAggregate (46 s → 15 s end-to-end).
+    *
+    * Existing-edge removal rides the SAME partitioning: a left-anti
+    * SHUFFLED-HASH join (hint) against the pair-key — the default
+    * sort-merge anti would SORT the ~|pairs| aggregate output just to
+    * drop |E| of them, and an unconditional broadcast of the edge
+    * list would not survive a 100 TB edge table. Shuffle-hash builds
+    * a per-partition table of only the edges landing in that
+    * partition and streams the aggregate side untouched (its
+    * partitioning from the aggregate above already satisfies the
+    * join's distribution — no extra exchange, no sort). */
+  private def candFrom(p: WedgePrep, adj: DataFrame,
+      bucket: Option[(Int, Int)]): DataFrame = {
+    val rawPairs = rawPairsOf(adj)
+    if (p.packable) {
+      val pkOf = (a: Column, b: Column) =>
+        shiftleft(a.cast("long"), 32) + b.cast("long")
+      val pick = (df: DataFrame) => bucket.fold(df) { case (b, i) =>
+        df.filter(pmod(col("pk"), lit(b.toLong)) === lit(i.toLong))
       }
-    (cand, deg)
+      val rawPk = pick(rawPairs
+        .select(pkOf(col("id1"), col("id2")).as("pk")))
+      // Count-by-packed-key through the dedicated physical operator
+      // (open-addressed long→long table — see PackedCountAgg's
+      // scaladoc for the measured HashAggregateExec gap); its
+      // required distribution plants the same single by-key exchange
+      // the explicit repartition used to. Conf-off fallback keeps
+      // the generic plan.
+      val aggPk =
+        if (org.apache.spark.sql.graft.PackedCountAgg
+            .enabled(p.edges.sparkSession))
+          org.apache.spark.sql.graft.PackedCountAgg
+            .countByKey(rawPk, "common")
+        else rawPk
+          .repartition(col("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("common"))
+      val edgePk = pick(p.edges
+        .select(pkOf(col("src"), col("dst")).as("pk")))
+      aggPk.join(edgePk.hint("shuffle_hash"), Seq("pk"), "left_anti")
+        .select(shiftrightunsigned(col("pk"), 32).as("id1"),
+          col("pk").bitwiseAND(lit((1L << 32) - 1)).as("id2"),
+          col("common"))
+    } else {
+      // non-packable bucket key: xxhash64 over both id columns — the
+      // same expression on both sides, so a pair and its edge land in
+      // the same bucket (only distribution, not order, depends on it)
+      val pick = (df: DataFrame) => bucket.fold(df) { case (b, i) =>
+        df.filter(pmod(xxhash64(col("id1"), col("id2")),
+          lit(b.toLong)) === lit(i.toLong))
+      }
+      // output id type must be a function of the input TYPE, not of
+      // runtime id values (packability) — integral ids always come
+      // back as LongType from either branch
+      val (o1, o2) =
+        if (p.integral) (col("id1").cast("long").as("id1"),
+          col("id2").cast("long").as("id2"))
+        else (col("id1"), col("id2"))
+      pick(rawPairs).repartition(col("id1"), col("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("common"))
+        .join(pick(p.edges
+            .select(col("src").as("id1"), col("dst").as("id2")))
+          .hint("shuffle_hash"), Seq("id1", "id2"), "left_anti")
+        .select(o1, o2, col("common"))
+    }
+  }
+
+  /** Shared candidate generation for the link-prediction family:
+    * returns (cand = non-adjacent (id1, id2, common) pairs, deg). */
+  private def linkCandidates(edges: DataFrame, maxCenterDegree: Int)
+      : (DataFrame, DataFrame) = {
+    val p = prepareWedges(edges, maxCenterDegree)
+    (candFrom(p, p.adj, None), p.deg)
   }
 
   private def scoreCandidates(cand: DataFrame, deg: DataFrame): DataFrame =
@@ -704,15 +742,94 @@ object GraphXBridge {
     * by common desc with (id1, id2) tie-breaks — a total order, fully
     * pinned. Ordering only needs `common`, so deferring the degree
     * joins is lossless. Eager at plan construction — see
-    * [[linkPredictionScores]]. */
+    * [[linkPredictionScores]].
+    *
+    * Disk-bounded at scale (the round-11 sf10 lesson: ONE pass over
+    * the full wedge stream writes Σ C(deg,2) × ~8 B of shuffle before
+    * a single pair aggregates away — 39 GB at sf5, disk death at
+    * sf10): when the wedge census (one tiny agg over the degree frame
+    * Spark already materialized) projects shuffle beyond the budget,
+    * the pair-key space is processed in B SEQUENTIAL passes — pass i
+    * keeps only keys with pmod(key, B) = i (an exact partition, so
+    * per-bucket top-k merge = global top-k; tie order (common desc,
+    * id1, id2) is total) and peak shuffle disk drops to ~wedges/B.
+    * Total aggregate work is unchanged; the wedge GENERATION (a narrow
+    * codegen'd explode over the localCheckpoint()ed adjacency) is
+    * re-run per pass — CPU, not disk. Each pass materializes its
+    * k-row top via localCheckpoint (eager), so pass i's shuffle files
+    * are unreferenced — and ContextCleaner-collectable — before pass
+    * i+1 writes. B comes from [[LinkPredBucketsKey]] (forced) or the
+    * census vs [[LinkPredBudgetKey]] (default: 35% of the usable space
+    * on the first spark.local.dir — on a real cluster, set the budget
+    * to aggregate executor scratch instead). */
   def topLinkPredictions(edges: DataFrame, k: Int,
       maxCenterDegree: Int = Int.MaxValue): DataFrame = {
-    val (cand, deg) = linkCandidates(edges, maxCenterDegree)
-    val top = cand
-      .orderBy(col("common").desc, col("id1"), col("id2"))
-      .limit(k)
-    scoreCandidates(broadcast(top), deg)
-      .orderBy(col("common").desc, col("id1"), col("id2"))
+    val p = prepareWedges(edges, maxCenterDegree)
+    val spark = edges.sparkSession
+    val byRank = Seq(col("common").desc, col("id1"), col("id2"))
+    val capped =
+      if (maxCenterDegree == Int.MaxValue) p.deg
+      else p.deg.filter(col("deg") <= maxCenterDegree)
+    // double, not long: the census is an estimate and Σ deg² on a
+    // 100 TB graph would overflow a long under ANSI
+    val wedges = {
+      val r = capped.agg(sum(col("deg").cast("double")
+        * (col("deg") - 1) / 2)).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    val b = linkPredBuckets(spark, wedges)
+    graft.util.Dbg(spark, f"[linkpred] wedges=$wedges%.3g buckets=$b")
+    if (b <= 1) {
+      val top = candFrom(p, p.adj, None).orderBy(byRank: _*).limit(k)
+      scoreCandidates(broadcast(top), p.deg).orderBy(byRank: _*)
+    } else {
+      // B passes re-read the adjacency: pin it (memory-and-disk) so
+      // the sym-groupBy shuffle behind it runs once, not B times
+      val adj = p.adj.localCheckpoint()
+      val tops = (0 until b).map { i =>
+        val t = candFrom(p, adj, Some((b, i)))
+          .orderBy(byRank: _*).limit(k)
+          .localCheckpoint() // EAGER: pass i completes (k rows) here
+        // the pass's shuffle files are dropped by ContextCleaner once
+        // their dependencies are unreachable — nudge the collector
+        // before the next pass starts writing
+        System.gc()
+        graft.util.Dbg(spark, s"[linkpred] bucket $i/$b done")
+        t
+      }
+      val top = tops.reduce(_ unionAll _).orderBy(byRank: _*).limit(k)
+      scoreCandidates(broadcast(top), p.deg).orderBy(byRank: _*)
+    }
+  }
+
+  /** Conf: forced pass count for [[topLinkPredictions]]' wedge
+    * aggregation (0 = auto from the wedge census vs disk budget). */
+  val LinkPredBucketsKey = "spark.graft.linkpred.buckets"
+
+  /** Conf: shuffle-disk budget in bytes for the auto bucket choice
+    * (unset/0 = 35% of usable space on the first spark.local.dir). */
+  val LinkPredBudgetKey = "spark.graft.linkpred.shuffleBudgetBytes"
+
+  /** Measured at sf1 (PLANS.md round 7): ~1.3B packed-long wedges →
+    * 10.3 GB lz4-compressed shuffle ≈ 8 B/wedge. */
+  private val BytesPerWedge = 8.0
+
+  private def linkPredBuckets(spark: SparkSession, wedges: Double): Int = {
+    val forced = spark.conf.get(LinkPredBucketsKey, "0").toInt
+    if (forced > 0) forced
+    else {
+      val budget = spark.conf.get(LinkPredBudgetKey, "0").toLong match {
+        case e if e > 0 => e.toDouble
+        case _ =>
+          val dir = spark.sparkContext.getConf.get("spark.local.dir",
+            System.getProperty("java.io.tmpdir", "/tmp")).split(',').head
+          new java.io.File(dir).getUsableSpace * 0.35
+      }
+      // cap at 64: beyond that the B× wedge regeneration dominates and
+      // the honest answer is more scratch disk, not more passes
+      math.min(64, math.max(1,
+        math.ceil(wedges * BytesPerWedge / math.max(budget, 1.0)).toInt))
+    }
   }
 
   /** Deterministic uniform random walks — the graph-ML sampling

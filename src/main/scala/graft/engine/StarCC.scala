@@ -69,10 +69,12 @@ object StarCC {
     // bound 0 (or negative) disables the driver path outright — even an
     // EMPTY canonical edge set then runs the distributed fixpoint, so a
     // test forcing the distributed leg really exercises it.
-    // the chosen leg is observable (stderr): the sf10 rehearsal's
-    // "does a big pair graph route to the distributed leg NATURALLY"
-    // check reads this line rather than inferring from wall time
-    System.err.println(s"[starcc] canonical_edges=$eCount " +
+    // the chosen leg is observable (stderr, spark.graft.debug-gated —
+    // engine code must not print unconditionally): the sf10
+    // rehearsal's "does a big pair graph route to the distributed leg
+    // NATURALLY" check reads this line rather than inferring from
+    // wall time
+    graft.util.Dbg(spark, s"[starcc] canonical_edges=$eCount " +
       s"bound=$driverBound leg=" +
       (if (driverBound > 0 && eCount <= driverBound) "driver"
        else "distributed"))

@@ -36,6 +36,33 @@ class ScaleSpec extends SparkSpec {
       r.getLong(4)) == ((1L, 4L, 2L, 10000L, 4L)), r)
   }
 
+  test("topLinkPredictions bucketed passes (forced B=4) reproduce the " +
+      "single-pass top-k exactly — packable and non-packable branches") {
+    import spark.implicits._
+    // deterministic pseudo-random graph with heavy shared-neighbor
+    // multiplicity and ties in `common` (exercises the per-bucket
+    // top-k merge's total-order tie-breaks)
+    val base = (0 until 400).map { i =>
+      val a = (i * 7919) % 60; val b = (i * 104729 + 13) % 60
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter(p => p._1 != p._2).distinct
+    val packEdges = base.toDF("src", "dst")
+    val strEdges = base.map { case (a, b) => (s"v$a", s"v$b") }
+      .toDF("src", "dst")
+    def collectTop(edges: org.apache.spark.sql.DataFrame) =
+      GraphXBridge.topLinkPredictions(edges, k = 25).collect()
+        .map(_.toSeq).toSeq
+    def bucketed(edges: org.apache.spark.sql.DataFrame) = {
+      spark.conf.set(GraphXBridge.LinkPredBucketsKey, "4")
+      try collectTop(edges)
+      finally spark.conf.unset(GraphXBridge.LinkPredBucketsKey)
+    }
+    val singleP = collectTop(packEdges)
+    assert(singleP.size == 25 && bucketed(packEdges) == singleP)
+    val singleS = collectTop(strEdges)
+    assert(singleS.size == 25 && bucketed(strEdges) == singleS)
+  }
+
   test("PackedKeyCountExec matches the generic aggregate exactly " +
       "(conf off vs on), including zero and multiplicity-heavy keys") {
     import spark.implicits._
