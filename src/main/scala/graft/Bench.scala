@@ -33,42 +33,74 @@ object Bench {
       Runtime.getRuntime.availableProcessors())
   }
 
-  /** (steal, iowait) jiffies from /proc/stat's cpu summary line, or
-    * (-1,-1) where unreadable. Hypervisor steal is the contention
-    * dimension NEITHER loadavg nor the process-vs-system CPU split can
-    * see on a VM: the host runs someone else's work, every timing
-    * inflates, and the guest's own accounting looks idle. The box's
-    * cumulative counter shows ~20k s of historical steal, so the
-    * artifact must carry this signal. */
-  private def procStatStealIo(): (Long, Long) =
+  /** (steal, iowait, total) jiffies from /proc/stat's cpu summary
+    * line, or (-1,-1,-1) where unreadable. Hypervisor steal is the
+    * contention dimension NEITHER loadavg nor the process-vs-system
+    * CPU split can see on a VM: the host runs someone else's work,
+    * every timing inflates, and the guest's own accounting looks
+    * idle. The box's cumulative counter shows ~20k s of historical
+    * steal, so the artifact must carry this signal. `total` (the sum
+    * of every cpu-line field) makes the per-window fraction
+    * USER_HZ-independent: steal_cores = stealΔ/totalΔ × nproc needs
+    * no jiffy→seconds conversion (ADVICE r11: the old ÷100 hardcoded
+    * USER_HZ=100). */
+  private def procStatStealIo(): (Long, Long, Long) =
     try {
       val cols = java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/stat"))
         .linesIterator.next().trim.split("\\s+")
-      (cols(8).toLong, cols(5).toLong) // steal, iowait (USER_HZ jiffies)
+      val total = cols.drop(1).map(_.toLong).sum
+      (cols(8).toLong, cols(5).toLong, total) // steal, iowait, all
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
+
+  /** Cumulative /proc/pressure/io stall totals in µs: (some, full),
+    * or (-1,-1) where PSI is unavailable. `some` = wall time where
+    * ≥1 task stalled on I/O; `full` = where ALL non-idle tasks did.
+    * This is the dimension the r11 residual named: page-cache
+    * eviction by a just-finished external job inflates timings while
+    * both the ext and steal signals read clean — but the bench's own
+    * re-reads then stall on disk, and PSI sees the stall whoever
+    * caused it. System-wide (includes the bench's own spill I/O), so
+    * the gate is generous and the per-query samples are recorded for
+    * after-the-fact attribution. */
+  private def procPsiIo(): (Long, Long) =
+    try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/pressure/io"))
+      def tot(prefix: String): Long = txt.linesIterator
+        .find(_.startsWith(prefix))
+        .flatMap(l => "total=(\\d+)".r.findFirstMatchIn(l)
+          .map(_.group(1).toLong))
+        .getOrElse(-1L)
+      (tot("some"), tot("full"))
     } catch { case _: Throwable => (-1L, -1L) }
 
   /** Next unclaimed per-round snapshot path for the full dict: round N
-    * is inferred as 1 + the highest committed BENCH_r<N>.json (the
-    * driver writes one per round), and an already-claimed
-    * BENCH_FULL_r<N>.json (e.g. the driver's run, when the judge
-    * re-benches the same round) gets a b/c/... suffix instead of being
-    * clobbered — r9 and r10 both lost the driver's full dict to a
-    * later same-file write. */
+    * is inferred as 1 + the highest COMMITTED BENCH_r<N>.json (via
+    * `git ls-files` — the driver commits one per round; an untracked
+    * BENCH_r*.json written mid-round must not advance the inference,
+    * which is how a round-11 run mislabeled itself r12, ADVICE r11),
+    * and an already-claimed BENCH_FULL_r<N>.json (e.g. the driver's
+    * run, when the judge re-benches the same round) gets a b/c/...
+    * suffix instead of being clobbered — r9 and r10 both lost the
+    * driver's full dict to a later same-file write. */
   private def snapshotPath(): java.nio.file.Path = {
-    import scala.jdk.CollectionConverters._
-    val cwd = java.nio.file.Paths.get(".")
     val re = "BENCH_r(\\d+)\\.json".r
     val maxR =
-      try java.nio.file.Files.list(cwd).iterator().asScala
-        .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
-          .map(_.group(1).toInt)).foldLeft(0)(math.max)
-      catch { case _: Throwable => 0 }
-    val n = maxR + 1
+      try {
+        import scala.sys.process._
+        Seq("git", "ls-files", "BENCH_r*.json").!!.linesIterator
+          .flatMap(l => re.findFirstMatchIn(l.trim).map(_.group(1).toInt))
+          .foldLeft(-1)(math.max)
+      } catch { case _: Throwable => -1 }
+    // git unavailable/none committed: an explicit marker beats
+    // silently squatting round 1's name
+    val stem = if (maxR < 0) "BENCH_FULL_unknownround"
+               else s"BENCH_FULL_r${maxR + 1}"
     ("" +: ('b' to 'z').map(_.toString)).iterator
-      .map(sfx => java.nio.file.Paths.get(s"BENCH_FULL_r$n$sfx.json"))
+      .map(sfx => java.nio.file.Paths.get(s"$stem$sfx.json"))
       .find(p => !java.nio.file.Files.exists(p))
-      .getOrElse(java.nio.file.Paths.get(s"BENCH_FULL_r${n}_overflow.json"))
+      .getOrElse(java.nio.file.Paths.get(s"${stem}_overflow.json"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -126,7 +158,12 @@ object Bench {
     // any one-off stall while still measuring a full end-to-end run.
     externalCores() // prime the CPU-sample window at loop entry
     var lastStealIo = procStatStealIo()
+    var lastPsi = procPsiIo()
     var lastWindowNs = System.nanoTime()
+    // PSI gate: fraction of the query's window with some task stalled
+    // on I/O above which the query counts as contended (generous —
+    // the counter is system-wide and sees the bench's own spills)
+    val psiGate = sys.env.getOrElse("SPARK_GRAFT_IO_PSI_GATE", "0.3").toDouble
     val results = SparkEntry.allQueries.map { q =>
       def rep(): Double = {
         val t0 = System.nanoTime()
@@ -159,27 +196,37 @@ object Bench {
       val ext = externalCores()
       val nowNs = System.nanoTime()
       val si = procStatStealIo()
-      val windowS = math.max(1e-9, (nowNs - lastWindowNs) / 1e9)
+      val psi = procPsiIo()
+      val windowUs = math.max(1.0, (nowNs - lastWindowNs) / 1e3)
+      // jiffy fractions of the SAME /proc/stat line's total delta —
+      // USER_HZ-independent (ADVICE r11) — scaled to cores
+      val nproc = Runtime.getRuntime.availableProcessors()
+      val totD = si._3 - lastStealIo._3
       val steal =
-        if (si._1 < 0 || lastStealIo._1 < 0) -1.0
-        else (si._1 - lastStealIo._1) / 100.0 / windowS
+        if (si._1 < 0 || lastStealIo._1 < 0 || totD <= 0) -1.0
+        else (si._1 - lastStealIo._1).toDouble / totD * nproc
       val iowait =
-        if (si._2 < 0 || lastStealIo._2 < 0) -1.0
-        else (si._2 - lastStealIo._2) / 100.0 / windowS
-      lastStealIo = si; lastWindowNs = nowNs
-      (q.name, t, qLoad, ext, steal, iowait)
+        if (si._2 < 0 || lastStealIo._2 < 0 || totD <= 0) -1.0
+        else (si._2 - lastStealIo._2).toDouble / totD * nproc
+      // PSI stall fractions of the query's wall window (0..1)
+      val psiSome =
+        if (psi._1 < 0 || lastPsi._1 < 0) -1.0
+        else (psi._1 - lastPsi._1) / windowUs
+      lastStealIo = si; lastPsi = psi; lastWindowNs = nowNs
+      (q.name, t, qLoad, ext, steal, iowait, psiSome)
     }
     // A query ran contended iff OTHER work (processes on this guest,
     // or the hypervisor's other guests) burned more than the gate's
     // worth of cores during its window. The flag covers the whole
     // run: a contended start (pre-loop) or any contended query.
     val contendedQueries = results.collect {
-      case (k, _, _, e, s, _) if math.max(e, 0) + math.max(s, 0)
-        > loadGate => k
+      case (k, _, _, e, s, _, p) if math.max(e, 0) + math.max(s, 0)
+        > loadGate || p > psiGate => k
     }
     val extMax = (results.map(_._4) :+ -1.0).max
     val stealMax = (results.map(_._5) :+ -1.0).max
     val iowaitMax = (results.map(_._6) :+ -1.0).max
+    val psiMax = (results.map(_._7) :+ -1.0).max
     val contended = startContended || contendedQueries.nonEmpty
     if (contendedQueries.nonEmpty) System.err.println(
       s"[bench] WARNING: ${contendedQueries.size} queries ran with " +
@@ -188,20 +235,25 @@ object Bench {
         "contention: " + contendedQueries.mkString(", "))
     def fmt(v: Double): String =
       if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v, _, _, _, _) =>
+    val qs = results.map { case (k, v, _, _, _, _, _) =>
       s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // per-query 1-min load samples (full dict only): lets any inflated
     // timing be matched to the contention that caused it after the fact
-    val qLoads = results.map { case (k, _, l, _, _, _) =>
+    val qLoads = results.map { case (k, _, l, _, _, _, _) =>
       s"\"" + k + "\":" + f"$l%.2f" }.mkString("{", ",", "}")
     // per-query external CPU (other processes) and hypervisor steal,
     // in cores over the query's window; -1 = no sample available
-    val qExt = results.map { case (k, _, _, e, _, _) =>
+    val qExt = results.map { case (k, _, _, e, _, _, _) =>
       s"\"" + k + "\":" + f"$e%.2f" }.mkString("{", ",", "}")
-    val qSteal = results.map { case (k, _, _, _, s, _) =>
+    val qSteal = results.map { case (k, _, _, _, s, _, _) =>
       s"\"" + k + "\":" + f"$s%.2f" }.mkString("{", ",", "}")
+    // per-query I/O-pressure stall fraction (PSI `some` over the
+    // query's window); -1 = PSI unavailable
+    val qPsi = results.map { case (k, _, _, _, _, _, p) =>
+      s"\"" + k + "\":" + f"$p%.2f" }.mkString("{", ",", "}")
     // -1 sentinels are reported per-query but excluded from the total
-    val passed = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }
+    val passed = results.collect {
+      case (_, v, _, _, _, _, _) if v >= 0 => v }
     val nFailed = results.size - passed.size
     val total = fmt(passed.sum)
     // median -1 (not 0.000) when nothing passed: an all-failed run must
@@ -214,7 +266,7 @@ object Bench {
     // worst-5 by time, so the headline line carries the hot spots even
     // when the full dict doesn't fit the harness's 2KB tail capture
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val loadEnd = loadavg1()
     if (loadEnd > loadMax) loadMax = loadEnd
@@ -224,8 +276,8 @@ object Bench {
     // ext samples for all of them)
     val cqJson = contendedQueries.take(20)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val env = f"""{"cpus":${Runtime.getRuntime.availableProcessors()},"heap_max_gb":$heapGb%.1f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"load_max":$loadMax%.2f,"load_gate":$loadGate%.1f,"ext_max_cores":$extMax%.2f,"steal_max_cores":$stealMax%.2f,"iowait_max_cores":$iowaitMax%.2f,"n_contended_queries":${contendedQueries.size},"contended_queries":$cqJson,"contended":$contended}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"env":$env,"queries":$qs,"query_load":$qLoads,"query_ext":$qExt,"query_steal":$qSteal,"sf":"$sfDir"}"""
+    val env = f"""{"cpus":${Runtime.getRuntime.availableProcessors()},"heap_max_gb":$heapGb%.1f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"load_max":$loadMax%.2f,"load_gate":$loadGate%.1f,"ext_max_cores":$extMax%.2f,"steal_max_cores":$stealMax%.2f,"iowait_max_cores":$iowaitMax%.2f,"io_psi_max":$psiMax%.2f,"io_psi_gate":$psiGate%.2f,"n_contended_queries":${contendedQueries.size},"contended_queries":$cqJson,"contended":$contended}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"env":$env,"queries":$qs,"query_load":$qLoads,"query_ext":$qExt,"query_steal":$qSteal,"query_io_psi":$qPsi,"sf":"$sfDir"}"""
     // full per-query dict: an EARLIER stdout line + a file — the LAST
     // line is a compact summary that always fits the driver's tail
     // capture window (round 4's per-query line exceeded it → parsed:null)

@@ -16,7 +16,12 @@ object Ledger {
     val gates = graft.SparkEntry.queries.size
     val oracles = graft.SparkEntry.oracleSql.size
 
+    // cwd-relative on purpose, but fail actionably from anywhere else
+    // (ADVICE r11: a wrong cwd used to read as 'no TESTRUN' drift)
     val ledgerPath = Paths.get("dev/ledger.json")
+    if (!Files.exists(ledgerPath)) sys.error(
+      s"dev/ledger.json not found under ${Paths.get("").toAbsolutePath}" +
+        " — run from the repo root")
     val ledger = Files.readString(ledgerPath)
     def field(k: String): Int =
       s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(ledger)
@@ -29,10 +34,12 @@ object Ledger {
     // newest TESTRUN_r*.txt carries the last recorded full-suite count
     import scala.jdk.CollectionConverters._
     val re = "TESTRUN_r(\\d+)\\.txt".r
-    val testrun = Files.list(Paths.get(".")).iterator().asScala
-      .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
-        .map(m => (m.group(1).toInt, p)))
-      .toSeq.sortBy(-_._1).headOption
+    val testrun = scala.util.Using.resource(Files.list(Paths.get("."))) {
+      _.iterator().asScala
+        .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
+          .map(m => (m.group(1).toInt, p)))
+        .toSeq
+    }.sortBy(-_._1).headOption
     val tests = testrun.flatMap { case (_, p) =>
       "Tests: succeeded (\\d+), failed (\\d+)".r
         .findFirstMatchIn(Files.readString(p))
