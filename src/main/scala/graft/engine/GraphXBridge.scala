@@ -783,9 +783,15 @@ object GraphXBridge {
       val top = candFrom(p, p.adj, None).orderBy(byRank: _*).limit(k)
       scoreCandidates(broadcast(top), p.deg).orderBy(byRank: _*)
     } else {
-      // B passes re-read the adjacency: pin it (memory-and-disk) so
-      // the sym-groupBy shuffle behind it runs once, not B times
-      val adj = p.adj.localCheckpoint()
+      // B passes re-read the adjacency: pin it so the sym-groupBy
+      // shuffle behind it runs once, not B times — DISK_ONLY, because
+      // a multi-GB adjacency held MEMORY_AND_DISK occupies the
+      // unified pool's storage half exactly when the passes'
+      // aggregation needs execution memory (observed at sf10/8 g:
+      // pass 3 died UNABLE_TO_ACQUIRE_MEMORY with the adjacency
+      // cached; sequential disk reads are noise next to the explode)
+      val adj = p.adj.localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val tops = (0 until b).map { i =>
         val t = candFrom(p, adj, Some((b, i)))
           .orderBy(byRank: _*).limit(k)
