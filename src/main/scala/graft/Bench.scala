@@ -49,31 +49,34 @@ object Bench {
       val cols = java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/stat"))
         .linesIterator.next().trim.split("\\s+")
-      val total = cols.drop(1).map(_.toLong).sum
+      // user..steal only (cols 1-8): guest/guest_nice (9-10) are
+      // already folded into user/nice by the kernel — summing them
+      // too would double-count and bias the core estimates low on
+      // guest-running hosts (ADVICE r12)
+      val total = cols.slice(1, 9).map(_.toLong).sum
       (cols(8).toLong, cols(5).toLong, total) // steal, iowait, all
     } catch { case _: Throwable => (-1L, -1L, -1L) }
 
-  /** Cumulative /proc/pressure/io stall totals in µs: (some, full),
-    * or (-1,-1) where PSI is unavailable. `some` = wall time where
-    * ≥1 task stalled on I/O; `full` = where ALL non-idle tasks did.
+  /** Cumulative /proc/pressure/io `some` stall total in µs (wall time
+    * where ≥1 task stalled on I/O), or -1 where PSI is unavailable.
     * This is the dimension the r11 residual named: page-cache
     * eviction by a just-finished external job inflates timings while
     * both the ext and steal signals read clean — but the bench's own
     * re-reads then stall on disk, and PSI sees the stall whoever
     * caused it. System-wide (includes the bench's own spill I/O), so
     * the gate is generous and the per-query samples are recorded for
-    * after-the-fact attribution. */
-  private def procPsiIo(): (Long, Long) =
+    * after-the-fact attribution. (The `full` total was parsed but
+    * never recorded — dropped rather than implying coverage the
+    * artifact doesn't have, ADVICE r12.) */
+  private def procPsiIo(): Long =
     try {
       val txt = java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/pressure/io"))
-      def tot(prefix: String): Long = txt.linesIterator
-        .find(_.startsWith(prefix))
+      txt.linesIterator.find(_.startsWith("some"))
         .flatMap(l => "total=(\\d+)".r.findFirstMatchIn(l)
           .map(_.group(1).toLong))
         .getOrElse(-1L)
-      (tot("some"), tot("full"))
-    } catch { case _: Throwable => (-1L, -1L) }
+    } catch { case _: Throwable => -1L }
 
   /** Next unclaimed per-round snapshot path for the full dict: round N
     * is inferred as 1 + the highest COMMITTED BENCH_r<N>.json (via
@@ -124,6 +127,22 @@ object Bench {
     }
     val loadStart = loadavg1()
     val startContended = loadStart > loadGate
+    // REFUSE rather than measure a contended box: round 12's committed
+    // artifact ran at load 181 after this wait expired, and every
+    // "regression" in it was contention — a self-flagged bad number
+    // still cost the round its clean headline. A run that must happen
+    // anyway (known-contended, exploratory) sets the override env.
+    val allowContended =
+      sys.env.getOrElse("SPARK_GRAFT_ALLOW_CONTENDED", "0") == "1"
+    if (startContended && !allowContended) {
+      System.err.println(
+        f"[bench] REFUSING to run: 1-min load $loadStart%.2f > " +
+          f"$loadGate%.1f after waiting ${idleWaitS}s for the box to " +
+          "drain. Re-run when quiet, or set " +
+          "SPARK_GRAFT_ALLOW_CONTENDED=1 for an intentionally " +
+          "contended (self-flagged) run.")
+      sys.exit(2)
+    }
     if (startContended) System.err.println(
       f"[bench] WARNING: starting CONTENDED (1-min load $loadStart%.2f > " +
         f"$loadGate%.1f after ${idleWaitS}s) — timings in this artifact " +
@@ -210,8 +229,8 @@ object Bench {
         else (si._2 - lastStealIo._2).toDouble / totD * nproc
       // PSI stall fractions of the query's wall window (0..1)
       val psiSome =
-        if (psi._1 < 0 || lastPsi._1 < 0) -1.0
-        else (psi._1 - lastPsi._1) / windowUs
+        if (psi < 0 || lastPsi < 0) -1.0
+        else (psi - lastPsi) / windowUs
       lastStealIo = si; lastPsi = psi; lastWindowNs = nowNs
       (q.name, t, qLoad, ext, steal, iowait, psiSome)
     }

@@ -305,6 +305,13 @@ object GraphXBridge {
     * out-neighbor lists (un, vn). Out-degree under this orientation is
     * O(√m), bounding the intersection work at heavy hubs. */
   private def withOrientedIntersections(edges: DataFrame): DataFrame = {
+    val oriented = orientEdges(edges)
+    joinOrientedAdj(oriented, orientedAdjacency(oriented))
+  }
+
+  /** The orientation itself: one row per undirected edge, pointed from
+    * its smaller (deg, id) endpoint, as (u, v). */
+  private def orientEdges(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
@@ -314,15 +321,24 @@ object GraphXBridge {
       .join(deg.select(col("id").as("dst"), col("deg").as("ddeg")), "dst")
     val srcFirst = col("sdeg") < col("ddeg") ||
       (col("sdeg") === col("ddeg") && col("src") < col("dst"))
-    val oriented = withDeg.select(
+    withDeg.select(
       when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
       when(srcFirst, col("dst")).otherwise(col("src")).as("v"))
-    val adj = oriented.groupBy(col("u"))
-      .agg(collect_list(col("v")).as("nbrs"))
+  }
+
+  /** Out-adjacency under the orientation: (u, nbrs = sorted-insertion
+    * list of v's). O(√m)-bounded per row. */
+  private def orientedAdjacency(oriented: DataFrame): DataFrame =
+    oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+
+  /** Attach both endpoints' out-neighbor lists to each oriented edge —
+    * the array-carrying join whose v-side exchange ships ~Σ|adj⁺|
+    * entries (the volume the trisupport bucketing bounds). */
+  private def joinOrientedAdj(oriented: DataFrame, adj: DataFrame)
+      : DataFrame =
     oriented
       .join(adj.select(col("u"), col("nbrs").as("un")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("nbrs").as("vn")), Seq("v"))
-  }
 
   /** k-core: the maximal subgraph where every vertex keeps degree ≥ k,
     * by iterative peeling — each round drops vertices whose CURRENT
@@ -450,25 +466,124 @@ object GraphXBridge {
     * gx03 consistency identity. Input (src, dst) distinct canonical;
     * output (src, dst, support) with zero-support edges preserved. */
   def edgeTriangleSupport(edges: DataFrame): DataFrame = {
-    // one row per TRIANGLE (u≺v≺w in orientation order) …
-    val tri = withOrientedIntersections(edges)
-      .select(col("u"), col("v"),
-        explode(array_intersect(col("un"), col("vn"))).as("w"))
-    // … credits its three edges in canonical ID order, one pass
-    val credits = tri
-      .select(explode(array(
-        struct(least(col("u"), col("v")).as("src"),
-          greatest(col("u"), col("v")).as("dst")),
-        struct(least(col("u"), col("w")).as("src"),
-          greatest(col("u"), col("w")).as("dst")),
-        struct(least(col("v"), col("w")).as("src"),
-          greatest(col("v"), col("w")).as("dst")))).as("t"))
-      .select(col("t.src").as("src"), col("t.dst").as("dst"))
-    val sup = credits.groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("support"))
-    edges.join(sup, Seq("src", "dst"), "left")
-      .select(col("src"), col("dst"),
-        coalesce(col("support"), lit(0L)).as("support"))
+    val spark = edges.sparkSession
+    val b = triSupportBuckets(spark, edges)
+    if (b <= 1) {
+      // single pass — bit-identical to the pre-bucketing plan:
+      // one row per TRIANGLE (u≺v≺w in orientation order) …
+      val tri = withOrientedIntersections(edges)
+        .select(col("u"), col("v"),
+          explode(array_intersect(col("un"), col("vn"))).as("w"))
+      // … credits its three edges in canonical ID order, one pass
+      val sup = trianglesToCredits(tri).groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("support"))
+      edges.join(sup, Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"),
+          coalesce(col("support"), lit(0L)).as("support"))
+    } else {
+      // Disk-bounded sequential passes over the DISCOVERY-edge key
+      // space (the gx18 recipe applied to gx14's intersection shuffle
+      // — r12 rehearsal: sf1 2.6 GB → sf10 54 GB single-pass, the
+      // spill-superlinearity signature that preceded gx18's sf10 disk
+      // death one SF later). Pass i keeps only oriented edges with
+      // pmod(xxhash64(u,v), B) = i — an EXACT partition of the
+      // discovery edges, and every triangle a≺b≺c is discovered
+      // exactly once (on its unique orientation-minimal edge a→b), so
+      // per-pass credit counts merge to the exact support by simple
+      // addition. Per-pass shuffle (the v-side array-carrying join +
+      // that pass's credit exchange) drops to ~volume/B; the oriented
+      // and adjacency frames are pinned DISK_ONLY so the B re-reads
+      // don't re-run the degree joins and don't occupy the unified
+      // pool's storage half exactly when the passes' aggregation
+      // needs execution memory (the gx18 sf10 lesson).
+      val dk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+      val oriented = orientEdges(edges).localCheckpoint(eager = true, dk)
+      val adj = orientedAdjacency(oriented)
+        .localCheckpoint(eager = true, dk)
+      val partials = (0 until b).map { i =>
+        val oi = oriented.filter(
+          pmod(xxhash64(col("u"), col("v")), lit(b.toLong))
+            === lit(i.toLong))
+        val tri = joinOrientedAdj(oi, adj)
+          .select(col("u"), col("v"),
+            explode(array_intersect(col("un"), col("vn"))).as("w"))
+        // EAGER per pass: pass i's shuffle files are unreferenced —
+        // and droppable — before pass i+1 writes
+        val part = trianglesToCredits(tri)
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("psup"))
+          .localCheckpoint(eager = true, dk)
+        gcBetweenPasses(spark)
+        graft.util.Dbg(spark, s"[trisupport] bucket $i/$b done")
+        part
+      }
+      // merge = per-edge sum of the per-pass counts (exact by the
+      // partition argument above); materialized eagerly so every
+      // pass-local pin can be released NOW instead of lingering until
+      // ContextCleaner catches up (ADVICE r12)
+      val sup = partials.reduce(_ unionAll _)
+        .groupBy(col("src"), col("dst"))
+        .agg(sum(col("psup")).as("support"))
+        .localCheckpoint(eager = true, dk)
+      (Seq(oriented, adj) ++ partials).foreach(
+        org.apache.spark.sql.graft.shims.releaseLocalCheckpoint)
+      edges.join(sup, Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"),
+          coalesce(col("support"), lit(0L)).as("support"))
+    }
+  }
+
+  /** One (src, dst) credit row per triangle edge, canonical ID order —
+    * the shared explode both trisupport paths aggregate. */
+  private def trianglesToCredits(tri: DataFrame): DataFrame = tri
+    .select(explode(array(
+      struct(least(col("u"), col("v")).as("src"),
+        greatest(col("u"), col("v")).as("dst")),
+      struct(least(col("u"), col("w")).as("src"),
+        greatest(col("u"), col("w")).as("dst")),
+      struct(least(col("v"), col("w")).as("src"),
+        greatest(col("v"), col("w")).as("dst")))).as("t"))
+    .select(col("t.src").as("src"), col("t.dst").as("dst"))
+
+  /** Conf: forced pass count for [[edgeTriangleSupport]]'s
+    * intersection shuffle (0 = auto from the adjacency-volume census
+    * vs the shared disk budget). [[kTruss]] inherits per round. */
+  val TriSupportBucketsKey = "spark.graft.trisupport.buckets"
+
+  /** Measured at sf10 (PLANS.md round 13): the single-pass operator
+    * wrote 54.0 GB of shuffle; the census below gives the adjacency
+    * entries that join ships. Conservative compressed-bytes-per-entry
+    * so the budget errs toward more (cheaper) passes. */
+  private val BytesPerAdjEntry = 8.0
+
+  /** Pass count for [[edgeTriangleSupport]]: forced conf, else census
+    * the v-side array-join volume — Σ over oriented edges (u,v) of
+    * |adj⁺(u)| + |adj⁺(v)| = Σ_w od(w)·(od(w) + in(w)) — from two
+    * O(m)→O(|V|) degree aggregates (no adjacency materialization),
+    * against the shared scratch budget. Unknown budget → single pass
+    * (never a silent 64-pass cap — ADVICE r12). */
+  private def triSupportBuckets(spark: SparkSession, edges: DataFrame)
+      : Int = {
+    val forced = spark.conf.get(TriSupportBucketsKey, "0").toInt
+    if (forced > 0) forced
+    else diskBudgetBytes(spark) match {
+      case None => 1
+      case Some(budget) =>
+        val o = orientEdges(edges)
+        val od = o.groupBy(col("u"))
+          .agg(count(lit(1)).cast("double").as("od"))
+        val ind = o.groupBy(col("v").as("u"))
+          .agg(count(lit(1)).cast("double").as("ind"))
+        val r = od.join(ind, Seq("u"), "left")
+          .agg(sum(col("od") *
+            (col("od") + coalesce(col("ind"), lit(0.0))))).head()
+        val entries = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+        val b = math.min(64, math.max(1,
+          math.ceil(entries * BytesPerAdjEntry / budget).toInt))
+        graft.util.Dbg(spark,
+          f"[trisupport] adj_entries=$entries%.3g buckets=$b")
+        b
+    }
   }
 
   /** k-TRUSS decomposition (synchronous peel to a fixpoint): repeatedly
@@ -480,7 +595,11 @@ object GraphXBridge {
     * rounds are bounded by `maxRounds` (the TPC-H co-purchase slices
     * converge in ≤ 20; Σ per-round wedge work is the cost driver —
     * the same degree-orientation note as edgeTriangleSupport governs
-    * 100 TB use). Returns the surviving canonical edge list. */
+    * 100 TB use, and each round inherits edgeTriangleSupport's
+    * disk-bounded bucketed passes when its CURRENT edge set's census
+    * exceeds the scratch budget — the peel shrinks the graph, so
+    * later rounds naturally drop back to single-pass). Returns the
+    * surviving canonical edge list. */
   def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     var cur = edges.select(col("src"), col("dst")).localCheckpoint()
     var n = cur.count()
@@ -798,12 +917,19 @@ object GraphXBridge {
           .localCheckpoint() // EAGER: pass i completes (k rows) here
         // the pass's shuffle files are dropped by ContextCleaner once
         // their dependencies are unreachable — nudge the collector
-        // before the next pass starts writing
-        System.gc()
+        // before the next pass starts writing (conf-gated, ADVICE r12)
+        gcBetweenPasses(spark)
         graft.util.Dbg(spark, s"[linkpred] bucket $i/$b done")
         t
       }
+      // materialize the k-row merged top eagerly so the multi-GB
+      // DISK_ONLY adjacency and every pass's pinned top can be
+      // released NOW — in a long-lived session the blocks otherwise
+      // linger until the driver GCs the frames (ADVICE r12)
       val top = tops.reduce(_ unionAll _).orderBy(byRank: _*).limit(k)
+        .localCheckpoint()
+      (adj +: tops).foreach(
+        org.apache.spark.sql.graft.shims.releaseLocalCheckpoint)
       scoreCandidates(broadcast(top), p.deg).orderBy(byRank: _*)
     }
   }
@@ -812,29 +938,63 @@ object GraphXBridge {
     * aggregation (0 = auto from the wedge census vs disk budget). */
   val LinkPredBucketsKey = "spark.graft.linkpred.buckets"
 
-  /** Conf: shuffle-disk budget in bytes for the auto bucket choice
-    * (unset/0 = 35% of usable space on the first spark.local.dir). */
+  /** Conf: shuffle-disk budget in bytes for the auto bucket choice —
+    * shared by every disk-bounded bucketed operator ([[topLinkPredictions]],
+    * [[edgeTriangleSupport]]); unset/0 = 35% of usable space on the
+    * first spark.local.dir. */
   val LinkPredBudgetKey = "spark.graft.linkpred.shuffleBudgetBytes"
+
+  /** Conf: between bucketed passes, nudge the JVM collector so the
+    * finished pass's shuffle files (ContextCleaner-tracked) drop before
+    * the next pass writes — the pass-local cleanup that keeps peak
+    * scratch at ~volume/B (r12 sf10 rehearsal: disk returns to baseline
+    * between passes). Default on; a long-lived shared driver that
+    * cannot tolerate a stop-the-world can turn it off and size the
+    * budget for 2 passes' worth of scratch instead (ADVICE r12: the
+    * raw System.gc() is now opt-out and bucketed-mode-only). */
+  val GcBetweenPassesKey = "spark.graft.bucketed.gcBetweenPasses"
+
+  private def gcBetweenPasses(spark: SparkSession): Unit =
+    if (spark.conf.get(GcBetweenPassesKey, "true").toBoolean) System.gc()
 
   /** Measured at sf1 (PLANS.md round 7): ~1.3B packed-long wedges →
     * 10.3 GB lz4-compressed shuffle ≈ 8 B/wedge. */
   private val BytesPerWedge = 8.0
 
+  /** Shared scratch budget for the bucketed operators: explicit conf,
+    * else 35% of the usable space on the first spark.local.dir. None
+    * when that path is unmeasurable (getUsableSpace == 0 — e.g. a
+    * driver whose spark.local.dir names executor-only paths on a real
+    * cluster): callers then fall back to a SINGLE pass rather than
+    * silently jumping to the 64-pass cap on a 1-byte budget, and the
+    * warning prints unconditionally — this is a misconfiguration
+    * signal, not a debug trace (ADVICE r12). */
+  private def diskBudgetBytes(spark: SparkSession): Option[Double] =
+    spark.conf.get(LinkPredBudgetKey, "0").toLong match {
+      case e if e > 0 => Some(e.toDouble)
+      case _ =>
+        val dir = spark.sparkContext.getConf.get("spark.local.dir",
+          System.getProperty("java.io.tmpdir", "/tmp")).split(',').head
+        val usable = new java.io.File(dir).getUsableSpace
+        if (usable <= 0L) {
+          System.err.println(s"[graft] scratch budget unknown " +
+            s"(getUsableSpace($dir) = 0) — bucketed operators fall " +
+            s"back to single-pass; set $LinkPredBudgetKey to the " +
+            "aggregate executor scratch explicitly")
+          None
+        } else Some(usable * 0.35)
+    }
+
   private def linkPredBuckets(spark: SparkSession, wedges: Double): Int = {
     val forced = spark.conf.get(LinkPredBucketsKey, "0").toInt
     if (forced > 0) forced
-    else {
-      val budget = spark.conf.get(LinkPredBudgetKey, "0").toLong match {
-        case e if e > 0 => e.toDouble
-        case _ =>
-          val dir = spark.sparkContext.getConf.get("spark.local.dir",
-            System.getProperty("java.io.tmpdir", "/tmp")).split(',').head
-          new java.io.File(dir).getUsableSpace * 0.35
-      }
-      // cap at 64: beyond that the B× wedge regeneration dominates and
-      // the honest answer is more scratch disk, not more passes
-      math.min(64, math.max(1,
-        math.ceil(wedges * BytesPerWedge / math.max(budget, 1.0)).toInt))
+    else diskBudgetBytes(spark) match {
+      case None => 1
+      case Some(budget) =>
+        // cap at 64: beyond that the B× wedge regeneration dominates
+        // and the honest answer is more scratch disk, not more passes
+        math.min(64, math.max(1,
+          math.ceil(wedges * BytesPerWedge / budget).toInt))
     }
   }
 

@@ -37,11 +37,27 @@ object Neighborhood {
     * oracle hash loudly, not silently. */
   private val LgConfigK = 11
 
+  /** Conf: pin the per-round sketch state DISK_ONLY instead of the
+    * localCheckpoint default (MEMORY_AND_DISK). The sketch frame is
+    * read exactly once per hop, sequentially — the access pattern that
+    * made DISK_ONLY free for gx18's adjacency — while a memory-resident
+    * copy occupies the unified pool's storage half exactly when the
+    * hop's union aggregation needs execution memory. Off by default
+    * (the in-memory state is faster at gate/bench SF); the sf10
+    * rehearsal measures whether it lifts the family's observed
+    * 1 GB/slot heap floor (PLANS.md r12 ladder). */
+  val DiskStateKey = "spark.graft.hyperball.diskOnlyState"
+
+  private def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(DiskStateKey, "false").toBoolean)
+      df.localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    else df.localCheckpoint()
+
   /** Hop-0 sketch state: one singleton HLL per vertex, pinned. */
   private def initSketches(g: GraphState): DataFrame =
-    g.vertices.groupBy(col("id"))
-      .agg(hll_sketch_agg(col("id"), LgConfigK).as("sk"))
-      .localCheckpoint()
+    ckpt(g.vertices.groupBy(col("id"))
+      .agg(hll_sketch_agg(col("id"), LgConfigK).as("sk")))
 
   /** ONE HyperBall round: union every vertex's sketch into its
     * neighbors', keep isolated vertices' sketches, cut lineage. The
@@ -50,11 +66,10 @@ object Neighborhood {
     val nbr = sk.join(e, sk("id") === e("src"))
       .groupBy(col("dst").as("id"))
       .agg(hll_union_agg(col("sk")).as("nsk"))
-    sk.join(nbr, Seq("id"), "left")
+    ckpt(sk.join(nbr, Seq("id"), "left")
       .select(col("id"),
         when(col("nsk").isNull, col("sk"))
-          .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
-      .localCheckpoint()
+          .otherwise(hll_union(col("sk"), col("nsk"))).as("sk")))
   }
 
   /** Exact k-hop neighborhood sizes (self included), one row per vertex:
@@ -103,7 +118,13 @@ object Neighborhood {
     var k = 0
     while (k < maxHops) {
       k += 1
-      sk = hopStep(sk, e)
+      val next = hopStep(sk, e) // eager — sk is no longer reachable …
+      // … so the superseded round's pinned blocks drop NOW, bounding
+      // live sketch state to ~1 round instead of all rounds (the
+      // family's observed heap floor carried every round's checkpoint
+      // until driver GC — PLANS.md r12 ladder)
+      org.apache.spark.sql.graft.shims.releaseLocalCheckpoint(sk)
+      sk = next
       out += ((k.toLong, total()))
     }
     out.result().toDF("k", "n_est")
@@ -120,7 +141,9 @@ object Neighborhood {
     var k = 0
     while (k < hops) {
       k += 1
-      sk = hopStep(sk, e)
+      val next = hopStep(sk, e) // eager; release the superseded round
+      org.apache.spark.sql.graft.shims.releaseLocalCheckpoint(sk)
+      sk = next
     }
     sk.select(col("id"), hll_sketch_estimate(col("sk")).as("estimate"))
   }
@@ -140,11 +163,28 @@ object Neighborhood {
     var k = 0
     while (k < maxHops) {
       k += 1
-      sk = hopStep(sk, e)
-      val est = sk.select(col("id"),
+      val next = hopStep(sk, e)
+      val est = next.select(col("id"),
         hll_sketch_estimate(col("sk")).as(s"est_$k"))
-      out = if (out == null) est else out.join(est, Seq("id"))
+      // roll the per-hop estimates into a CHECKPOINTED (id, est_1..k)
+      // frame — |V| rows of doubles, far smaller than sketch state —
+      // so the superseded round's sketch AND the previous rolling
+      // frame release immediately: the lazy out-join formulation held
+      // EVERY round's sketch checkpoint alive until the terminal
+      // action, which is the hyperBallHops share of the family's
+      // 1 GB/slot heap floor (PLANS.md r12 ladder)
+      val newOut = if (out == null) est else ckpt(out.join(est, Seq("id")))
+      org.apache.spark.sql.graft.shims.releaseLocalCheckpoint(sk)
+      if (out != null)
+        org.apache.spark.sql.graft.shims.releaseLocalCheckpoint(out)
+      sk = next
+      out = newOut
     }
+    // with ≥2 hops the returned frame is itself a checkpoint, so the
+    // final round's sketch state is releasable too; at exactly 1 hop
+    // `out` still reads through the sketch — keep it pinned
+    if (maxHops > 1)
+      org.apache.spark.sql.graft.shims.releaseLocalCheckpoint(sk)
     out
   }
 }

@@ -63,6 +63,44 @@ class ScaleSpec extends SparkSpec {
     assert(singleS.size == 25 && bucketed(strEdges) == singleS)
   }
 
+  test("edgeTriangleSupport bucketed passes (forced B=3) reproduce the " +
+      "single-pass support exactly — long and string ids; kTruss " +
+      "inherits the bucketing per round") {
+    import spark.implicits._
+    // gx18's pseudo-random generator is triangle-FREE (both endpoints
+    // are functions of i mod 60), so overlay a 2-chord ring — every
+    // (i, i+1, i+2) is a triangle — to get a non-trivial support
+    // distribution while the random edges keep zero-support rows (the
+    // left-join coalesce path)
+    val base = ((0 until 400).map { i =>
+      val a = (i * 7919) % 60; val b = (i * 104729 + 13) % 60
+      (a, b)
+    } ++ (0 until 60).flatMap(i =>
+      Seq((i, (i + 1) % 60), (i, (i + 2) % 60))))
+      .map(p => (math.min(p._1, p._2).toLong, math.max(p._1, p._2).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val longEdges = base.toDF("src", "dst")
+    val strEdges = base.map { case (a, b) => (s"v$a", s"v$b") }
+      .toDF("src", "dst")
+    def sup(e: org.apache.spark.sql.DataFrame) =
+      GraphXBridge.edgeTriangleSupport(e).collect().map(_.toSeq).toSet
+    def truss(e: org.apache.spark.sql.DataFrame) =
+      GraphXBridge.kTruss(e, k = 3).collect().map(_.toSeq).toSet
+    def forced[T](body: => T): T = {
+      spark.conf.set(GraphXBridge.TriSupportBucketsKey, "3")
+      try body
+      finally spark.conf.unset(GraphXBridge.TriSupportBucketsKey)
+    }
+    val single = sup(longEdges)
+    assert(single.exists(r => r.last.asInstanceOf[Long] > 0L) &&
+      single.size == base.size)
+    assert(forced(sup(longEdges)) == single)
+    val singleS = sup(strEdges)
+    assert(forced(sup(strEdges)) == singleS)
+    val trussSingle = truss(longEdges)
+    assert(trussSingle.nonEmpty && forced(truss(longEdges)) == trussSingle)
+  }
+
   test("PackedKeyCountExec matches the generic aggregate exactly " +
       "(conf off vs on), including zero and multiplicity-heavy keys") {
     import spark.implicits._
