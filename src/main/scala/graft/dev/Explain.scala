@@ -21,6 +21,14 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // comma-separated k=v session confs — e.g. force the distributed
+    // plan (spark.graft.graph.localKernelMaxEdges=0) to capture the
+    // at-scale plan shape of a kernel-accelerated operator
+    sys.env.get("SPARK_GRAFT_EXPLAIN_CONF").foreach(_.split(',')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val targets =
       if (name == "all") SparkEntry.queries.keys.toSeq.sorted
       else Seq(name)

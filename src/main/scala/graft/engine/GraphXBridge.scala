@@ -287,15 +287,23 @@ object GraphXBridge {
     * Input contract matches [[triangleTotal]]: canonical Long-id edges
     * (src < dst, distinct). */
   def triangleTotalDF(edges: DataFrame)
-      (implicit spark: SparkSession): DataFrame = {
-    // per-edge adjacency intersection: triangle a≺b≺c is found exactly
-    // once, on edge a→b (c ∈ adj⁺(a) ∩ adj⁺(b)). Wedges are never
-    // materialized — the 41M-wedge shuffle the join formulation pays at
-    // sf0.1 becomes a per-row array_intersect over ≤√(2m)-sized lists.
-    withOrientedIntersections(edges)
-      .select(size(array_intersect(col("un"), col("vn"))).as("c"))
-      .agg(sum(col("c")).cast("long").as("n_triangles"))
-  }
+      (implicit spark: SparkSession): DataFrame =
+    // small graphs (r13): Σ per-edge support = 3T from the broadcast-
+    // CSR kernel — no orientation joins, no array-carrying exchange
+    LocalGraphKernels.triangleSupport(edges) match {
+      case Some(sup) =>
+        sup.agg(expr("CAST(sum(support) DIV 3 AS BIGINT)")
+          .as("n_triangles"))
+      case None =>
+        // per-edge adjacency intersection: triangle a≺b≺c is found
+        // exactly once, on edge a→b (c ∈ adj⁺(a) ∩ adj⁺(b)). Wedges are
+        // never materialized — the 41M-wedge shuffle the join
+        // formulation pays at sf0.1 becomes a per-row array_intersect
+        // over ≤√(2m)-sized lists.
+        withOrientedIntersections(edges)
+          .select(size(array_intersect(col("un"), col("vn"))).as("c"))
+          .agg(sum(col("c")).cast("long").as("n_triangles"))
+    }
 
   /** Shared degree-orientation core of [[triangleTotalDF]] and
     * [[edgeTriangleSupport]]: orient every undirected edge from the
@@ -467,6 +475,17 @@ object GraphXBridge {
     * output (src, dst, support) with zero-support edges preserved. */
   def edgeTriangleSupport(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
+    // small graphs (r13): broadcast-CSR kernel — per-edge |N(u) ∩ N(v)|
+    // computed in place, no orientation joins, no array-carrying
+    // exchange, no credit shuffle (measured: gx14 sf0.1 260 MB shuffle
+    // → ~0). ANY forced bucket conf (incl. 1 = forced single pass — the
+    // ScaleSpec equivalence pins) exercises the distributed plan.
+    if (spark.conf.get(TriSupportBucketsKey, "0").toInt == 0) {
+      LocalGraphKernels.triangleSupport(edges) match {
+        case Some(sup) => return sup
+        case None =>
+      }
+    }
     val b = triSupportBuckets(spark, edges)
     if (b <= 1) {
       // single pass — bit-identical to the pre-bucketing plan:
@@ -838,10 +857,19 @@ object GraphXBridge {
     (candFrom(p, p.adj, None), p.deg)
   }
 
-  private def scoreCandidates(cand: DataFrame, deg: DataFrame): DataFrame =
-    cand
+  /** `small = true` (the top-k paths: cand is ≤ k rows) keeps BOTH
+    * degree joins broadcast-built from the candidate side — without the
+    * second hint the planner sort-merge-joined the k-row intermediate
+    * against the |V|-row degree frame (2 exchanges + 2 sorts for 50
+    * rows, r13 plan audit). The all-candidates path (gx13) must never
+    * broadcast its ~|wedge|-sized cand frame. */
+  private def scoreCandidates(cand: DataFrame, deg: DataFrame,
+      small: Boolean = false): DataFrame = {
+    val j1 = cand
       .join(deg.select(col("id").as("id1"), col("deg").as("d1")),
         Seq("id1"))
+    val j1h = if (small) broadcast(j1) else j1
+    j1h
       .join(deg.select(col("id").as("id2"), col("deg").as("d2")),
         Seq("id2"))
       .select(col("id1"), col("id2"), col("common"),
@@ -849,6 +877,7 @@ object GraphXBridge {
           (col("d1") + col("d2") - col("common"))).cast("long")
           .as("jaccard_bp"),
         (col("d1") * col("d2")).as("pref_attach"))
+  }
 
   /** FULL-GRAPH top-k new-edge candidates — the production link-
     * prediction ask ("the k most likely missing edges"), shaped so the
@@ -883,9 +912,26 @@ object GraphXBridge {
     * to aggregate executor scratch instead). */
   def topLinkPredictions(edges: DataFrame, k: Int,
       maxCenterDegree: Int = Int.MaxValue): DataFrame = {
-    val p = prepareWedges(edges, maxCenterDegree)
     val spark = edges.sparkSession
     val byRank = Seq(col("common").desc, col("id1"), col("id2"))
+    // small graphs (r13): broadcast-CSR kernel — the Σ C(deg,2) wedge
+    // stream (148M rows / 1.0 GB shuffle at sf0.1, measured) is counted
+    // in place per id1-chunk and only per-chunk top-k rows ever leave a
+    // task; the degree frame for scoring rides the same CSR, so the
+    // prepareWedges jobs (sym shuffle, checkpoint, packability probe)
+    // never run. Uncapped centers only (the cap changes which wedges
+    // exist); a forced bucket conf always exercises the distributed
+    // plan.
+    if (maxCenterDegree == Int.MaxValue &&
+        spark.conf.get(LinkPredBucketsKey, "0").toInt == 0) {
+      LocalGraphKernels.topCommonNeighbors(edges, k) match {
+        case Some((top, degDf)) =>
+          return scoreCandidates(top, degDf, small = true)
+            .orderBy(byRank: _*)
+        case None =>
+      }
+    }
+    val p = prepareWedges(edges, maxCenterDegree)
     val capped =
       if (maxCenterDegree == Int.MaxValue) p.deg
       else p.deg.filter(col("deg") <= maxCenterDegree)
@@ -900,7 +946,7 @@ object GraphXBridge {
     graft.util.Dbg(spark, f"[linkpred] wedges=$wedges%.3g buckets=$b")
     if (b <= 1) {
       val top = candFrom(p, p.adj, None).orderBy(byRank: _*).limit(k)
-      scoreCandidates(broadcast(top), p.deg).orderBy(byRank: _*)
+      scoreCandidates(broadcast(top), p.deg, small = true).orderBy(byRank: _*)
     } else {
       // B passes re-read the adjacency: pin it so the sym-groupBy
       // shuffle behind it runs once, not B times — DISK_ONLY, because
@@ -930,7 +976,7 @@ object GraphXBridge {
         .localCheckpoint()
       (adj +: tops).foreach(
         org.apache.spark.sql.graft.shims.releaseLocalCheckpoint)
-      scoreCandidates(broadcast(top), p.deg).orderBy(byRank: _*)
+      scoreCandidates(broadcast(top), p.deg, small = true).orderBy(byRank: _*)
     }
   }
 

@@ -19,7 +19,12 @@ class ScaleSpec extends SparkSpec {
     // common neighbors {2,3}
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("src", "dst")
-    val df = GraphXBridge.topLinkPredictions(edges, k = 2)
+    // this pin is about the AT-SCALE (distributed) plan shape — force
+    // the r13 local small-graph kernel off for it
+    spark.conf.set(LocalGraphKernels.MaxEdgesKey, "0")
+    val df =
+      try GraphXBridge.topLinkPredictions(edges, k = 2)
+      finally spark.conf.unset(LocalGraphKernels.MaxEdgesKey)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftAnti"),
@@ -34,6 +39,52 @@ class ScaleSpec extends SparkSpec {
     // deg(1)=deg(4)=2, common=2 → jaccard_bp = 10000·2/(2+2−2) = 10000
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) == ((1L, 4L, 2L, 10000L, 4L)), r)
+    // and the default path (local kernel, engaged for this tiny graph)
+    // returns the identical row set
+    val local = GraphXBridge.topLinkPredictions(edges, k = 2).collect()
+    assert(local.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
+  test("local graph kernels (broadcast CSR) reproduce the distributed " +
+      "topLinkPredictions / edgeTriangleSupport / triangleTotalDF " +
+      "exactly — r13 small-graph fast path") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // the forced-B generator + 2-chord ring: shared-neighbor ties,
+    // triangles, and zero-support random edges in one graph
+    val base = ((0 until 400).map { i =>
+      val a = (i * 7919) % 60; val b = (i * 104729 + 13) % 60
+      (a, b)
+    } ++ (0 until 60).flatMap(i =>
+      Seq((i, (i + 1) % 60), (i, (i + 2) % 60))))
+      .map(p => (math.min(p._1, p._2).toLong, math.max(p._1, p._2).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = base.toDF("src", "dst")
+    def distributed[T](body: => T): T = {
+      spark.conf.set(LocalGraphKernels.MaxEdgesKey, "0")
+      try body finally spark.conf.unset(LocalGraphKernels.MaxEdgesKey)
+    }
+    // top-k link prediction: identical ordered rows (ties in `common`
+    // exercise the (id1, id2) tie-break through the kernel heap)
+    val topL = GraphXBridge.topLinkPredictions(edges, k = 25)
+      .collect().map(_.toSeq).toSeq
+    val topD = distributed(GraphXBridge.topLinkPredictions(edges, k = 25)
+      .collect().map(_.toSeq).toSeq)
+    assert(topL.size == 25 && topL == topD)
+    // per-edge triangle support: identical (src, dst, support) set,
+    // zero-support edges included
+    val supL = GraphXBridge.edgeTriangleSupport(edges)
+      .collect().map(_.toSeq).toSet
+    val supD = distributed(GraphXBridge.edgeTriangleSupport(edges)
+      .collect().map(_.toSeq).toSet)
+    assert(supL.size == base.size && supL == supD)
+    assert(supL.exists(r => r.last.asInstanceOf[Long] > 0L))
+    // triangle total: Σ support / 3 through the kernel equals the
+    // oriented-intersection total
+    val triL = GraphXBridge.triangleTotalDF(edges).collect().head
+    val triD = distributed(
+      GraphXBridge.triangleTotalDF(edges).collect().head)
+    assert(triL.getLong(0) == triD.getLong(0) && triL.getLong(0) > 0L)
   }
 
   test("topLinkPredictions bucketed passes (forced B=4) reproduce the " +
