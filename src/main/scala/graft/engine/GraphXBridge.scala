@@ -53,6 +53,20 @@ object GraphXBridge {
   def connectedComponents(g: GraphState)(implicit spark: SparkSession)
       : DataFrame = {
     import spark.implicits._
+    // small graphs (r13): union-find over the bounded hashed edge list
+    // — GraphX's Pregel CC spends seconds of stage latency on a
+    // 30-vertex membership graph
+    val hashedV = g.vertices.select(xxhash64(col("id")).as("vid"))
+    val hashedE = g.edges.select(xxhash64(col("src")).as("s"),
+      xxhash64(col("dst")).as("d"))
+    LocalGraphKernels.connectedComponentsLong(hashedV, hashedE) match {
+      case Some(cc) =>
+        val mapping = g.vertices
+          .select(xxhash64(col("id")).as("vid"), col("id"))
+        return cc.join(mapping, Seq("vid"))
+          .select(col("id"), col("component"))
+      case None =>
+    }
     val (graph, mapping) = toGraphX(g)
     val cc = graph.connectedComponents().vertices.toDF("vid", "component")
     cc.join(mapping, Seq("vid")).select(col("id"), col("component"))
@@ -211,6 +225,12 @@ object GraphXBridge {
     * reached vertices as (id, distance). */
   def weightedSssp(edges: DataFrame, sources: Seq[Long])
       (implicit spark: SparkSession): DataFrame = {
+    // small graphs (r13): driver-side (min, +) relaxation to the same
+    // fixpoint as the Pregel run (IEEE + is monotone — order-free)
+    LocalGraphKernels.weightedSssp(edges, sources) match {
+      case Some(df) => return df
+      case None =>
+    }
     import spark.implicits._
     val srcSet = sources.toSet
     val edgeRdd = edges.rdd
@@ -358,6 +378,12 @@ object GraphXBridge {
     * Returns surviving vertices with their within-core degree. */
   def kCore(edges: DataFrame, k: Int)
       (implicit spark: SparkSession): DataFrame = {
+    // small graphs (r13): driver-side synchronous peel to the same
+    // fixpoint — the per-round count/semi-join/checkpoint jobs go away
+    LocalGraphKernels.kCore(edges, k) match {
+      case Some(df) => return df
+      case None =>
+    }
     // symmetric doubled representation: degree(v) = row count at id=v
     var cur = edges.select(col("src").as("id"), col("dst").as("other"))
       .unionAll(edges.select(col("dst").as("id"), col("src").as("other")))
@@ -397,6 +423,12 @@ object GraphXBridge {
     * materialize inside the next consumer's job. */
   def labelPropagation(edges: DataFrame, rounds: Int)
       (implicit spark: SparkSession): DataFrame = {
+    // small graphs (r13): driver-side CSR kernel — rounds × (join +
+    // 2 aggregates + checkpoint) become a few M array ops
+    LocalGraphKernels.labelPropagation(edges, rounds) match {
+      case Some(df) => return df
+      case None =>
+    }
     val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
       .localCheckpoint()
@@ -435,6 +467,12 @@ object GraphXBridge {
   def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
       iters: Int, seedMass: Long = 1000000000000L)
       (implicit spark: SparkSession): DataFrame = {
+    // small graphs (r13): driver-side kernel, same exact-integer
+    // arithmetic (floor-div push, α = 1/2) — see LocalGraphKernels
+    LocalGraphKernels.pprInt(edges, seeds, iters, seedMass) match {
+      case Some(df) => return df
+      case None =>
+    }
     val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .unionAll(edges.select(col("dst").as("id"), col("src").as("nbr")))
       .localCheckpoint()

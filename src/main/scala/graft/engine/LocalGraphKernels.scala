@@ -67,26 +67,29 @@ private[graft] object LocalGraphKernels {
     def n: Int = ids.length
   }
 
-  /** One bounded probe: collect the canonical edge list iff it is
-    * ≤ maxEdges rows (limit(max+1) caps the fetch; an over-limit graph
-    * costs one truncated collect and returns None). */
+  /** Bounded probe: a column-pruned count() decides engagement, then
+    * the edge list is collected with the normal PARALLEL collect path
+    * (a limit(max+1)-guarded collect funnels every row through one
+    * task and a single-threaded driver decode — measured ~1 s for the
+    * 1.2M-edge sf0.1 graph, dominating the kernels it fed; the count
+    * is a full second pass of the input plan, but gate inputs are
+    * memoized/checkpointed projections, and an over-limit graph now
+    * costs one cheap count instead of a 4M-row truncated fetch). */
   private def collectIfSmall(edges: DataFrame, max: Int)
       : Option[Array[Long]] = {
     if (max <= 0 || !integralIds(edges)) return None
-    val rows = edges
+    val proj = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
-      .limit(max + 1).collect()
-    if (rows.length > max) None
-    else {
-      val packed = new Array[Long](rows.length * 2)
-      var i = 0
-      while (i < rows.length) {
-        packed(2 * i) = rows(i).getLong(0)
-        packed(2 * i + 1) = rows(i).getLong(1)
-        i += 1
-      }
-      Some(packed)
+    if (proj.count() > max) return None
+    val rows = proj.collect()
+    val packed = new Array[Long](rows.length * 2)
+    var i = 0
+    while (i < rows.length) {
+      packed(2 * i) = rows(i).getLong(0)
+      packed(2 * i + 1) = rows(i).getLong(1)
+      i += 1
     }
+    Some(packed)
   }
 
   private def buildCsr(packed: Array[Long]): Csr = {
@@ -245,6 +248,290 @@ private[graft] object LocalGraphKernels {
         .toDF("id1", "id2", "common")
       (out.orderBy(col("common").desc, col("id1"), col("id2")).limit(k),
         degDf)
+    }
+  }
+
+  /** Local synchronous label propagation — exactly
+    * [[GraphXBridge.labelPropagation]]'s per-round rule (adopt the most
+    * frequent neighbor label from the PREVIOUS round, ties → minimum
+    * label, initial label = id), computed on the driver over the
+    * bounded CSR (the stronglyConnectedBounded precedent: a few M array
+    * ops replace rounds × (join + 2 aggregates + checkpoint) jobs). */
+  def labelPropagation(edges: DataFrame, rounds: Int)
+      : Option[DataFrame] = {
+    val spark = edges.sparkSession
+    collectIfSmall(edges, maxEdges(spark)).map { packed =>
+      val c = buildCsr(packed)
+      graft.util.Dbg(spark, s"[labelprop] local kernel: n=${c.n}")
+      var labels: Array[Long] = c.ids.clone()
+      var round = 0
+      while (round < rounds) {
+        val next = new Array[Long](c.n)
+        var u = 0
+        while (u < c.n) {
+          val s = c.off(u); val e = c.off(u + 1)
+          val tmp = new Array[Long](e - s)
+          var i = s
+          while (i < e) { tmp(i - s) = labels(c.nbr(i)); i += 1 }
+          java.util.Arrays.sort(tmp)
+          // runs ascending: first run of max length = (max count, min
+          // label) — the pinned tie-break
+          var best = tmp(0); var bestC = 0; var j = 0
+          while (j < tmp.length) {
+            var j2 = j
+            while (j2 < tmp.length && tmp(j2) == tmp(j)) j2 += 1
+            if (j2 - j > bestC) { bestC = j2 - j; best = tmp(j) }
+            j = j2
+          }
+          next(u) = best
+          u += 1
+        }
+        labels = next
+        round += 1
+      }
+      import spark.implicits._
+      (0 until c.n).map(i => (c.ids(i), labels(i)))
+        .toDF("id", "label")
+    }
+  }
+
+  /** Local exact-integer personalized PageRank — bit-for-bit
+    * [[GraphXBridge.personalizedPageRankInt]]: per iteration each
+    * positive-rank vertex pushes `rank div deg` along every symmetric
+    * edge, new rank = `(Σ incoming) div 2` + `seedMass/2` at seeds,
+    * zero-rank rows dropped. Long arithmetic only — identical to the
+    * DataFrame plan under any order. */
+  def pprInt(edges: DataFrame, seeds: DataFrame, iters: Int,
+      seedMass: Long): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    val max = maxEdges(spark)
+    collectIfSmall(edges, max).flatMap { packed =>
+      val seedProj = seeds.select(col("id").cast("long"))
+      if (seedProj.count() > max) None
+      else Some {
+        val seedRows = seedProj.collect()
+        val c = buildCsr(packed)
+        graft.util.Dbg(spark, s"[ppr] local kernel: n=${c.n}")
+        val isSeed = new Array[Boolean](c.n)
+        seedRows.foreach { r =>
+          val p = java.util.Arrays.binarySearch(c.ids, r.getLong(0))
+          if (p >= 0) isSeed(p) = true // seeds outside the graph drop
+        }
+        var rank = new Array[Long](c.n)
+        var i = 0
+        while (i < c.n) { if (isSeed(i)) rank(i) = seedMass; i += 1 }
+        var it = 0
+        while (it < iters) {
+          val s = new Array[Long](c.n)
+          var u = 0
+          while (u < c.n) {
+            if (rank(u) > 0) {
+              val deg = c.off(u + 1) - c.off(u)
+              val contrib = rank(u) / deg
+              var t = c.off(u)
+              while (t < c.off(u + 1)) {
+                s(c.nbr(t)) += contrib; t += 1
+              }
+            }
+            u += 1
+          }
+          val next = new Array[Long](c.n)
+          u = 0
+          while (u < c.n) {
+            next(u) = s(u) / 2 +
+              (if (isSeed(u)) seedMass / 2 else 0L)
+            u += 1
+          }
+          rank = next
+          it += 1
+        }
+        import spark.implicits._
+        (0 until c.n).filter(rank(_) > 0)
+          .map(i => (c.ids(i), rank(i))).toDF("id", "rank")
+      }
+    }
+  }
+
+  /** Local k-core peel — the same synchronous fixpoint as
+    * [[GraphXBridge.kCore]]: each round drops vertices whose CURRENT
+    * degree < k and the edges touching them, until the edge set is
+    * stable; returns (id, within-core degree) for vertices with a
+    * surviving edge. */
+  def kCore(edges: DataFrame, k: Int): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    collectIfSmall(edges, maxEdges(spark)).map { packed =>
+      val c = buildCsr(packed)
+      graft.util.Dbg(spark, s"[kcore] local kernel: n=${c.n}")
+      val m = packed.length / 2
+      val alive = new Array[Boolean](m)
+      java.util.Arrays.fill(alive, true)
+      val su = new Array[Int](m); val sv = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        su(i) = java.util.Arrays.binarySearch(c.ids, packed(2 * i))
+        sv(i) = java.util.Arrays.binarySearch(c.ids, packed(2 * i + 1))
+        i += 1
+      }
+      val deg = new Array[Int](c.n)
+      var nAlive = m
+      var changed = true
+      while (changed && nAlive > 0) {
+        java.util.Arrays.fill(deg, 0)
+        i = 0
+        while (i < m) {
+          if (alive(i)) { deg(su(i)) += 1; deg(sv(i)) += 1 }
+          i += 1
+        }
+        var n2 = 0
+        i = 0
+        while (i < m) {
+          if (alive(i) && (deg(su(i)) < k || deg(sv(i)) < k))
+            alive(i) = false
+          if (alive(i)) n2 += 1
+          i += 1
+        }
+        changed = n2 != nAlive
+        nAlive = n2
+      }
+      java.util.Arrays.fill(deg, 0)
+      i = 0
+      while (i < m) {
+        if (alive(i)) { deg(su(i)) += 1; deg(sv(i)) += 1 }
+        i += 1
+      }
+      import spark.implicits._
+      (0 until c.n).filter(deg(_) > 0)
+        .map(v => (c.ids(v), deg(v).toLong))
+        .toDF("id", "core_degree")
+    }
+  }
+
+  /** Local weighted SSSP — the same (min, +) fixpoint as
+    * [[GraphXBridge.weightedSssp]]'s Pregel relaxation (IEEE + is
+    * monotone, so the fixpoint is the min over per-path left-to-right
+    * costs whatever the relaxation order). DIRECTED edges read
+    * positionally (src, dst, weight) like the RDD path; vertices are
+    * all edge endpoints; unreached vertices are dropped. */
+  def weightedSssp(edges: DataFrame, sources: Seq[Long])
+      : Option[DataFrame] = {
+    val spark = edges.sparkSession
+    val max = maxEdges(spark)
+    if (max <= 0) return None
+    val cols = edges.columns
+    val ok = Seq(0, 1).forall(i => edges.schema(i).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    })
+    if (!ok) return None
+    val proj = edges.select(col(cols(0)).cast("long"),
+      col(cols(1)).cast("long"), col(cols(2)).cast("double"))
+    if (proj.count() > max) return None
+    val rows = proj.collect()
+    Some {
+      val m = rows.length
+      val ends = new Array[Long](2 * m)
+      var i = 0
+      while (i < m) {
+        ends(2 * i) = rows(i).getLong(0)
+        ends(2 * i + 1) = rows(i).getLong(1)
+        i += 1
+      }
+      java.util.Arrays.sort(ends)
+      var n = 0
+      i = 0
+      while (i < ends.length) {
+        if (n == 0 || ends(i) != ends(n - 1)) { ends(n) = ends(i); n += 1 }
+        i += 1
+      }
+      val ids = java.util.Arrays.copyOf(ends, n)
+      graft.util.Dbg(spark, s"[sssp] local kernel: n=$n m=$m")
+      val es = new Array[Int](m); val ed = new Array[Int](m)
+      val ew = new Array[Double](m)
+      i = 0
+      while (i < m) {
+        es(i) = java.util.Arrays.binarySearch(ids, rows(i).getLong(0))
+        ed(i) = java.util.Arrays.binarySearch(ids, rows(i).getLong(1))
+        ew(i) = rows(i).getDouble(2)
+        i += 1
+      }
+      val dist = new Array[Double](n)
+      java.util.Arrays.fill(dist, Double.PositiveInfinity)
+      sources.foreach { s =>
+        val p = java.util.Arrays.binarySearch(ids, s)
+        if (p >= 0) dist(p) = 0.0 // sources outside the graph drop
+      }
+      var changed = true
+      while (changed) {
+        changed = false
+        i = 0
+        while (i < m) {
+          val du = dist(es(i))
+          if (du != Double.PositiveInfinity) {
+            val cand = du + ew(i)
+            if (cand < dist(ed(i))) { dist(ed(i)) = cand; changed = true }
+          }
+          i += 1
+        }
+      }
+      import spark.implicits._
+      (0 until n).filter(dist(_) < Double.PositiveInfinity)
+        .map(v => (ids(v), dist(v))).toDF("id", "distance")
+    }
+  }
+
+  /** Local connected components over ALREADY-HASHED long ids — the
+    * GraphX contract: every vertex (isolated included) labeled by the
+    * minimum vertex id of its component. Union-find over the bounded
+    * edge list; both frames read positionally. */
+  def connectedComponentsLong(vertexIds: DataFrame, edges: DataFrame)
+      : Option[DataFrame] = {
+    val spark = vertexIds.sparkSession
+    val max = maxEdges(spark)
+    if (max <= 0) return None
+    val vc = vertexIds.columns
+    val vProj = vertexIds.select(col(vc(0)).cast("long"))
+    if (vProj.count() > max) return None
+    val vRows = vProj.collect()
+    val ec = edges.columns
+    val eProj = edges.select(col(ec(0)).cast("long"),
+      col(ec(1)).cast("long"))
+    if (eProj.count() > max) return None
+    val eRows = eProj.collect()
+    Some {
+      // GraphX adds edge endpoints missing from the vertex RDD as
+      // vertices — reproduce that
+      val ids = (vRows.map(_.getLong(0)) ++
+        eRows.flatMap(r => Seq(r.getLong(0), r.getLong(1))))
+        .distinct.sorted
+      graft.util.Dbg(spark,
+        s"[cc] local kernel: n=${ids.length} m=${eRows.length}")
+      val parent = Array.tabulate(ids.length)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      eRows.foreach { r =>
+        val a = java.util.Arrays.binarySearch(ids, r.getLong(0))
+        val b = java.util.Arrays.binarySearch(ids, r.getLong(1))
+        if (a >= 0 && b >= 0) {
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      val minId = new Array[Long](ids.length)
+      java.util.Arrays.fill(minId, Long.MaxValue)
+      for (v <- ids.indices) {
+        val r = find(v)
+        if (ids(v) < minId(r)) minId(r) = ids(v)
+      }
+      import spark.implicits._
+      ids.indices.map(v => (ids(v), minId(find(v))))
+        .toDF("vid", "component")
     }
   }
 

@@ -87,6 +87,61 @@ class ScaleSpec extends SparkSpec {
     assert(triL.getLong(0) == triD.getLong(0) && triL.getLong(0) > 0L)
   }
 
+  test("local iterative kernels reproduce the distributed label " +
+      "propagation / integer PPR / k-core / weighted SSSP / connected " +
+      "components exactly — r13 small-graph fast path") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val base = ((0 until 400).map { i =>
+      val a = (i * 7919) % 60; val b = (i * 104729 + 13) % 60
+      (a, b)
+    } ++ (0 until 60).flatMap(i =>
+      Seq((i, (i + 1) % 60), (i, (i + 2) % 60))))
+      .map(p => (math.min(p._1, p._2).toLong, math.max(p._1, p._2).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = base.toDF("src", "dst")
+    def distributed[T](body: => T): T = {
+      spark.conf.set(LocalGraphKernels.MaxEdgesKey, "0")
+      try body finally spark.conf.unset(LocalGraphKernels.MaxEdgesKey)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    // label propagation (2 rounds, tie-heavy graph)
+    val lpL = rows(GraphXBridge.labelPropagation(edges, rounds = 2))
+    val lpD = distributed(
+      rows(GraphXBridge.labelPropagation(edges, rounds = 2)))
+    assert(lpL.nonEmpty && lpL == lpD)
+    // exact-integer PPR: 3 iterations from a 5-seed set (one seed id
+    // outside the graph pins the drop-unknown-seeds path)
+    val seeds = Seq(0L, 7L, 13L, 21L, 999L).toDF("id")
+    val prL = rows(GraphXBridge.personalizedPageRankInt(edges, seeds, 3))
+    val prD = distributed(
+      rows(GraphXBridge.personalizedPageRankInt(edges, seeds, 3)))
+    assert(prL.nonEmpty && prL == prD)
+    // k-core at a k that actually peels this graph
+    val kcL = rows(GraphXBridge.kCore(edges, 5))
+    val kcD = distributed(rows(GraphXBridge.kCore(edges, 5)))
+    assert(kcL.nonEmpty && kcL == kcD)
+    // weighted SSSP over a directed weighted version (source 0; one
+    // listed source outside the graph)
+    val wEdges = base.map { case (a, b) =>
+      (a, b, ((a * 31 + b * 17) % 7 + 1).toDouble) }.toDF("src", "dst", "w")
+    val ssL = rows(GraphXBridge.weightedSssp(wEdges, Seq(0L, 777L)))
+    val ssD = distributed(
+      rows(GraphXBridge.weightedSssp(wEdges, Seq(0L, 777L))))
+    assert(ssL.nonEmpty && ssL == ssD)
+    // connected components on a string-id GraphState with an isolated
+    // vertex (own component) and two joined chains
+    val vs = ((0 until 20).map(i => (s"v$i", "x")) :+ (("iso", "x")))
+      .toDF("id", "label")
+    val es = (0 until 19).map(i => (s"v$i", s"v${i + 1}", "E"))
+      .toDF("src", "dst", "edge_type")
+    val gs = GraphState(vs, es)
+    val ccL = rows(GraphXBridge.connectedComponents(gs))
+    val ccD = distributed(rows(GraphXBridge.connectedComponents(gs)))
+    assert(ccL.size == 21 && ccL == ccD)
+  }
+
   test("topLinkPredictions bucketed passes (forced B=4) reproduce the " +
       "single-pass top-k exactly — packable and non-packable branches") {
     import spark.implicits._
