@@ -308,22 +308,20 @@ object GraphXBridge {
     * (src < dst, distinct). */
   def triangleTotalDF(edges: DataFrame)
       (implicit spark: SparkSession): DataFrame =
-    // small graphs (r13): Σ per-edge support = 3T from the broadcast-
-    // CSR kernel — no orientation joins, no array-carrying exchange
-    LocalGraphKernels.triangleSupport(edges) match {
-      case Some(sup) =>
-        sup.agg(expr("CAST(sum(support) DIV 3 AS BIGINT)")
-          .as("n_triangles"))
-      case None =>
-        // per-edge adjacency intersection: triangle a≺b≺c is found
-        // exactly once, on edge a→b (c ∈ adj⁺(a) ∩ adj⁺(b)). Wedges are
-        // never materialized — the 41M-wedge shuffle the join
-        // formulation pays at sf0.1 becomes a per-row array_intersect
-        // over ≤√(2m)-sized lists.
-        withOrientedIntersections(edges)
-          .select(size(array_intersect(col("un"), col("vn"))).as("c"))
-          .agg(sum(col("c")).cast("long").as("n_triangles"))
-    }
+    // per-edge adjacency intersection: triangle a≺b≺c is found exactly
+    // once, on edge a→b (c ∈ adj⁺(a) ∩ adj⁺(b)). Wedges are never
+    // materialized — the 41M-wedge shuffle the join formulation pays at
+    // sf0.1 becomes a per-row array_intersect over ≤√(2m)-sized lists.
+    // (r13: a broadcast-CSR kernel variant was measured SLOWER here —
+    // 1.18 → 1.75 s at sf0.1, BENCH_FULL_r13b vs r13c — because the
+    // full per-edge |N(u) ∩ N(v)| scan does ~4× the oriented
+    // intersection's arboricity-bounded work and the oriented plan was
+    // already shuffle-light; reverted, unlike edgeTriangleSupport whose
+    // kernel IS faster since the distributed form must also ship
+    // per-edge credit rows.)
+    withOrientedIntersections(edges)
+      .select(size(array_intersect(col("un"), col("vn"))).as("c"))
+      .agg(sum(col("c")).cast("long").as("n_triangles"))
 
   /** Shared degree-orientation core of [[triangleTotalDF]] and
     * [[edgeTriangleSupport]]: orient every undirected edge from the

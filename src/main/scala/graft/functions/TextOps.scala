@@ -103,6 +103,19 @@ object TextOps {
     * boundaries are respected without regex (replace is cheaper and has
     * identical semantics in every engine). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    // fused native expression (r13): normalize once + one indexOf walk
+    // per word, instead of |words| occurrence counts each re-evaluating
+    // the padded normalize — bit-identical counting (see
+    // StopwordCountExpr's scaladoc; TextOpsSpec pins it against the
+    // compositional form)
+    import org.apache.spark.sql.graft.{shims, StopwordCountExpr}
+    shims.column(StopwordCountExpr(shims.expression(text), stopwords))
+  }
+
+  /** The pre-r13 compositional form of [[stopwordCount]] — kept as the
+    * equivalence oracle for the fused expression's test pin. */
+  private[graft] def stopwordCountCompositional(text: Column,
+      stopwords: Seq[String]): Column = {
     val padded = concat(lit(" "), normalize(text), lit(" "))
     stopwords.map(w => occurrences(padded, s" $w "))
       .reduce(_ + _)

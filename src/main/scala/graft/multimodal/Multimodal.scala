@@ -548,13 +548,27 @@ object Multimodal {
       }
   }
 
+  /** Seed ids for the synthetic-media generators, spread across the
+    * session's parallelism BEFORE the heavy encode (r13, guide §8:
+    * payloads are created after placement, so the exchange moves 8-byte
+    * seed rows, never media bytes — the documents table is a
+    * single-row-group parquet whose scan is one task, which serialized
+    * every encodePng/encodeJpeg/encodeGif/encodeWav on one core). */
+  private def seedIds(documents: DataFrame)
+      (implicit spark: SparkSession)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
   /** Media table whose audio rows carry REAL RIFF/PCM WAV bytes
     * (sample rate / channels / frame count closed functions of the id
     * — the audio sibling of [[syntheticImages]]). */
   def syntheticWavs(documents: DataFrame)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    seedIds(documents).mapPartitions { ids =>
       ids.map { id =>
         val rate = (8000 + (id % 4) * 4000).toInt
         val ch = (1 + id % 2).toInt
@@ -594,7 +608,7 @@ object Multimodal {
   def syntheticImages(documents: DataFrame)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    seedIds(documents).mapPartitions { ids =>
       ids.map { id =>
         val w = (8 + id % 16).toInt
         val h = (8 + id % 8).toInt
@@ -609,7 +623,7 @@ object Multimodal {
   def syntheticJpegs(documents: DataFrame)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    seedIds(documents).mapPartitions { ids =>
       ids.map { id =>
         val w = (8 + id % 16).toInt
         val h = (8 + id % 8).toInt
@@ -627,7 +641,7 @@ object Multimodal {
   def syntheticTwoTonePngs(documents: DataFrame)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    seedIds(documents).mapPartitions { ids =>
       ids.map { id =>
         val w = (8 + (id % 4) * 4).toInt // 8..20, all divisible by 4
         val h = (8 + (id % 2) * 4).toInt // 8 or 12, divisible by 4
@@ -660,7 +674,7 @@ object Multimodal {
   def syntheticBandWavs(documents: DataFrame)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    seedIds(documents).mapPartitions { ids =>
       ids.map { id =>
         val values = Array.tabulate(4)(k =>
           (100L + (id * 7 + k * 31) % 3000L).toShort)
@@ -677,7 +691,7 @@ object Multimodal {
   def syntheticGifs(documents: DataFrame)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    seedIds(documents).mapPartitions { ids =>
       ids.map { id =>
         val n = (3 + id % 5).toInt
         val lums = Seq.tabulate(n)(k => (10 + (id * 3 + k * 17) % 236).toInt)

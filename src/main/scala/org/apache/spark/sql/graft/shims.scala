@@ -946,3 +946,48 @@ case class SortedIntersectCountIntExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedIntersectCountIntExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Σ non-overlapping occurrences of ` word ` over space-padded
+  * normalized text, for a whole stopword list in ONE per-row pass —
+  * the fused form of TextOps.stopwordCount. The compositional Column
+  * form evaluates `concat(" ", normalize(text), " ")` once per word
+  * per occurrence-count — and the n_tokens/score filter the curation
+  * gates apply is pushed below the projection by substitution, so the
+  * p01/p11 plans evaluated 20 regexp_replace + 20 full-string replace
+  * per ROW in a single-task scan stage (r13 plan audit). Here:
+  * normalize once (identical semantics to [[MinHashTextSigExpr]]'s
+  * pinned normalize), then one indexOf walk per word. The
+  * left-to-right non-overlapping advance (`p + needle.length`) is
+  * exactly `replace()`'s counting, so the score is bit-identical to
+  * the compositional form and the DuckDB oracle. */
+case class StopwordCountExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val needles: Array[String] = words.map(w => s" $w ").toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "stopword_count"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    // normalize exactly like TextOps.normalize:
+    // lower(trim(regexp_replace(text, "\s+", " ")))
+    val padded = " " + input.asInstanceOf[UTF8String].toString
+      .replaceAll("\\s+", " ").trim.toLowerCase + " "
+    var total = 0L
+    var i = 0
+    while (i < needles.length) {
+      val nd = needles(i)
+      var p = padded.indexOf(nd)
+      while (p >= 0) { total += 1; p = padded.indexOf(nd, p + nd.length) }
+      i += 1
+    }
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : StopwordCountExpr = copy(child = newChild)
+}

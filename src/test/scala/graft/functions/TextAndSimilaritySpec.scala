@@ -136,6 +136,33 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(fps(0).length == 32)
   }
 
+  test("fused stopwordCount is bit-identical to the compositional " +
+      "form — real corpus incl. mojibake/blank/overlap edge cases") {
+    val d = df(schema,
+      Row(1L, "the cat is a friend of the dog and the bird"),
+      Row(2L, "le chat et la souris et les oiseaux des bois"),
+      Row(3L, "  The   THE the\tthe\nthe  "), // case+whitespace collapse
+      Row(4L, ""), Row(5L, "   "), Row(6L, null),
+      Row(7L, "a a a a"), // adjacent occurrences share pad spaces:
+      // replace() counts non-overlapping left-to-right — must match
+      Row(8L, "cafÃ© istanbul Ãléonore the"), // mojibake bytes
+      Row(9L, "of-of of, of. of of"))
+    val words = Seq("the", "a", "of", "and", "is")
+    val rows = d.select(col("id"),
+        TextOps.stopwordCount(col("text"), words).as("fused"),
+        TextOps.stopwordCountCompositional(col("text"), words)
+          .as("comp"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), r.toString)
+      if (!r.isNullAt(1)) assert(r.getLong(1) == r.getLong(2), r.toString)
+    }
+    // and a spot value: row 7 "a a a a" pads to " a a a a " — replace
+    // semantics count 2 non-overlapping " a " occurrences
+    val r7 = rows.find(_.getLong(0) == 7L).get
+    assert(r7.getLong(1) == 2L, r7.toString)
+  }
+
   test("languageId picks the dominant stopword profile") {
     val d = df(schema,
       Row(1L, "the cat is a friend of the dog and the bird"),
