@@ -207,13 +207,19 @@ object GraphXBridge {
     pr.join(mapping, Seq("vid")).select(col("id"), col("rank"))
   }
 
-  /** Degrees by direction (in/out/total), back as DataFrame. */
-  def degrees(g: GraphState)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val (graph, mapping) = toGraphX(g)
-    val deg = graph.degrees.toDF("vid", "degree")
-    deg.join(mapping, Seq("vid")).select(col("id"), col("degree"))
-  }
+  /** Degrees (in+out), back as DataFrame. Pure DataFrame aggregation
+    * (r13): GraphX's `graph.degrees` built the whole hashed graph (two
+    * RDD conversions + xxhash of every vertex and edge) for what is one
+    * union + one count aggregate; the semi-join keeps GraphX's contract
+    * of dropping edge endpoints absent from the vertex set, and the
+    * IntegerType degree matches the old schema exactly. */
+  def degrees(g: GraphState)(implicit spark: SparkSession): DataFrame =
+    g.edges.select(col("src").as("id"))
+      .unionAll(g.edges.select(col("dst").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("degree"))
+      .join(g.vertices.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("degree"))
 
   /** Weighted single/multi-source shortest distances (directed) over
     * Long-id edges (src, dst, weight DOUBLE ≥ 0): classic Pregel

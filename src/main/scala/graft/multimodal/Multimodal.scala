@@ -548,12 +548,17 @@ object Multimodal {
       }
   }
 
-  /** Seed ids for the synthetic-media generators, spread across the
-    * session's parallelism BEFORE the heavy encode (r13, guide §8:
-    * payloads are created after placement, so the exchange moves 8-byte
-    * seed rows, never media bytes — the documents table is a
-    * single-row-group parquet whose scan is one task, which serialized
-    * every encodePng/encodeJpeg/encodeGif/encodeWav on one core). */
+  /** Seed ids for the EXPENSIVE synthetic-media generators (PNG/JPEG/
+    * GIF — javax.imageio encodes), spread across the session's
+    * parallelism BEFORE the encode (r13, guide §8: payloads are
+    * created after placement, so the exchange moves 8-byte seed rows,
+    * never media bytes — the documents table is a single-row-group
+    * parquet whose scan is one task, which serialized every encode on
+    * one core; m05 1.23 → 0.90 s, m10 1.70 → 0.95 s). The WAV
+    * generators deliberately do NOT use this: their PCM encodes are a
+    * few hundred bytes of array fill, and the measured exchange+task
+    * overhead exceeded the win (m07 0.40 → 0.79 s before the revert —
+    * BENCH_FULL_r13c vs r13d). */
   private def seedIds(documents: DataFrame)
       (implicit spark: SparkSession)
       : org.apache.spark.sql.Dataset[Long] = {
@@ -568,7 +573,7 @@ object Multimodal {
   def syntheticWavs(documents: DataFrame)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    seedIds(documents).mapPartitions { ids =>
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val rate = (8000 + (id % 4) * 4000).toInt
         val ch = (1 + id % 2).toInt
@@ -674,7 +679,7 @@ object Multimodal {
   def syntheticBandWavs(documents: DataFrame)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    seedIds(documents).mapPartitions { ids =>
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val values = Array.tabulate(4)(k =>
           (100L + (id * 7 + k * 31) % 3000L).toShort)
