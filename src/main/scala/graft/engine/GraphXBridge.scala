@@ -836,7 +836,8 @@ object GraphXBridge {
     * partitioning from the aggregate above already satisfies the
     * join's distribution — no extra exchange, no sort). */
   private def candFrom(p: WedgePrep, adj: DataFrame,
-      bucket: Option[(Int, Int)]): DataFrame = {
+      bucket: Option[(Int, Int)],
+      aggParts: Option[Int] = None): DataFrame = {
     val rawPairs = rawPairsOf(adj)
     if (p.packable) {
       val pkOf = (a: Column, b: Column) =>
@@ -844,8 +845,20 @@ object GraphXBridge {
       val pick = (df: DataFrame) => bucket.fold(df) { case (b, i) =>
         df.filter(pmod(col("pk"), lit(b.toLong)) === lit(i.toLong))
       }
-      val rawPk = pick(rawPairs
+      val rawPk0 = pick(rawPairs
         .select(pkOf(col("id1"), col("id2")).as("pk")))
+      // scale-adaptive aggregation partitioning (r13, guide §2.2):
+      // at the session's cores-sized partition count a 1.48e9-wedge
+      // sf1 run puts ~46M buffered rows in EVERY concurrently-running
+      // PackedKeyCount partition — 32 × 368 MB of flat buffers on an
+      // 8 g local[32] heap is a guaranteed OOM (reproduced on the
+      // pre-r13 tree). When the census-derived volume wants more
+      // partitions than the session default, repartition by pk to the
+      // derived count — the count aggregate's required distribution is
+      // already satisfied, so this is the SAME single exchange with a
+      // data-derived width, not an extra one.
+      val rawPk = aggParts.fold(rawPk0)(n =>
+        rawPk0.repartition(n, col("pk")))
       // Count-by-packed-key through the dedicated physical operator
       // (open-addressed long→long table — see PackedCountAgg's
       // scaladoc for the measured HashAggregateExec gap); its
@@ -857,8 +870,8 @@ object GraphXBridge {
             .enabled(p.edges.sparkSession))
           org.apache.spark.sql.graft.PackedCountAgg
             .countByKey(rawPk, "common")
-        else rawPk
-          .repartition(col("pk"))
+        else (if (aggParts.isDefined) rawPk
+              else rawPk.repartition(col("pk")))
           .groupBy(col("pk")).agg(count(lit(1)).as("common"))
       val edgePk = pick(p.edges
         .select(pkOf(col("src"), col("dst")).as("pk")))
@@ -881,7 +894,8 @@ object GraphXBridge {
         if (p.integral) (col("id1").cast("long").as("id1"),
           col("id2").cast("long").as("id2"))
         else (col("id1"), col("id2"))
-      pick(rawPairs).repartition(col("id1"), col("id2"))
+      aggParts.fold(pick(rawPairs).repartition(col("id1"), col("id2")))(
+          n => pick(rawPairs).repartition(n, col("id1"), col("id2")))
         .groupBy(col("id1"), col("id2"))
         .agg(count(lit(1)).as("common"))
         .join(pick(p.edges
@@ -985,9 +999,14 @@ object GraphXBridge {
       if (r.isNullAt(0)) 0.0 else r.getDouble(0)
     }
     val b = linkPredBuckets(spark, wedges)
-    graft.util.Dbg(spark, f"[linkpred] wedges=$wedges%.3g buckets=$b")
+    // per-pass aggregation width from the same census (each pass sees
+    // ~wedges/B rows)
+    val parts = linkPredAggPartitions(spark, wedges / b)
+    graft.util.Dbg(spark,
+      f"[linkpred] wedges=$wedges%.3g buckets=$b aggParts=$parts")
     if (b <= 1) {
-      val top = candFrom(p, p.adj, None).orderBy(byRank: _*).limit(k)
+      val top = candFrom(p, p.adj, None, parts)
+        .orderBy(byRank: _*).limit(k)
       scoreCandidates(broadcast(top), p.deg, small = true).orderBy(byRank: _*)
     } else {
       // B passes re-read the adjacency: pin it so the sym-groupBy
@@ -1000,7 +1019,7 @@ object GraphXBridge {
       val adj = p.adj.localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val tops = (0 until b).map { i =>
-        val t = candFrom(p, adj, Some((b, i)))
+        val t = candFrom(p, adj, Some((b, i)), parts)
           .orderBy(byRank: _*).limit(k)
           .localCheckpoint() // EAGER: pass i completes (k rows) here
         // the pass's shuffle files are dropped by ContextCleaner once
@@ -1020,6 +1039,32 @@ object GraphXBridge {
         org.apache.spark.sql.graft.shims.releaseLocalCheckpoint)
       scoreCandidates(broadcast(top), p.deg, small = true).orderBy(byRank: _*)
     }
+  }
+
+  /** Conf: target bytes per pair-aggregation partition for
+    * [[topLinkPredictions]] (packed 8 B/wedge rows buffered in
+    * PackedKeyCount's flat drain). Default 64 MB: small enough that a
+    * full complement of concurrently-running partitions fits any
+    * reasonable executor heap (32 × 64 MB = 2 GB of buffers at
+    * local[32]), large enough that sf0.1-sized runs (148M wedges →
+    * 18 partitions < the 32-partition session default) keep their
+    * existing plans. */
+  val LinkPredAggBytesKey = "spark.graft.linkpred.aggPartitionBytes"
+
+  /** Census-derived width for the pair-count exchange: None (= keep
+    * the session count) unless the projected volume wants MORE
+    * partitions than the session default — never fewer (shrinking
+    * below the core count would serialize small runs), capped at 16384
+    * (beyond that the per-partition overhead dominates and the honest
+    * answer is bucketed passes). */
+  private def linkPredAggPartitions(spark: SparkSession,
+      wedgesPerPass: Double): Option[Int] = {
+    val target = spark.conf.get(LinkPredAggBytesKey,
+      (64L << 20).toString).toLong
+    val session = spark.sessionState.conf.numShufflePartitions
+    val n = math.ceil(wedgesPerPass * BytesPerWedge / target)
+    if (n <= session || n.isNaN) None
+    else Some(math.min(n, 16384.0).toInt)
   }
 
   /** Conf: forced pass count for [[topLinkPredictions]]' wedge
